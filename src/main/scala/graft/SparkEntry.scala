@@ -1,13 +1,110 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.vectors._
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] must return columns whose NAMES match the
+  * corresponding [[oracleSql]] aliases exactly (the driver sorts columns by
+  * name before hashing). kNN-style queries return integer ids/ranks only —
+  * float distances never leave the plan, so float rounding can't break the
+  * hash compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Label-filtered top-10 L2 kNN — the reference's filter-track semantics
+    * (/root/reference/filter/faiss/faiss.py:361-426). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("filtered_knn")(spark, "/root/testdata/sf0.001")
+
+  // -- query-side helpers ---------------------------------------------------
+
+  private def embQueries(spark: SparkSession, dir: String, nq: Int): DataFrame =
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("label").as("qlabel"))
+
+  private def embBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+
+  private def knnResult(df: DataFrame): DataFrame =
+    df.select(col("qid"), col("id").as("neighbor_id"), col("rank"))
+
+  /** Shared DuckDB oracle scaffolding for exact kNN: squared-L2 / dot in
+    * DOUBLE via zipped unnest (bit-compatible with our codegen kernels). */
+  private def knnOracle(nq: Int, k: Int, scoreSql: String, order: String,
+                        filterSql: String = "TRUE"): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+       |           FROM embeddings WHERE vec_id < $nq),
+       |pairs AS (SELECT q.qid, e.vec_id AS nid,
+       |                 unnest(e.embedding) AS x, unnest(q.qv) AS y
+       |          FROM embeddings e CROSS JOIN q
+       |          WHERE $filterSql),
+       |scored AS (SELECT qid, nid, $scoreSql AS d FROM pairs GROUP BY qid, nid),
+       |ranked AS (SELECT qid, nid AS neighbor_id,
+       |                  row_number() OVER (PARTITION BY qid ORDER BY d $order, nid) AS rank
+       |           FROM scored)
+       |SELECT qid, neighbor_id, rank FROM ranked WHERE rank <= $k
+       |""".stripMargin
+
+  private val l2Sql = "sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))"
+  private val dotSql = "sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+
+  // -- the operator surface -------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1-style relational aggregation smoke (TPC-H Q1 shape).
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // J1+J5: exact brute-force L2 top-k join (ood/filter exact path).
+    "knn_l2" -> ((s, dir) =>
+      knnResult(Knn.knnJoin(embQueries(s, dir, 10), embBase(s, dir), 10, Metric.L2))),
+
+    // J6-style dense MIPS top-k.
+    "knn_ip" -> ((s, dir) =>
+      knnResult(Knn.knnJoin(embQueries(s, dir, 10), embBase(s, dir), 10, Metric.Ip))),
+
+    // P1+J1: flagship filtered kNN (filter track, label = conjunctive tag).
+    "filtered_knn" -> ((s, dir) =>
+      knnResult(Knn.filteredKnn(embQueries(s, dir, 20), embBase(s, dir), 10, Metric.L2))),
+
+    // F5: ‖x‖²−2x·q monotone-L2 rewrite — must return exactly knn_l2's ids.
+    "knn_norm_trick" -> ((s, dir) => {
+      val q = embQueries(s, dir, 10)
+      val b = embBase(s, dir).withColumn("norm2", vecNorm2(col("vec")))
+      val scored = b.crossJoin(broadcast(q))
+        .withColumn("dist", col("norm2") - lit(2.0) * vecDot(col("vec"), col("qvec")))
+      knnResult(TopK.aggTopK(scored, "qid", "id", "dist", 10))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |""".stripMargin,
+    "knn_l2" -> knnOracle(10, 10, l2Sql, "ASC"),
+    "knn_ip" -> knnOracle(10, 10, dotSql, "DESC"),
+    "filtered_knn" -> knnOracle(20, 10, l2Sql, "ASC", filterSql = "e.label = q.qlabel"),
+    // norm trick is a pure rewrite: same oracle as knn_l2 (note the tie-break
+    // caveat: ‖x‖²−2x·q ranks identically to L2 for distinct distances).
+    "knn_norm_trick" -> knnOracle(10, 10, l2Sql, "ASC"),
+  )
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.vectors._
+import graft.operators._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KnnSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("vecL2Sq / vecDot match a scala-side brute-force oracle") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(4f, 6f, 8f)),
+      (Array(0f, 0f, 0f), Array(0f, 0f, 0f)),
+      (Array(-1.5f, 2.25f, 0f), Array(1.5f, -2.25f, 3f))
+    ).toDF("a", "b")
+    val got = df.select(vecL2Sq($"a", $"b"), vecDot($"a", $"b")).collect()
+    def l2(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val in = df.as[(Array[Float], Array[Float])].collect()
+    got.zip(in).foreach { case (Row(gl2: Double, gdot: Double), (a, b)) =>
+      assert(gl2 === l2(a, b))
+      assert(gdot === dot(a, b))
+    }
+  }
+
+  test("aggTopK equals windowTopK on the embeddings table (differential)") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val b = e.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val scored = b.crossJoin(broadcast(q))
+      .withColumn("dist", vecL2Sq($"qvec", $"vec"))
+    val viaAgg = TopK.aggTopK(scored, "qid", "id", "dist", 10)
+      .select("qid", "id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaWin = TopK.windowTopK(scored, "qid", "id", "dist", 10)
+      .select("qid", "id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaAgg === viaWin)
+    assert(viaAgg.size === 50)
+  }
+
+  test("filtered kNN honors the label predicate (every neighbor matches)") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"label".as("qlabel"))
+    val b = e.select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
+    val res = Knn.filteredKnn(q, b, 10)
+    val labels = e.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    res.select("qid", "id").as[(Long, Long)].collect().foreach { case (qid, id) =>
+      assert(labels(qid) === labels(id), s"neighbor $id of query $qid violates filter")
+    }
+  }
+
+  test("self is rank 1 for L2 on unit-normalized embeddings") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val b = e.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val r1 = Knn.knnJoin(q, b, 10, Metric.L2).where($"rank" === 1)
+      .select("qid", "id").as[(Long, Long)].collect()
+    r1.foreach { case (qid, id) => assert(qid === id) }
+  }
+}
