@@ -89,7 +89,19 @@ object SparkEntry {
         .withColumn("dist", col("norm2") - lit(2.0) * vecDot(col("vec"), col("qvec")))
       knnResult(TopK.aggTopK(scored, "qid", "id", "dist", 10))
     }),
+
+    // -- text-analysis pipeline (training-data ops) --------------------------
+    "text_termfreq" -> ((s, dir) => Text.termFreq(Tables.documents(s, dir))),
+    "text_stats" -> ((s, dir) => Text.tokenStats(Tables.documents(s, dir))),
+    "text_quality" -> ((s, dir) => Text.qualityScore(Tables.documents(s, dir))
+      .select("doc_id", "n_tokens", "stop_bp", "uniq_bp", "quality_flag")),
+    "text_langid" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
+    "text_fingerprint" -> ((s, dir) => Text.fingerprint(Tables.documents(s, dir))),
   )
+
+  /** DuckDB-side tokenizer CTE shared by the text oracles. */
+  private val tokensCte =
+    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)"
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -106,5 +118,57 @@ object SparkEntry {
     // norm trick is a pure rewrite: same oracle as knn_l2 (note the tie-break
     // caveat: ‖x‖²−2x·q ranks identically to L2 for distinct distances).
     "knn_norm_trick" -> knnOracle(10, 10, l2Sql, "ASC"),
+
+    "text_termfreq" ->
+      s"""WITH $tokensCte
+         |SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |FROM tok GROUP BY doc_id, term
+         |""".stripMargin,
+    "text_stats" ->
+      s"""WITH $tokensCte,
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |               CAST(count(DISTINCT term) AS BIGINT) AS n_unique,
+         |               CAST(sum(length(term)) AS BIGINT) AS char_sum
+         |        FROM tok GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_unique, char_sum,
+         |       CAST((100 * char_sum) // n_tokens AS BIGINT) AS centi_avg_len
+         |FROM agg
+         |""".stripMargin,
+    "text_quality" ->
+      s"""WITH $tokensCte,
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |               CAST(count(DISTINCT term) AS BIGINT) AS n_unique,
+         |               CAST(sum(CASE WHEN term IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+         |        FROM tok GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |       CAST((10000 * stop_hits) // n_tokens AS BIGINT) AS stop_bp,
+         |       CAST((10000 * n_unique) // n_tokens AS BIGINT) AS uniq_bp,
+         |       CAST(CASE WHEN n_tokens BETWEEN 20 AND 90
+         |                  AND (10000 * stop_hits) // n_tokens < 2500
+         |            THEN 1 ELSE 0 END AS INT) AS quality_flag
+         |FROM agg
+         |""".stripMargin,
+    "text_langid" ->
+      s"""WITH $tokensCte,
+         |hits AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN term IN ('the','a') THEN 1 ELSE 0 END) AS BIGINT) AS hits_en,
+         |  CAST(sum(CASE WHEN term IN ('el','la','de','los','que') THEN 1 ELSE 0 END) AS BIGINT) AS hits_es,
+         |  CAST(sum(CASE WHEN term IN ('der','die','das','und') THEN 1 ELSE 0 END) AS BIGINT) AS hits_de,
+         |  CAST(sum(CASE WHEN term IN ('le','la','les','et') THEN 1 ELSE 0 END) AS BIGINT) AS hits_fr
+         |  FROM tok GROUP BY doc_id),
+         |mx AS (SELECT *, greatest(hits_en, hits_es, hits_de, hits_fr) AS max_hits FROM hits)
+         |SELECT doc_id,
+         |       CASE WHEN hits_en = max_hits AND max_hits > 0 THEN 'en'
+         |            WHEN hits_es = max_hits AND max_hits > 0 THEN 'es'
+         |            WHEN hits_de = max_hits AND max_hits > 0 THEN 'de'
+         |            WHEN hits_fr = max_hits AND max_hits > 0 THEN 'fr'
+         |            ELSE 'und' END AS pred_lang,
+         |       max_hits
+         |FROM mx
+         |""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp, CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents
+        |""".stripMargin,
   )
 }

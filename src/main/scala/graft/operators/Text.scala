@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token/quality stats, stopword language-ID, fingerprinting.
+  *
+  * Design rules for oracle parity (the driver hash-compares against DuckDB):
+  * ratios are emitted as INTEGER basis points via integer division
+  * (`(10000*x) div n`), never as rounded doubles; fingerprints are md5 hex
+  * strings (identical bytes in Spark and DuckDB).
+  */
+object Text {
+
+  /** Whitespace tokenizer → long form (doc_id, term). The driver's
+    * `documents.text` is single-space separated lowercase words. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+
+  /** Term frequencies: (doc_id, term, tf). The sparse-vector view of a
+    * document corpus (CSR analog — SURVEY §1.1 metadata table). */
+  def termFreq(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Per-document token statistics (all integer columns). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    tokens(docs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("term")).as("n_unique"),
+        sum(length(col("term"))).as("char_sum"))
+      .withColumn("centi_avg_len", expr("(100 * char_sum) div n_tokens"))
+
+  /** Stopword list shared with the oracle SQL. */
+  val StopWords: Seq[String] = Seq("the", "a")
+
+  /** Quality scoring: token count bounds + stopword/unique ratios in basis
+    * points. A standard pre-training corpus filter (length + stopword-rate
+    * heuristics). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val stopSet = StopWords.map(w => s"'$w'").mkString(", ")
+    tokens(docs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("term")).as("n_unique"),
+        sum(when(col("term").isin(StopWords: _*), 1L).otherwise(0L)).as("stop_hits"))
+      .withColumn("stop_bp", expr("(10000 * stop_hits) div n_tokens"))
+      .withColumn("uniq_bp", expr("(10000 * n_unique) div n_tokens"))
+      .withColumn("quality_flag",
+        (col("n_tokens").between(20, 90) && col("stop_bp") < lit(2500)).cast("int"))
+  }
+
+  /** Per-language stopword lists for the language-ID heuristic (shared with
+    * the oracle SQL; tie-break order = this Seq's order). */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"))
+
+  /** Stopword-hit language ID: argmax of per-language stopword hits, ties
+    * broken by [[LangStopwords]] order; no hits at all → "und". */
+  def langId(docs: DataFrame): DataFrame = {
+    val hits = LangStopwords.map { case (lang, words) =>
+      sum(when(col("term").isin(words: _*), 1L).otherwise(0L)).as(s"hits_$lang")
+    }
+    val scored = tokens(docs).groupBy("doc_id").agg(hits.head, hits.tail: _*)
+    // argmax with fixed tie-break order: a fold of `when` conditions
+    val langs = LangStopwords.map(_._1)
+    val best = langs.map(l => col(s"hits_$l"))
+    val maxHits = greatest(best: _*)
+    val pred = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"hits_$l") === maxHits && maxHits > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight gives earlier langs precedence (their `when` wraps outermost)
+    scored.withColumn("pred_lang", pred)
+      .select(col("doc_id"), col("pred_lang"), maxHits.cast("long").as("max_hits"))
+  }
+
+  /** Content fingerprint: md5 of the raw text (byte-identical to DuckDB's
+    * md5) + exact length. Basis for exact dedup. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("fp"),
+      length(col("text")).cast("long").as("text_len"))
+}
