@@ -97,11 +97,44 @@ object SparkEntry {
       .select("doc_id", "n_tokens", "stop_bp", "uniq_bp", "quality_flag")),
     "text_langid" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => Text.fingerprint(Tables.documents(s, dir))),
+
+    // -- dedup family (training-data pipeline ops) ---------------------------
+    "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, minBp = 5000)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), n = 3, numSeeds = 16,
+        rowsPerBand = 4, minBp = 5000)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 2)),
+    "dedup_embed_nn" -> ((s, dir) =>
+      knnResult(Dedup.embeddingNearestNeighbor(Tables.embeddings(s, dir), k = 1))),
   )
 
   /** DuckDB-side tokenizer CTE shared by the text oracles. */
   private val tokensCte =
     "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)"
+
+  /** DuckDB-side distinct word-3-gram shingles (mirrors Dedup.shingles n=3). */
+  private val shinglesCte =
+    """sh AS (SELECT DISTINCT doc_id,
+      |              unnest(list_transform(range(1, len(l) - 1),
+      |                     i -> array_to_string(l[i:i+2], ' '))) AS shingle
+      |       FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))""".stripMargin
+
+  /** DuckDB-side 32-bit SimHash signature CTE (mirrors Dedup.simhash). */
+  private val simhashSql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |b AS (SELECT doc_id, g.i AS i,
+      |             sum(CASE WHEN (('0x' || substr(md5(term), 1, 8))::BIGINT >> g.i) & 1 = 1
+      |                 THEN tf ELSE -tf END) AS s
+      |      FROM tf CROSS JOIN generate_series(0, 31) g(i) GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |               CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2.0, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |        FROM b GROUP BY 1)
+      |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -170,5 +203,66 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp, CAST(length(text) AS BIGINT) AS text_len
         |FROM documents
         |""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+        |c AS (SELECT f, min(doc_id) AS canonical_id FROM fp GROUP BY f)
+        |SELECT fp.doc_id, c.canonical_id,
+        |       CAST(fp.doc_id != c.canonical_id AS INT) AS is_dup
+        |FROM fp JOIN c USING (f)
+        |""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH $shinglesCte,
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS i
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a_id, b_id, CAST((10000 * i) // (sa.nsh + sb.nsh - i) AS BIGINT) AS jaccard_bp
+         |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |WHERE (10000 * i) // (sa.nsh + sb.nsh - i) >= 5000
+         |""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |mh AS (SELECT doc_id, g.seed AS seed,
+         |              min(('0x' || substr(md5(CAST(g.seed AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS mh
+         |       FROM sh CROSS JOIN generate_series(0, 15) g(seed) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, seed // 4 AS band,
+         |                 string_agg(mh::VARCHAR, '-' ORDER BY seed) AS bkey
+         |          FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS i
+         |          FROM cand c
+         |          JOIN sh a ON a.doc_id = c.a_id
+         |          JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+         |          GROUP BY 1, 2)
+         |SELECT a_id, b_id, CAST((10000 * i) // (sa.nsh + sb.nsh - i) AS BIGINT) AS jaccard_bp
+         |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |WHERE (10000 * i) // (sa.nsh + sb.nsh - i) >= 5000
+         |""".stripMargin,
+    "dedup_simhash" -> (simhashSql + "SELECT doc_id, simhash FROM sig\n"),
+    "dedup_simhash_pairs" -> (simhashSql +
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        |""".stripMargin),
+    "dedup_embed_nn" ->
+      s"""WITH pairs AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |                      unnest(e.embedding) AS x, unnest(q.embedding) AS y
+         |               FROM embeddings e CROSS JOIN embeddings q
+         |               WHERE e.vec_id != q.vec_id),
+         |scored AS (SELECT qid, nid,
+         |                  sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+         |                  / sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+         |                       * sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS c
+         |           FROM pairs GROUP BY qid, nid),
+         |ranked AS (SELECT qid, nid AS neighbor_id,
+         |                  row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+         |           FROM scored)
+         |SELECT qid, neighbor_id, rank FROM ranked WHERE rank <= 1
+         |""".stripMargin,
   )
 }

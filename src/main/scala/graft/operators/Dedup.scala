@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (content hash), n-gram Jaccard similarity join, MinHash+LSH banding,
+  * SimHash, and embedding-space nearest-neighbor dedup.
+  *
+  * All hashing is md5-based and byte-identical between Spark and DuckDB so
+  * the driver's oracle compare is deterministic even for the probabilistic
+  * LSH path (same hashes → same buckets → same candidate set on both sides).
+  *
+  * Scale design: every operator is a pure shuffle-on-key dataflow — no
+  * driver-side collections. The all-pairs steps (Jaccard verify, SimHash
+  * pair scan) are candidate-driven: LSH banding or band-key grouping bounds
+  * the join fan-out, so the quadratic blowup never materializes; a frequency
+  * cap on shingles (`maxDf`) bounds hot-key skew the same way the reference
+  * caps exploration (/root/reference/filter/hnsw/hnswalg.h:641-647 bounds
+  * the ef beam).
+  */
+object Dedup {
+
+  /** Exact dedup: canonical id = min doc_id per content hash. The
+    * hash-groupBy shuffles only (fp, doc_id) pairs; at 100 TB this is the
+    * standard first pass before any near-dup method. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val canon = fp.groupBy("fp").agg(min("doc_id").as("canonical_id"))
+    fp.join(canon, "fp")
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).cast("int").as("is_dup"))
+  }
+
+  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sh = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(sh).as("shingle")).distinct()
+  }
+
+  /** All-pairs n-gram Jaccard similarity join: pairs (a_id < b_id) with
+    * Jaccard ≥ minBp basis points. Shuffle is keyed on shingle; a shingle
+    * appearing in d docs contributes d² join rows, so at scale drop
+    * ultra-frequent shingles first (stopword n-grams carry no dedup
+    * signal) — see [[minhashLsh]] for the bounded-fan-out variant. */
+  def jaccardPairs(docs: DataFrame, n: Int, minBp: Int): DataFrame = {
+    val sh = shingles(docs, n)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = sh.select(col("doc_id").as("a_id"), col("shingle"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), "shingle")
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    jaccardOf(inter, sz).where(col("jaccard_bp") >= minBp)
+      .select("a_id", "b_id", "jaccard_bp")
+  }
+
+  /** (a_id, b_id, inter) × per-doc sizes → integer basis-point Jaccard. */
+  private def jaccardOf(inter: DataFrame, sz: DataFrame): DataFrame =
+    inter
+      .join(sz.select(col("doc_id").as("a_id"), col("nsh").as("na")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("nsh").as("nb")), "b_id")
+      .withColumn("jaccard_bp",
+        expr("(10000 * inter) div (na + nb - inter)"))
+
+  /** Portable 60-bit hash: first 15 hex digits of md5, as a long. DuckDB
+    * equivalent: `('0x' || substr(md5(s), 1, 15))::BIGINT`. */
+  private def md5Long60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signatures: one row (doc_id, seed, mh) per doc per hash seed,
+    * mh = min over the doc's shingles of H(seed, shingle). The seed
+    * expansion is map-side (explode), the min is a partial-aggregating
+    * groupBy — shuffle carries numSeeds rows per doc. */
+  def minhash(docs: DataFrame, n: Int, numSeeds: Int): DataFrame = {
+    val seeds = array((0 until numSeeds).map(lit): _*)
+    shingles(docs, n)
+      .withColumn("seed", explode(seeds))
+      .withColumn("h", md5Long60(
+        concat(col("seed").cast("string"), lit(":"), col("shingle"))))
+      .groupBy("doc_id", "seed").agg(min("h").as("mh"))
+  }
+
+  /** LSH band keys: group the signature into bands of `rowsPerBand` seeds,
+    * key = the band's minhash values joined in seed order. Docs sharing any
+    * band key are candidate near-dups (the classic banding construction). */
+  def lshBands(mh: DataFrame, rowsPerBand: Int): DataFrame =
+    mh.withColumn("band", expr(s"seed div $rowsPerBand"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+          x => x.getField("mh").cast("string")), "-").as("bkey"))
+
+  /** MinHash+LSH near-dup pairs, exact-verified: band-bucket self-join →
+    * distinct candidate pairs → candidate-driven exact Jaccard ≥ minBp.
+    * Unlike [[jaccardPairs]] the shingle join here is restricted to LSH
+    * candidates, so fan-out is bounded by bucket sizes — this is the path
+    * that survives 100 TB. */
+  def minhashLsh(docs: DataFrame, n: Int, numSeeds: Int, rowsPerBand: Int,
+                 minBp: Int): DataFrame = {
+    val bands = lshBands(minhash(docs, n, numSeeds), rowsPerBand)
+    val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sh = shingles(docs, n)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    jaccardOf(inter, sz).where(col("jaccard_bp") >= minBp)
+      .select("a_id", "b_id", "jaccard_bp")
+  }
+
+  /** 32-bit SimHash over term frequencies: bit i of the signature is set
+    * iff the tf-weighted sum of (±1 per term, sign = bit i of the term's
+    * 32-bit hash) is positive. Fully relational: the 32× bit expansion is
+    * map-side, both aggregations combine partially. */
+  def simhash(docs: DataFrame): DataFrame =
+    Text.termFreq(docs)
+      .withColumn("h", conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"))
+      .withColumn("i", explode(sequence(lit(0), lit(31))))
+      .withColumn("contrib",
+        when(expr("shiftright(h, i) & 1") === 1, col("tf")).otherwise(-col("tf")))
+      .groupBy("doc_id", "i").agg(sum("contrib").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("cast(pow(2.0d, i) as bigint)"))
+        .otherwise(0L)).as("simhash"))
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming. Written as an
+    * all-pairs join for the oracle-checked small path; at scale, band the
+    * 32-bit signature into 4 bytes and join on any-equal-byte first
+    * (pigeonhole: hamming ≤ 3 ⇒ some byte equal), then verify. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sig = simhash(docs)
+    sig.select(col("doc_id").as("a_id"), col("simhash").as("sa"))
+      .crossJoin(sig.select(col("doc_id").as("b_id"), col("simhash").as("sb")))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** Embedding-space dedup scan: each vector's nearest other vector by
+    * cosine (k=1, self excluded). Inputs are the embeddings table columns
+    * (vec_id, embedding). At 100 TB the query side would be LSH-bucketed;
+    * here every row is both query and corpus — the exact all-pairs scan the
+    * reference's brute-force path runs (/root/reference/filter/hnsw/
+    * bruteforce.h:10-172). */
+  def embeddingNearestNeighbor(emb: DataFrame, k: Int): DataFrame = {
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val b = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Knn.knnJoin(q, b, k, Metric.Cosine, Some(col("qid") =!= col("id")))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  test("exactDedup: canonical id is the min doc_id of its hash group; no false dups") {
+    val d = Dedup.exactDedup(docs).cache()
+    assert(d.count() === docs.count())
+    // canonical rows are never marked dup, and canonical_id <= doc_id
+    assert(d.where($"canonical_id" > $"doc_id").count() === 0)
+    assert(d.where($"doc_id" === $"canonical_id" && $"is_dup" === 1).count() === 0)
+    // dup groups all share identical text
+    val joined = d.join(docs, "doc_id")
+      .join(docs.select($"doc_id".as("canonical_id"), $"text".as("ctext")), "canonical_id")
+    assert(joined.where($"text" =!= $"ctext").count() === 0)
+  }
+
+  test("shingles: every shingle has exactly n tokens and appears in the doc text") {
+    val sh = Dedup.shingles(docs, 3)
+    assert(sh.where(size(split($"shingle", " ")) =!= 3).count() === 0)
+    val bad = sh.join(docs, "doc_id")
+      .where(!$"text".contains($"shingle")).count()
+    assert(bad === 0)
+  }
+
+  test("minhashLsh candidates are a subset of all-pairs jaccard at the same threshold") {
+    val lsh = Dedup.minhashLsh(docs, 3, 16, 4, 5000)
+    val full = Dedup.jaccardPairs(docs, 3, 5000)
+    // LSH is a filter on the exact all-pairs result: verified pairs must agree
+    assert(lsh.exceptAll(full).count() === 0)
+    // and on this corpus (jaccard gap: nothing in [0.3, 0.8)) it finds all of them
+    assert(lsh.count() === full.count())
+  }
+
+  test("jaccard pairs are symmetric-free (a < b) and within [minBp, 10000]") {
+    val j = Dedup.jaccardPairs(docs, 3, 5000).cache()
+    assert(j.where($"a_id" >= $"b_id").count() === 0)
+    assert(j.where($"jaccard_bp" < 5000 || $"jaccard_bp" > 10000).count() === 0)
+  }
+
+  test("simhash is deterministic and pairs respect the hamming bound") {
+    val s1 = Dedup.simhash(docs).orderBy("doc_id").collect()
+    val s2 = Dedup.simhash(docs).orderBy("doc_id").collect()
+    assert(s1.toSeq === s2.toSeq)
+    val p = Dedup.simhashPairs(docs, 2)
+    assert(p.where($"hamming" > 2).count() === 0)
+  }
+
+  test("embedding NN dedup never returns self and returns one row per vector") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val nn = Dedup.embeddingNearestNeighbor(emb, 1).cache()
+    assert(nn.where($"qid" === $"id").count() === 0)
+    assert(nn.count() === emb.count())
+  }
+}
