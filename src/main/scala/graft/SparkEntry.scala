@@ -110,11 +110,32 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 2)),
     "dedup_embed_nn" -> ((s, dir) =>
       knnResult(Dedup.embeddingNearestNeighbor(Tables.embeddings(s, dir), k = 1))),
+
+    // -- sparse track: MIPS over long-form (id, dim, v) ----------------------
+    "sparse_mips" -> ((s, dir) => {
+      val tf = Sparse.fromTermFreq(Tables.documents(s, dir))
+      Sparse.mips(sparseQueries(tf, 10), tf, k = 10)
+    }),
+    "sparse_sparsify" -> ((s, dir) =>
+      Sparse.sparsify(Sparse.fromTermFreq(Tables.documents(s, dir)), 8, 10)),
+    "sparse_budget" -> ((s, dir) => {
+      val tf = Sparse.fromTermFreq(Tables.documents(s, dir))
+      Sparse.budgetedMips(sparseQueries(tf, 10), tf, k = 10, m = 16)
+    }),
   )
+
+  private def sparseQueries(tf: DataFrame, nq: Int): DataFrame =
+    tf.where(col("id") < nq)
+      .select(col("id").as("qid"), col("dim"), col("v").as("qv"))
 
   /** DuckDB-side tokenizer CTE shared by the text oracles. */
   private val tokensCte =
     "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)"
+
+  /** DuckDB-side long-form sparse vectors (mirrors Sparse.fromTermFreq). */
+  private val sparseTfCte =
+    """tf AS (SELECT doc_id AS id, term AS dim, CAST(count(*) AS BIGINT) AS v
+      |       FROM tok GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB-side distinct word-3-gram shingles (mirrors Dedup.shingles n=3). */
   private val shinglesCte =
@@ -263,6 +284,40 @@ object SparkEntry {
          |                  row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
          |           FROM scored)
          |SELECT qid, neighbor_id, rank FROM ranked WHERE rank <= 1
+         |""".stripMargin,
+
+    "sparse_mips" ->
+      s"""WITH $tokensCte, $sparseTfCte,
+         |q AS (SELECT id AS qid, dim, v AS qv FROM tf WHERE id < 10),
+         |s AS (SELECT qid, tf.id AS id, CAST(sum(qv * v) AS BIGINT) AS score
+         |      FROM tf JOIN q USING (dim) GROUP BY 1, 2),
+         |r AS (SELECT qid, id, score,
+         |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+         |      FROM s)
+         |SELECT qid, id, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+         |""".stripMargin,
+    "sparse_sparsify" ->
+      s"""WITH $tokensCte, $sparseTfCte,
+         |w AS (SELECT id, dim, v,
+         |             sum(v) OVER (PARTITION BY id ORDER BY v DESC, dim
+         |                          ROWS UNBOUNDED PRECEDING) - v AS cum_before,
+         |             sum(v) OVER (PARTITION BY id) AS total
+         |      FROM tf)
+         |SELECT id, dim, v FROM w WHERE cum_before * 10 < total * 8
+         |""".stripMargin,
+    "sparse_budget" ->
+      s"""WITH $tokensCte, $sparseTfCte,
+         |p AS (SELECT id, dim, v,
+         |             row_number() OVER (PARTITION BY dim ORDER BY v DESC, id) AS rn
+         |      FROM tf),
+         |tp AS (SELECT id, dim, v FROM p WHERE rn <= 16),
+         |q AS (SELECT id AS qid, dim, v AS qv FROM tf WHERE id < 10),
+         |s AS (SELECT qid, tp.id AS id, CAST(sum(qv * v) AS BIGINT) AS score
+         |      FROM tp JOIN q USING (dim) GROUP BY 1, 2),
+         |r AS (SELECT qid, id, score,
+         |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+         |      FROM s)
+         |SELECT qid, id, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
          |""".stripMargin,
   )
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SparseSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  lazy val tf = Sparse.fromTermFreq(Tables.documents(spark, sfDir)).cache()
+  def queries(nq: Int) =
+    tf.where($"id" < nq).select($"id".as("qid"), $"dim", $"v".as("qv"))
+
+  test("mips scores match a scala-side sparse dot product oracle") {
+    val k = 5
+    val got = Sparse.mips(queries(3), tf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("score")).toMap
+    val docs = tf.as[(Long, String, Long)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.map(r => r._2 -> r._3).toMap }
+    got.foreach { case ((qid, id), score) =>
+      val expected = docs(qid).map { case (t, v) => v * docs(id).getOrElse(t, 0L) }.sum
+      assert(score === expected, s"(q=$qid, d=$qid)")
+    }
+  }
+
+  test("mips self-pair appears with score = sum of squared tf") {
+    val got = Sparse.mips(queries(5), tf, 10)
+      .where($"qid" === $"id").as[(Long, Long, Long, Long)].collect()
+    val selfScores = tf.where($"id" < 5).groupBy($"id")
+      .agg(sum($"v" * $"v").as("s")).as[(Long, Long)].collect().toMap
+    got.foreach { case (qid, _, score, _) => assert(score === selfScores(qid)) }
+  }
+
+  test("sparsify with alpha = 1 is the identity; smaller alpha shrinks rows") {
+    assert(Sparse.sparsify(tf, 10, 10).count() === tf.count())
+    val sp = Sparse.sparsify(tf, 8, 10)
+    assert(sp.count() < tf.count())
+    // kept mass per id must reach 80% of total
+    val check = sp.groupBy("id").agg(sum("v").as("kept"))
+      .join(tf.groupBy("id").agg(sum("v").as("total")), "id")
+      .where($"kept" * 10 < $"total" * 8)
+    assert(check.count() === 0)
+  }
+
+  test("budgetedMips with a huge budget equals exact mips") {
+    val exact = Sparse.mips(queries(5), tf, 10)
+    val budget = Sparse.budgetedMips(queries(5), tf, 10, m = 1000000)
+    assert(exact.exceptAll(budget).count() === 0)
+    assert(budget.exceptAll(exact).count() === 0)
+  }
+
+  test("truncatePostings keeps at most m rows per dim, highest-v first") {
+    val t = Sparse.truncatePostings(tf, 3).cache()
+    assert(t.groupBy("dim").count().where($"count" > 3).count() === 0)
+    // every kept row's v is >= the max dropped v for that dim (top-m property)
+    val dropped = tf.exceptAll(t).groupBy("dim").agg(max("v").as("maxDropped"))
+    val minKept = t.groupBy("dim").agg(min("v").as("minKept"))
+    assert(minKept.join(dropped, "dim").where($"minKept" < $"maxDropped").count() === 0)
+  }
+}
