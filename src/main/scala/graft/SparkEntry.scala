@@ -122,6 +122,28 @@ object SparkEntry {
       val tf = Sparse.fromTermFreq(Tables.documents(s, dir))
       Sparse.budgetedMips(sparseQueries(tf, 10), tf, k = 10, m = 16)
     }),
+
+    // -- filter track: conjunctive tags, postings, signatures, routing -------
+    "tag_postings" -> ((s, dir) =>
+      TagFilter.postings(TagFilter.withTags(Tables.embeddings(s, dir)))),
+    "tag_stats" -> ((s, dir) =>
+      TagFilter.tagStats(TagFilter.withTags(Tables.embeddings(s, dir)))),
+    "filtered_knn2" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      knnResult(TagFilter.filteredKnn(
+        TagFilter.tagQueries(emb, 20), TagFilter.withTags(emb), k = 10))
+    }),
+    "filtered_knn_sig" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      knnResult(TagFilter.filteredKnnSig(
+        TagFilter.tagQueries(emb, 20), TagFilter.withTags(emb), k = 10))
+    }),
+    "filtered_knn_routed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      knnResult(TagFilter.routedFilteredKnn(
+        TagFilter.tagQueries(emb, 20), TagFilter.withTags(emb), k = 10,
+        threshold = 8))
+    }),
   )
 
   private def sparseQueries(tf: DataFrame, nq: Int): DataFrame =
@@ -319,5 +341,30 @@ object SparkEntry {
          |      FROM s)
          |SELECT qid, id, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
          |""".stripMargin,
+
+    "tag_postings" ->
+      """SELECT CAST(label AS INT) AS tag, vec_id AS id FROM embeddings
+        |UNION ALL
+        |SELECT CAST(10 + vec_id % 7 AS INT) AS tag, vec_id AS id FROM embeddings
+        |""".stripMargin,
+    "tag_stats" ->
+      """WITH p AS (SELECT CAST(label AS INT) AS tag, vec_id AS id FROM embeddings
+        |           UNION ALL
+        |           SELECT CAST(10 + vec_id % 7 AS INT) AS tag, vec_id AS id FROM embeddings)
+        |SELECT tag, CAST(count(*) AS BIGINT) AS df,
+        |       CAST((10000 * count(*)) // (SELECT count(*) FROM embeddings) AS BIGINT) AS freq_bp
+        |FROM p GROUP BY tag
+        |""".stripMargin,
+    "filtered_knn2" -> conjKnnOracle,
+    // signature prefilter and selectivity routing are lossless plan rewrites:
+    // identical results to the exact conjunctive-filter kNN
+    "filtered_knn_sig" -> conjKnnOracle,
+    "filtered_knn_routed" -> conjKnnOracle,
   )
+
+  /** Exact 2-tag conjunctive filtered kNN oracle: both derived query tags
+    * must be in the base row's derived tag set. */
+  private def conjKnnOracle: String =
+    knnOracle(20, 10, l2Sql, "ASC",
+      filterSql = "e.label = q.qlabel AND e.vec_id % 7 = (q.qid * 3 + 1) % 7")
 }

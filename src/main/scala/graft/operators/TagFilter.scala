@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's "filter track": top-k nearest neighbors among rows whose
+  * tag-set contains ALL query tags (1–2 conjunctive tags;
+  * /root/reference/filter/faiss/faiss.py:361-426). This file is the
+  * relational re-expression of its machinery:
+  *
+  *  - inverted index + tag stats (faiss.py:369-371) → [[postings]]/[[tagStats]]
+  *  - sorted posting-list intersection (bow_id_selector.swig:133-161)
+  *    → [[candidates]] (explode + equi-join + count == |qtags|)
+  *  - bloom-style binary signature prefilter (faiss.py:97-124,
+  *    bow_id_selector.swig:107-130) → [[withSignature]] + bitwise subset test
+  *  - selectivity-adaptive plan routing (faiss.py:392-418: brute force when
+  *    the filter is selective, index scan otherwise) → [[routedFilteredKnn]]
+  *    as a two-branch union driven by per-query candidate counts
+  *
+  * Scale notes: postings and candidate joins shuffle on `tag` — bounded by
+  * vocabulary skew, which the signature prefilter and stats-based routing
+  * exist to absorb. Query sides are broadcast. No driver-side loops: routing
+  * is itself a join against the stats, so the "planner" runs inside the plan.
+  */
+object TagFilter {
+
+  /** Base vectors with a derived conjunctive tag-set: (id, vec, tags).
+    * tags = [label, 10 + id mod 7] — two independent tag families, so a
+    * 2-tag query has ~1/70 selectivity (mirrors yfcc's 1–2 word filters). */
+  def withTags(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").as("id"), col("embedding").as("vec"),
+      array(col("label"),
+        (lit(10) + pmod(col("vec_id"), lit(7))).cast("int")).as("tags"))
+
+  /** Query rows with 2 conjunctive query tags: (qid, qvec, qtags). */
+  def tagQueries(emb: DataFrame, nq: Int): DataFrame =
+    emb.where(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        array(col("label"),
+          (lit(10) + pmod(col("vec_id") * 3 + 1, lit(7))).cast("int")).as("qtags"))
+
+  /** Inverted index: (tag, id) postings pairs. The reference materializes
+    * this as a CSR transpose (faiss.py:369); relationally it's an explode
+    * whose parquet layout can be partitioned by tag for pruning. */
+  def postings(base: DataFrame): DataFrame =
+    base.select(explode(col("tags")).as("tag"), col("id"))
+
+  /** Tag document frequencies + selectivity in basis points
+    * (faiss.py:370-371's ndoc_per_word / freq_per_word). */
+  def tagStats(base: DataFrame): DataFrame = {
+    val total = base.select(count(lit(1)).as("n_total"))
+    postings(base).groupBy("tag").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .withColumn("freq_bp", expr("(10000 * df) div n_total"))
+      .select("tag", "df", "freq_bp")
+  }
+
+  /** Posting-list intersection as dataflow: a row is a candidate for a
+    * query iff it matches on every query tag — explode both sides, equi-join
+    * on tag, and keep (qid, id) groups whose match count equals the query's
+    * tag count. Rarer-tag-first ordering (faiss.py:381-388) is subsumed by
+    * the hash join; at scale, salt hot tags. Returns (qid, id). */
+  def candidates(queries: DataFrame, base: DataFrame): DataFrame = {
+    val qtags = queries.select(col("qid"), explode(col("qtags")).as("tag"),
+      size(col("qtags")).as("ntags"))
+    qtags.join(postings(base), "tag")
+      .groupBy("qid", "id", "ntags").agg(count(lit(1)).as("hits"))
+      .where(col("hits") === col("ntags"))
+      .select("qid", "id")
+  }
+
+  /** Exact conjunctive-filtered top-k kNN via the intersection dataflow:
+    * candidates → gather vectors (P5 row-subset gather) → distance → top-k. */
+  def filteredKnn(queries: DataFrame, base: DataFrame, k: Int,
+                  metric: String = Metric.L2): DataFrame = {
+    val scored = candidates(queries, base)
+      .join(base.select("id", "vec"), "id")
+      .join(broadcast(queries.select("qid", "qvec")), "qid")
+      .withColumn("dist", Metric.distColumn(metric, col("qvec"), col("vec")))
+    TopK.aggTopK(scored, "qid", "id", "dist", k)
+  }
+
+  /** 60-bit bloom-style tag signature: 3 bits per tag at md5-derived
+    * positions (deterministic analog of the reference's seeded random
+    * signatures, faiss.py:97-124). Powers of two via pow(2.0, h) are exact
+    * in double for h < 63, so this is oracle-portable. */
+  def tagSig(tag: Column): Column =
+    (0 until 3).map { j =>
+      val h = (conv(substring(md5(concat(lit(s"$j:"), tag.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 60).cast("int")
+      pow(lit(2.0), h).cast("long")
+    }.reduce(_ bitwiseOR _)
+
+  /** OR of per-tag signatures, computed map-side with array aggregate —
+    * no shuffle: the signature column costs one projection. */
+  def sigCol(tagsCol: Column): Column =
+    aggregate(transform(tagsCol, t => tagSig(t)), lit(0L), (acc, x) => acc bitwiseOR x)
+
+  /** Attach the OR-of-tag-signatures column `sig` to a tagged table. */
+  def withSignature(df: DataFrame, tagsCol: String): DataFrame =
+    df.withColumn("sig", sigCol(col(tagsCol)))
+
+  /** Signature-prefiltered exact filtered kNN: cheap bitwise subset test
+    * `(qsig & ~sig) == 0` prunes non-matching rows before the exact
+    * array_contains check — lossless, so results equal [[filteredKnn]].
+    * This is the scan-side analog of a zone-map/bloom skip. */
+  def filteredKnnSig(queries: DataFrame, base: DataFrame, k: Int,
+                     metric: String = Metric.L2): DataFrame = {
+    val b = withSignature(base, "tags")
+    val q = withSignature(queries, "qtags")
+      .withColumnRenamed("sig", "qsig")
+    val scored = b.crossJoin(broadcast(q))
+      .where(expr("(qsig & ~sig) = 0"))
+      .where(forall(col("qtags"), t => array_contains(col("tags"), t)))
+      .withColumn("dist", Metric.distColumn(metric, col("qvec"), col("vec")))
+    TopK.aggTopK(scored, "qid", "id", "dist", k)
+  }
+
+  /** Selectivity-adaptive routed kNN (faiss.py:392-418): queries whose
+    * candidate count is below `threshold` take the gather-then-score branch
+    * (brute force over the few matches); the rest take the full-scan branch
+    * with the predicate evaluated in-stream (the stand-in for the graph
+    * probe — same results, different physical plan). Both branches are
+    * exact, so the union equals [[filteredKnn]]. Routing is a join against
+    * per-query counts — no driver round-trip. */
+  def routedFilteredKnn(queries: DataFrame, base: DataFrame, k: Int,
+                        threshold: Long, metric: String = Metric.L2): DataFrame = {
+    val cand = candidates(queries, base).cache()
+    val counts = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+    val routed = queries.join(counts, Seq("qid"), "left")
+      .na.fill(0, Seq("n_cand"))
+
+    val selectiveQ = routed.where(col("n_cand") < threshold).select("qid", "qvec")
+    val denseQ = routed.where(col("n_cand") >= threshold)
+      .select("qid", "qvec", "qtags")
+
+    // branch A: gather the candidate subset, score only those rows
+    val a = cand.join(broadcast(selectiveQ), "qid")
+      .join(base.select("id", "vec"), "id")
+      .withColumn("dist", Metric.distColumn(metric, col("qvec"), col("vec")))
+    // branch B: stream the full base, predicate evaluated in the scan
+    val b = base.crossJoin(broadcast(denseQ))
+      .where(forall(col("qtags"), t => array_contains(col("tags"), t)))
+      .withColumn("dist", Metric.distColumn(metric, col("qvec"), col("vec")))
+
+    val unioned = a.select("qid", "id", "dist")
+      .unionByName(b.select("qid", "id", "dist"))
+    TopK.aggTopK(unioned, "qid", "id", "dist", k)
+  }
+}

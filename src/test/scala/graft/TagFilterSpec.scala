@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TagFilterSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sfDir).cache()
+  lazy val base = TagFilter.withTags(emb).cache()
+  lazy val queries = TagFilter.tagQueries(emb, 20).cache()
+
+  private def ids(df: DataFrame) =
+    df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+
+  test("candidates equals the direct conjunctive array_contains filter") {
+    val viaPostings = TagFilter.candidates(queries, base)
+      .as[(Long, Long)].collect().toSet
+    val direct = queries.crossJoin(base)
+      .where(forall($"qtags", t => array_contains($"tags", t)))
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(viaPostings === direct)
+  }
+
+  test("signature prefilter admits every true match (no false negatives)") {
+    val b = TagFilter.withSignature(base, "tags")
+    val q = TagFilter.withSignature(queries, "qtags").withColumnRenamed("sig", "qsig")
+    val falseNeg = b.crossJoin(q)
+      .where(forall($"qtags", t => array_contains($"tags", t)))
+      .where(expr("(qsig & ~sig) != 0"))
+    assert(falseNeg.count() === 0)
+  }
+
+  test("signature prefilter actually prunes non-matching pairs") {
+    val b = TagFilter.withSignature(base, "tags")
+    val q = TagFilter.withSignature(queries, "qtags").withColumnRenamed("sig", "qsig")
+    val nonMatch = b.crossJoin(q)
+      .where(!forall($"qtags", t => array_contains($"tags", t)))
+    val pruned = nonMatch.where(expr("(qsig & ~sig) != 0")).count()
+    assert(pruned > 0, "prefilter should reject at least some non-matching pairs")
+  }
+
+  test("filteredKnnSig returns exactly filteredKnn's results") {
+    val exact = ids(TagFilter.filteredKnn(queries, base, 10))
+    val sig = ids(TagFilter.filteredKnnSig(queries, base, 10))
+    assert(sig === exact)
+  }
+
+  test("routedFilteredKnn equals filteredKnn at every routing threshold") {
+    val exact = ids(TagFilter.filteredKnn(queries, base, 10))
+    for (t <- Seq(0L, 8L, 1000000L)) {
+      assert(ids(TagFilter.routedFilteredKnn(queries, base, 10, t)) === exact,
+        s"threshold=$t")
+    }
+  }
+
+  test("tagStats frequencies sum to ~#tags-per-row * 10000 bp") {
+    val stats = TagFilter.tagStats(base)
+    val totalBp = stats.agg(sum("freq_bp")).as[Long].head()
+    // 2 tags per row → total freq mass ≈ 20000 bp (integer-division slack)
+    assert(totalBp > 19000 && totalBp <= 20000)
+  }
+}
