@@ -144,6 +144,19 @@ object SparkEntry {
         TagFilter.tagQueries(emb, 20), TagFilter.withTags(emb), k = 10,
         threshold = 8))
     }),
+
+    // -- index layer ---------------------------------------------------------
+    // IVF probed exhaustively (nprobe = C) is exact → hash-checked oracle.
+    "ann_ivf" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val idx = graft.index.IvfIndex.build(b, c = 8, iters = 3)
+      knnResult(idx.probe(embQueries(s, dir, 10), b, k = 10, nprobe = 8))
+    }),
+    // HNSW is approximate → rows-only driver check; recall graded in tests.
+    "ann_hnsw" -> ((s, dir) =>
+      knnResult(graft.index.HnswKnn.knn(
+        embQueries(s, dir, 10), embBase(s, dir), k = 10,
+        efSearch = 128, numPartitions = 8))),
   )
 
   private def sparseQueries(tf: DataFrame, nq: Int): DataFrame =
@@ -360,6 +373,9 @@ object SparkEntry {
     // identical results to the exact conjunctive-filter kNN
     "filtered_knn_sig" -> conjKnnOracle,
     "filtered_knn_routed" -> conjKnnOracle,
+    // exhaustive IVF (nprobe = C) is exact brute force
+    "ann_ivf" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // ann_hnsw: intentionally no oracle (approximate; recall-graded in tests)
   )
 
   /** Exact 2-tag conjunctive filtered kNN oracle: both derived query tags

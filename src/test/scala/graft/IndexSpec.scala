@@ -1,0 +1,81 @@
+package graft
+
+import graft.index._
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IndexSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sfDir).cache()
+  lazy val base = emb.select($"vec_id".as("id"), $"embedding".as("vec")).cache()
+  lazy val queries = emb.where($"vec_id" < 10)
+    .select($"vec_id".as("qid"), $"embedding".as("qvec")).cache()
+  lazy val truth = Knn.knnJoin(queries, base, 10, Metric.L2).cache()
+
+  test("IVF probed exhaustively equals brute force exactly") {
+    val idx = IvfIndex.build(base, c = 8, iters = 3)
+    val got = idx.probe(queries, base, k = 10, nprobe = 8)
+    assert(Recall.mean(got, truth, 10) === 1.0)
+    // rank-for-rank identical, not just same set
+    val g = got.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    val t = truth.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(g === t)
+  }
+
+  test("IVF partial probe trades recall for scan volume but stays useful") {
+    val idx = IvfIndex.build(base, c = 8, iters = 3)
+    val r2 = Recall.mean(idx.probe(queries, base, 10, nprobe = 2), truth, 10)
+    val r4 = Recall.mean(idx.probe(queries, base, 10, nprobe = 4), truth, 10)
+    assert(r2 > 0.3, s"nprobe=2 recall $r2")
+    assert(r4 >= r2, s"recall must not decrease with nprobe: $r2 -> $r4")
+  }
+
+  test("KMeans assigns every row to exactly one of C clusters") {
+    val cents = KMeans.fit(base, 8, 2)
+    assert(cents.count() === 8)
+    val assigned = KMeans.assign(base, cents)
+    assert(assigned.count() === base.count())
+    assert(assigned.select("id").distinct().count() === base.count())
+  }
+
+  test("partition-local HNSW reaches high recall with a generous beam") {
+    val got = HnswKnn.knn(queries, base, 10, efSearch = 128, numPartitions = 4)
+    val r = Recall.mean(got, truth, 10)
+    assert(r >= 0.95, s"hnsw recall $r")
+  }
+
+  test("HNSW search is deterministic across rebuilds") {
+    def run(): Set[(Long, Long, Long)] =
+      HnswKnn.knn(queries, base, 10, efSearch = 64, numPartitions = 4)
+        .select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(run() === run())
+  }
+
+  test("filtered HNSW honors the label gate and matches exact filtered recall") {
+    val fq = emb.where($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"label".as("qlabel"))
+    val fb = emb.select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
+    val got = HnswKnn.filteredKnn(fq, fb, 10, efSearch = 400, numPartitions = 4).cache()
+    // every neighbor satisfies the predicate
+    val bad = got.join(fb, "id").join(fq.select("qid", "qlabel"), "qid")
+      .where($"label" =!= $"qlabel")
+    assert(bad.count() === 0)
+    val exactTruth = Knn.filteredKnn(fq, fb, 10)
+    val r = Recall.mean(got, exactTruth, 10)
+    assert(r >= 0.9, s"filtered hnsw recall $r")
+  }
+
+  test("in-memory HnswIndex: exact on tiny data, predicate gate respected") {
+    val idx = new HnswIndex(m = 8, efConstruction = 50)
+    val vecs = (0 until 50).map(i => (i.toLong, Array(i.toFloat, (i * i % 17).toFloat)))
+    vecs.foreach { case (id, v) => idx.add(id, v) }
+    val res = idx.search(Array(25.0f, 3.0f), 5, ef = 50)
+    assert(res.length === 5)
+    assert(res.sortBy(_._2).toSeq === res.toSeq, "results ascend by distance")
+    val even = idx.search(Array(25.0f, 3.0f), 5, ef = 50, id => id % 2 == 0)
+    assert(even.forall(_._1 % 2 == 0))
+  }
+}
