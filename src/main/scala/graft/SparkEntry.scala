@@ -157,6 +157,29 @@ object SparkEntry {
       knnResult(graft.index.HnswKnn.knn(
         embQueries(s, dir, 10), embBase(s, dir), k = 10,
         efSearch = 128, numPartitions = 8))),
+
+    // -- streaming track -----------------------------------------------------
+    // Runbook op-log: insert [0,300) → delete [0,100) (triggers tombstone
+    // consolidation) → insert [300,400) → search. Final checkpoint must see
+    // exactly the live set [100,400).
+    "runbook_final" -> ((s, dir) => {
+      val exec = new graft.streaming.RunbookExecutor(
+        embBase(s, dir).select("id", "vec"),
+        embQueries(s, dir, 10).select("qid", "qvec"),
+        k = 10, consolidateAt = 50)
+      val steps = Seq(
+        graft.streaming.RunbookStep("insert", 0, 300),
+        graft.streaming.RunbookStep("search"),
+        graft.streaming.RunbookStep("delete", 0, 100),
+        graft.streaming.RunbookStep("insert", 300, 400),
+        graft.streaming.RunbookStep("search"))
+      knnResult(exec.run(steps)(4))
+    }),
+    "events_tumbling" -> ((s, dir) =>
+      graft.streaming.StreamingOps.eventsTumbling(Tables.events(s, dir))),
+    "events_sliding" -> ((s, dir) =>
+      graft.streaming.StreamingOps.eventsSliding(Tables.events(s, dir),
+        "2 hours", "1 hour")),
   )
 
   private def sparseQueries(tf: DataFrame, nq: Int): DataFrame =
@@ -376,6 +399,28 @@ object SparkEntry {
     // exhaustive IVF (nprobe = C) is exact brute force
     "ann_ivf" -> knnOracle(10, 10, l2Sql, "ASC"),
     // ann_hnsw: intentionally no oracle (approximate; recall-graded in tests)
+
+    // net effect of the demo runbook: live ids are exactly [100, 400)
+    "runbook_final" -> knnOracle(10, 10, l2Sql, "ASC",
+      filterSql = "e.vec_id >= 100 AND e.vec_id < 400"),
+    // floor() in the oracle mirrors Spark's truncating double→long cast
+    "events_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+        |       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we,
+        |       event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2, 3
+        |""".stripMargin,
+    "events_sliding" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS ws, event_type, value FROM events)
+        |SELECT ws, ws + INTERVAL '2 hours' AS we, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM w GROUP BY 1, 2, 3
+        |""".stripMargin,
   )
 
   /** Exact 2-tag conjunctive filtered kNN oracle: both derived query tags

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Event-time windowed aggregations over the events stream, in both batch
+  * form (oracle-checked) and Structured Streaming form (watermarked; the
+  * production path for unbounded input).
+  *
+  * The reference has no event-time semantics (its streaming track is a
+  * synchronous op log — SURVEY §2.9); these operators are the
+  * beyond-reference streaming surface a training-data pipeline needs:
+  * ingestion-rate rollups, per-type monitoring windows.
+  *
+  * Money-safe aggregation: `value` is summed as integer cents
+  * (cast(value * 100 as bigint) per row, then an exact integer sum) so
+  * results hash-compare deterministically — float sums are
+  * accumulation-order-dependent and would flap the driver's compare. */
+object StreamingOps {
+
+  /** Tumbling event-time windows: (ws, we, event_type, n_events,
+    * value_cents). Batch form over the events table. */
+  def eventsTumbling(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  /** Sliding (hopping) windows: every `slide`, looking back `windowLen`. */
+  def eventsSliding(events: DataFrame, windowLen: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  /** Streaming form of [[eventsTumbling]]: file source → watermark →
+    * windowed agg. Late data beyond the watermark is dropped; state for
+    * closed windows is evicted — the properties that let this run forever
+    * on an unbounded stream. Reads the parquet's nano timestamps as long
+    * (file schema) and converts in-stream, mirroring Tables.events. */
+  def eventsTumblingStream(spark: SparkSession, path: String,
+                           windowLen: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema: StructType = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(rawSchema).parquet(path)
+    val events =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("event_type"), col("n_events"), col("value_cents"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Knn, Metric, Recall}
+import graft.streaming._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sfDir).cache()
+  lazy val source = emb.select($"vec_id".as("id"), $"embedding".as("vec")).cache()
+  lazy val queries = emb.where($"vec_id" < 5)
+    .select($"vec_id".as("qid"), $"embedding".as("qvec")).cache()
+
+  test("runbook: search sees net effect of inserts and deletes at every checkpoint") {
+    val exec = new RunbookExecutor(source, queries, k = 5, consolidateAt = 1000000)
+    val cps = exec.run(Seq(
+      RunbookStep("insert", 0, 100),
+      RunbookStep("search"), // sees [0,100)
+      RunbookStep("delete", 0, 50),
+      RunbookStep("search"), // sees [50,100)
+      RunbookStep("insert", 100, 200),
+      RunbookStep("search") // sees [50,200)
+    ))
+    def truthOver(lo: Long, hi: Long) =
+      Knn.knnJoin(queries, source.where($"id" >= lo && $"id" < hi), 5, Metric.L2)
+    assert(Recall.mean(cps(1), truthOver(0, 100), 5) === 1.0)
+    assert(Recall.mean(cps(3), truthOver(50, 100), 5) === 1.0)
+    assert(Recall.mean(cps(5), truthOver(50, 200), 5) === 1.0)
+    // deleted ids never appear after the delete step
+    assert(cps(3).where($"id" < 50).count() === 0)
+  }
+
+  test("runbook: consolidation does not change results") {
+    val steps = Seq(
+      RunbookStep("insert", 0, 200),
+      RunbookStep("delete", 0, 120),
+      RunbookStep("search"))
+    val lazily = new RunbookExecutor(source, queries, 5, consolidateAt = 1000000)
+      .run(steps)(2).select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    val eagerly = new RunbookExecutor(source, queries, 5, consolidateAt = 1)
+      .run(steps)(2).select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(lazily === eagerly)
+  }
+
+  test("streaming tumbling windows equal the batch aggregation (availableNow)") {
+    val events = Tables.events(spark, sfDir)
+    val batch = StreamingOps.eventsTumbling(events)
+      .as[(java.sql.Timestamp, java.sql.Timestamp, String, Long, Long)]
+      .collect().toSet
+
+    // file stream sources require a directory: stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamed = StreamingOps.eventsTumblingStream(spark, dir.toString)
+    val q = streamed.writeStream
+      .format("memory").queryName("ev_tumbling")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("ev_tumbling")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, String, Long, Long)]
+      .collect().toSet
+    assert(got === batch)
+  }
+
+  test("sliding windows: each event lands in exactly windowLen/slide windows") {
+    val events = Tables.events(spark, sfDir)
+    val slid = StreamingOps.eventsSliding(events, "2 hours", "1 hour")
+    val totalSlid = slid.agg(sum("n_events")).as[Long].head()
+    assert(totalSlid === 2 * events.count())
+  }
+}
