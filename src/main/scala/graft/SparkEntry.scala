@@ -180,6 +180,22 @@ object SparkEntry {
     "events_sliding" -> ((s, dir) =>
       graft.streaming.StreamingOps.eventsSliding(Tables.events(s, dir),
         "2 hours", "1 hour")),
+
+    // -- multimodal binary columns (stubbed decode, real plumbing) -----------
+    "mm_assets" -> ((s, dir) =>
+      Multimodal.assets(Tables.documents(s, dir))
+        .select(col("asset_id"), col("kind"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          col("width"), col("height"), col("n_frames"))),
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.assets(Tables.documents(s, dir)), maxSide = 48)
+        .select("asset_id", "width", "height", "out_width", "out_height")),
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.assets(Tables.documents(s, dir)), stride = 2)),
+    "mm_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(Multimodal.assets(Tables.documents(s, dir)), dim = 32)
+        .toDF().select(col("asset_id"), col("kind"), col("n_bytes"),
+          size(col("features")).cast("long").as("feat_dim"))),
   )
 
   private def sparseQueries(tf: DataFrame, nq: Int): DataFrame =
@@ -421,7 +437,38 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM w GROUP BY 1, 2, 3
         |""".stripMargin,
+
+    "mm_assets" ->
+      s"""WITH $mmAssetsCte
+         |SELECT asset_id, kind, n_bytes, width, height, n_frames FROM assets
+         |""".stripMargin,
+    "mm_resize" ->
+      s"""WITH $mmAssetsCte
+         |SELECT asset_id, width, height,
+         |       CAST(floor(width * least(1.0, 48.0 / greatest(width, height))) AS INT) AS out_width,
+         |       CAST(floor(height * least(1.0, 48.0 / greatest(width, height))) AS INT) AS out_height
+         |FROM assets
+         |""".stripMargin,
+    "mm_frames" ->
+      s"""WITH $mmAssetsCte
+         |SELECT asset_id, n_frames, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
+         |FROM assets WHERE kind = 'video'
+         |""".stripMargin,
+    "mm_features" ->
+      s"""WITH $mmAssetsCte
+         |SELECT asset_id, kind, n_bytes, CAST(32 AS INT) AS feat_dim FROM assets
+         |""".stripMargin,
   )
+
+  /** DuckDB-side derived asset table (mirrors Multimodal.assets). */
+  private val mmAssetsCte =
+    """assets AS (SELECT doc_id AS asset_id,
+      |       (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       CAST(32 + (doc_id % 4) * 16 AS INT) AS width,
+      |       CAST(32 + ((doc_id * 7) % 4) * 16 AS INT) AS height,
+      |       CAST(1 + (doc_id % 8) AS INT) AS n_frames
+      |FROM documents)""".stripMargin
 
   /** Exact 2-tag conjunctive filtered kNN oracle: both derived query tags
     * must be in the base row's derived tag set. */
