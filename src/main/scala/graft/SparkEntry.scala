@@ -196,6 +196,21 @@ object SparkEntry {
       Multimodal.decodeFeatures(Multimodal.assets(Tables.documents(s, dir)), dim = 32)
         .toDF().select(col("asset_id"), col("kind"), col("n_bytes"),
           size(col("features")).cast("long").as("feat_dim"))),
+
+    // -- relational analytics (joins, windows, JSON) -------------------------
+    "q3_revenue" -> ((s, dir) =>
+      Relational.q3Revenue(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), "BUILDING", "1998-01-01")),
+    "q5_region" -> ((s, dir) =>
+      Relational.q5RegionRevenue(Tables.region(s, dir), Tables.nation(s, dir),
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
+        "ASIA")),
+    "events_first_per_user" -> ((s, dir) =>
+      Relational.firstEventsPerUser(Tables.events(s, dir), 3)),
+    "part_top_brand" -> ((s, dir) =>
+      Relational.topPartsPerBrand(Tables.part(s, dir), 3)),
+    "events_json" -> ((s, dir) =>
+      Relational.eventJsonStats(Tables.events(s, dir))),
   )
 
   private def sparseQueries(tf: DataFrame, nq: Int): DataFrame =
@@ -458,6 +473,51 @@ object SparkEntry {
       s"""WITH $mmAssetsCte
          |SELECT asset_id, kind, n_bytes, CAST(32 AS INT) AS feat_dim FROM assets
          |""".stripMargin,
+
+    "q3_revenue" ->
+      """SELECT l_orderkey, o_orderdate,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2
+        |""".stripMargin,
+    "q5_region" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1
+        |""".stripMargin,
+    "events_first_per_user" ->
+      """SELECT user_id, event_id, event_type,
+        |       CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT user_id, event_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn <= 3
+        |""".stripMargin,
+    "part_top_brand" ->
+      """SELECT p_brand, p_partkey, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT p_brand, p_partkey,
+        |             row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |      FROM part)
+        |WHERE rn <= 3
+        |""".stripMargin,
+    "events_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1
+        |""".stripMargin,
   )
 
   /** DuckDB-side derived asset table (mirrors Multimodal.assets). */

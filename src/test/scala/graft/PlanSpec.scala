@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the properties that decide whether these
+  * operators survive a 100× scale-up — dimension broadcasts, parquet filter
+  * pushdown, column pruning, codegen'd distance kernels, partial (map-side)
+  * top-k aggregation. A correctness-green operator with the wrong plan
+  * shape fails here. */
+class PlanSpec extends AnyFunSuite with SparkSuite {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q5: dimension side is a broadcast hash join, not a shuffle join") {
+    val p = plan(Relational.q5RegionRevenue(
+      Tables.region(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir), "ASIA"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q3: the date predicates are pushed down to the parquet scans") {
+    val p = plan(Relational.q3Revenue(
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir), "BUILDING", "1998-01-01"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"lineitem scan must push the shipdate filter:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      s"customer scan must push the segment filter:\n$p")
+  }
+
+  test("q1: lineitem scan prunes to only the referenced columns") {
+    val df = SparkEntry.queries("q1_agg")(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("l_partkey") && !p.contains("l_suppkey"),
+      s"unreferenced columns must not be read:\n$p")
+    assert(p.contains("l_quantity"), "referenced column missing from scan")
+  }
+
+  test("knn distance kernel runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("knn_l2")(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan with codegen spans
+    val p = plan(df)
+    // AQE's plan string abbreviates WholeStageCodegen spans as "*(n)"; the
+    // distance expression must sit on a starred (codegen'd) operator line,
+    // not in an interpreted standalone Project
+    val distLine = p.linesIterator.find(_.contains("vec_l2sq"))
+    assert(distLine.isDefined, s"distance expr missing:\n$p")
+    assert(distLine.get.contains("*("),
+      s"vec_l2sq fell out of whole-stage codegen:\n${distLine.get}\n$p")
+  }
+
+  test("knn top-k shuffles only aggregated heaps, not raw candidate rows") {
+    val df = SparkEntry.queries("knn_l2")(spark, sfDir)
+    val p = plan(df)
+    // bounded-heap aggregator: partial aggregation appears below the
+    // exchange (ObjectHashAggregate partial_topk), so the shuffle carries
+    // one buffer per (partition, qid) instead of nb rows per query
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash agg:\n$p")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(qid")
+    val partialIdx = p.indexOf("ObjectHashAggregate", exchangeIdx)
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial aggregate must sit below the qid exchange:\n$p")
+  }
+
+  test("broadcast kNN join does not shuffle the base table") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val b = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val p = plan(Knn.knnJoin(q, b, 10, Metric.L2))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    // the only exchange should be the final per-qid aggregation, never a
+    // repartition of the base scan side
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstExchange == p.indexOf("Exchange hashpartitioning(qid"),
+      s"unexpected extra shuffle:\n$p")
+  }
+}
