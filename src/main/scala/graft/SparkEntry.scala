@@ -77,6 +77,23 @@ object SparkEntry {
     "knn_ip" -> ((s, dir) =>
       knnResult(Knn.knnJoin(embQueries(s, dir, 10), embBase(s, dir), 10, Metric.Ip))),
 
+    // F6: cosine top-k (normalize-then-ip semantics of the reference's float
+    // path; we compute cosine directly — bindings.cpp:1114-1121).
+    "knn_cos" -> ((s, dir) =>
+      knnResult(Knn.knnJoin(embQueries(s, dir, 10), embBase(s, dir), 10, Metric.Cosine))),
+
+    // F1: uint8-style integer L2 — vectors quantized to ARRAY<SHORT>, pure
+    // integer distance accumulation (long), zero float rounding anywhere.
+    "knn_l2_u8" -> ((s, dir) => {
+      val q = embQueries(s, dir, 10).withColumn("qvec8",
+        expr("transform(qvec, x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS SHORT))"))
+      val b = embBase(s, dir).withColumn("vec8",
+        expr("transform(vec, x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS SHORT))"))
+      val scored = b.crossJoin(broadcast(q))
+        .withColumn("dist", vecL2SqInt(col("qvec8"), col("vec8")).cast("double"))
+      knnResult(TopK.aggTopK(scored, "qid", "id", "dist", 10))
+    }),
+
     // P1+J1: flagship filtered kNN (filter track, label = conjunctive tag).
     "filtered_knn" -> ((s, dir) =>
       knnResult(Knn.filteredKnn(embQueries(s, dir, 20), embBase(s, dir), 10, Metric.L2))),
@@ -258,6 +275,15 @@ object SparkEntry {
     "knn_l2" -> knnOracle(10, 10, l2Sql, "ASC"),
     "knn_ip" -> knnOracle(10, 10, dotSql, "DESC"),
     "filtered_knn" -> knnOracle(20, 10, l2Sql, "ASC", filterSql = "e.label = q.qlabel"),
+    "knn_cos" -> knnOracle(10, 10,
+      """sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        | / sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |      * sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))""".stripMargin, "DESC"),
+    // integer quantized L2: floor(x*10) per component, exact integer sums
+    "knn_l2_u8" -> knnOracle(10, 10,
+      """sum((CAST(floor(CAST(x AS DOUBLE) * 10) AS BIGINT) - CAST(floor(CAST(y AS DOUBLE) * 10) AS BIGINT))
+        |  * (CAST(floor(CAST(x AS DOUBLE) * 10) AS BIGINT) - CAST(floor(CAST(y AS DOUBLE) * 10) AS BIGINT)))""".stripMargin,
+      "ASC"),
     // norm trick is a pure rewrite: same oracle as knn_l2 (note the tie-break
     // caveat: ‖x‖²−2x·q ranks identically to L2 for distinct distances).
     "knn_norm_trick" -> knnOracle(10, 10, l2Sql, "ASC"),

@@ -109,6 +109,62 @@ case class VecDot(left: Expression, right: Expression) extends FloatVecBinaryExp
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer squared L2 over ARRAY<SHORT> (uint8 stored widened — Spark has no
+  * unsigned types), long result with pure integer accumulation. Matches the
+  * reference's integer kernel semantics exactly (L2SqrI:
+  * /root/reference/filter/hnsw/space_l2.h:376-413, int32 distances selected
+  * at :415-430; AVX-512 VNNI variant filter/uint8_knn_file/uint8_knn.hpp:9-19)
+  * so exact-oracle equality holds with no float rounding anywhere. */
+case class VecL2SqInt(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_l2sq_int"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(ShortType, _) => true
+      case _                       => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two ARRAY<SHORT> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = (a.getShort(i) - b.getShort(i)).toLong
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $d = (long) $a.getShort($i) - (long) $b.getShort($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2SqInt =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API for the vector kernels. */
 object vectors {
   private def toCol(e: Expression): Column = GraftBridge.column(e)
@@ -123,6 +179,10 @@ object vectors {
   /** Squared L2 norm. Materialize at ingest for the `‖x‖²−2x·q` rewrite
     * (reference: filter/uint8_knn_file/uint8_knn.hpp:40-72). */
   def vecNorm2(a: Column): Column = vecDot(a, a)
+
+  /** Integer squared L2 between two ARRAY<SHORT> columns (long) — the uint8
+    * path of the reference, exact in integer arithmetic. */
+  def vecL2SqInt(a: Column, b: Column): Column = toCol(VecL2SqInt(toExpr(a), toExpr(b)))
 
   /** Cosine similarity. The reference normalizes at ingest for its float path
     * (filter/hnsw/bindings.cpp:1114-1121); we compute it directly. */

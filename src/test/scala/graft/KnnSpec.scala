@@ -27,6 +27,30 @@ class KnnSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("vecL2SqInt: pure integer accumulation, codegen and interpreted agree") {
+    val df = Seq(
+      (Array[Short](0, 255, 128), Array[Short](255, 0, 128)),
+      (Array[Short](7, 7, 7), Array[Short](7, 7, 7)),
+      (Array[Short](-300, 300, 0), Array[Short](300, -300, 1))
+    ).toDF("a", "b")
+    val got = df.select(vecL2SqInt($"a", $"b")).as[Long].collect()
+    def oracle(a: Array[Short], b: Array[Short]) =
+      a.zip(b).map { case (x, y) => val d = (x - y).toLong; d * d }.sum
+    val in = df.as[(Array[Short], Array[Short])].collect()
+    got.zip(in).foreach { case (g, (a, b)) => assert(g === oracle(a, b)) }
+    // interpreted path (eval without codegen) must agree
+    import graft.functions.VecL2SqInt
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, ShortType}
+    in.foreach { case (a, b) =>
+      val e = VecL2SqInt(
+        Literal(ArrayData.toArrayData(a), ArrayType(ShortType)),
+        Literal(ArrayData.toArrayData(b), ArrayType(ShortType)))
+      assert(e.eval(null) === oracle(a, b))
+    }
+  }
+
   test("aggTopK equals windowTopK on the embeddings table (differential)") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.where($"vec_id" < 5)
