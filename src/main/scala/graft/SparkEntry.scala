@@ -162,6 +162,15 @@ object SparkEntry {
         threshold = 8))
     }),
 
+    "filtered_knn_bucketed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-buckets")
+        .resolve("emb").toString
+      TagBuckets.writeBucketed(TagFilter.withTags(emb), path)
+      knnResult(TagBuckets.bucketedFilteredKnn(
+        s, path, TagFilter.tagQueries(emb, 20), k = 10))
+    }),
+
     // -- index layer ---------------------------------------------------------
     // IVF probed exhaustively (nprobe = C) is exact → hash-checked oracle.
     "ann_ivf" -> ((s, dir) => {
@@ -453,6 +462,8 @@ object SparkEntry {
     // identical results to the exact conjunctive-filter kNN
     "filtered_knn_sig" -> conjKnnOracle,
     "filtered_knn_routed" -> conjKnnOracle,
+    // bucketed layout is a physical rewrite; same logical result
+    "filtered_knn_bucketed" -> conjKnnOracle,
     // exhaustive IVF (nprobe = C) is exact brute force
     "ann_ivf" -> knnOracle(10, 10, l2Sql, "ASC"),
     // ann_hnsw: intentionally no oracle (approximate; recall-graded in tests)

@@ -67,6 +67,29 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"partial aggregate must sit below the qid exchange:\n$p")
   }
 
+  test("bucketed single-tag probe prunes partitions in the scan") {
+    val base = TagFilter.withTags(Tables.embeddings(spark, sfDir))
+    val path = java.nio.file.Files.createTempDirectory("graft-bkt").resolve("emb").toString
+    TagBuckets.writeBucketed(base, path)
+    val p = plan(TagBuckets.probeTag(spark, path, 3))
+    assert(p.contains("PartitionFilters: [isnotnull(bucket"),
+      s"bucket predicate must be a partition filter, not a data filter:\n$p")
+    assert(p.contains("(bucket") && p.contains("= 3)"),
+      s"expected bucket=3 partition filter:\n$p")
+  }
+
+  test("bucketed batch probe engages dynamic partition pruning") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft-bkt").resolve("emb").toString
+    TagBuckets.writeBucketed(TagFilter.withTags(emb), path)
+    val df = TagBuckets.bucketedFilteredKnn(
+      spark, path, TagFilter.tagQueries(emb, 5), k = 10)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+      s"bucket join should trigger dynamic partition pruning:\n$p")
+  }
+
   test("broadcast kNN join does not shuffle the base table") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.where(col("vec_id") < 10)

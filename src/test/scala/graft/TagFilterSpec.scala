@@ -56,6 +56,24 @@ class TagFilterSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("bucketed layout returns exactly filteredKnn's results") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bkt").resolve("emb").toString
+    TagBuckets.writeBucketed(base, path)
+    val exact = ids(TagFilter.filteredKnn(queries, base, 10))
+    val bucketed = ids(TagBuckets.bucketedFilteredKnn(spark, path, queries, 10))
+    assert(bucketed === exact)
+  }
+
+  test("single-tag probe reads only its bucket's rows") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bkt").resolve("emb").toString
+    TagBuckets.writeBucketed(base, path)
+    val tag = base.select($"tags".getItem(0)).as[Int].head()
+    val probed = TagBuckets.probeTag(spark, path, tag)
+    val expected = base.where($"tags".getItem(0) === tag).count()
+    assert(probed.count() === expected)
+    assert(probed.count() > 0)
+  }
+
   test("tagStats frequencies sum to ~#tags-per-row * 10000 bp") {
     val stats = TagFilter.tagStats(base)
     val totalBp = stats.agg(sum("freq_bp")).as[Long].head()
