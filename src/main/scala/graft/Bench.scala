@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every query in SparkEntry.queries
+  * against SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Methodology: a small untimed warmup (q1_agg) absorbs one-time JVM/codegen
+  * startup so per-query numbers measure the operators, and every timed query
+  * executes through the noop sink — the full physical plan runs, all columns
+  * materialized, nothing short-circuited the way `count()` can prune
+  * projection-only plans. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,9 +19,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    try run("q1_agg") catch { case _: Throwable => () } // untimed warmup
+    val results = SparkEntry.queries.map { case (name, _) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

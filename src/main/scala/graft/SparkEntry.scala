@@ -369,7 +369,8 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesCte,
          |mh AS (SELECT doc_id, g.seed AS seed,
-         |              min(('0x' || substr(md5(CAST(g.seed AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS mh
+         |              min(xor(('0x' || substr(md5(shingle), 1, 15))::BIGINT,
+         |                      ('0x' || substr(md5('seed:' || CAST(g.seed AS VARCHAR)), 1, 15))::BIGINT)) AS mh
          |       FROM sh CROSS JOIN generate_series(0, 15) g(seed) GROUP BY 1, 2),
          |bands AS (SELECT doc_id, seed // 4 AS band,
          |                 string_agg(mh::VARCHAR, '-' ORDER BY seed) AS bkey

@@ -32,14 +32,20 @@ object Dedup {
         (col("doc_id") =!= col("canonical_id")).cast("int").as("is_dup"))
   }
 
-  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
-  def shingles(docs: DataFrame, n: Int): DataFrame = {
+  /** Distinct word n-gram shingles per document: (doc_id, shingle).
+    * Dedup happens per-doc with array_distinct BEFORE the explode — set
+    * semantics without a global distinct shuffle (a doc's shingles all live
+    * in its own row). */
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingleArray(n)).as("shingle"))
+
+  /** Per-doc distinct shingle array as a column (map-side only). */
+  private def shingleArray(n: Int): Column = {
     val toks = split(col("text"), " ")
-    val sh = when(size(toks) >= n,
+    array_distinct(when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - n + 1),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(sh).as("shingle")).distinct()
+      .otherwise(array().cast("array<string>")))
   }
 
   /** All-pairs n-gram Jaccard similarity join: pairs (a_id < b_id) with
@@ -48,7 +54,9 @@ object Dedup {
     * ultra-frequent shingles first (stopword n-grams carry no dedup
     * signal) — see [[minhashLsh]] for the bounded-fan-out variant. */
   def jaccardPairs(docs: DataFrame, n: Int, minBp: Int): DataFrame = {
-    val sh = shingles(docs, n)
+    // the shingle set feeds three plan branches (a-side, b-side, sizes);
+    // persist so tokenize+explode+distinct runs once, not three times
+    val sh = shingles(docs, n).persist()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter = sh.select(col("doc_id").as("a_id"), col("shingle"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")), "shingle")
@@ -72,16 +80,34 @@ object Dedup {
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** MinHash signatures: one row (doc_id, seed, mh) per doc per hash seed,
-    * mh = min over the doc's shingles of H(seed, shingle). The seed
-    * expansion is map-side (explode), the min is a partial-aggregating
-    * groupBy — shuffle carries numSeeds rows per doc. */
-  def minhash(docs: DataFrame, n: Int, numSeeds: Int): DataFrame = {
-    val seeds = array((0 until numSeeds).map(lit): _*)
-    shingles(docs, n)
-      .withColumn("seed", explode(seeds))
-      .withColumn("h", md5Long60(
-        concat(col("seed").cast("string"), lit(":"), col("shingle"))))
+    * mh = min over the doc's shingles of (H(shingle) XOR mask(seed)) — one
+    * md5 per shingle, then a cheap XOR per seed (each mask defines its own
+    * permutation of the hash space), instead of numSeeds md5 calls per
+    * shingle. The seed expansion is map-side (explode), the min is a
+    * partial-aggregating groupBy — shuffle carries numSeeds rows per doc.
+    * DuckDB reproduces it exactly: xor(md5_60(shingle), md5_60('seed:'||s)). */
+  def minhash(docs: DataFrame, n: Int, numSeeds: Int): DataFrame =
+    minhashOf(shingles(docs, n), numSeeds)
+
+  /** MinHash over a prebuilt (doc_id, shingle) set. */
+  def minhashOf(sh: DataFrame, numSeeds: Int): DataFrame = {
+    // per-seed masks folded to literals (same md5 the oracle recomputes)
+    val masks = (0 until numSeeds).map { s =>
+      struct(lit(s).as("seed"), lit(md5Long60Local(s"seed:$s")).as("mask"))
+    }
+    sh
+      .withColumn("h0", md5Long60(col("shingle")))
+      .withColumn("sm", explode(array(masks: _*)))
+      .select(col("doc_id"), col("sm.seed").as("seed"),
+        col("h0").bitwiseXOR(col("sm.mask")).as("h"))
       .groupBy("doc_id", "seed").agg(min("h").as("mh"))
+  }
+
+  /** Driver-side twin of [[md5Long60]] for literal mask folding. */
+  private def md5Long60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
   }
 
   /** LSH band keys: group the signature into bands of `rowsPerBand` seeds,
@@ -101,20 +127,41 @@ object Dedup {
     * that survives 100 TB. */
   def minhashLsh(docs: DataFrame, n: Int, numSeeds: Int, rowsPerBand: Int,
                  minBp: Int): DataFrame = {
-    val bands = lshBands(minhash(docs, n, numSeeds), rowsPerBand)
+    // ONE wide aggregation computes the whole per-doc state — all numSeeds
+    // minhashes AND the shingle set — so the entire pipeline shuffles the
+    // corpus exactly once (plus the tiny candidate self-join). Band keys are
+    // then derived map-side, and verification is array_intersect over the
+    // (broadcast-joined) per-doc sets: no second pass over the corpus.
+    val minCols = (0 until numSeeds).map { s =>
+      min(col("h0").bitwiseXOR(lit(md5Long60Local(s"seed:$s")))).as(s"mh$s")
+    }
+    val perDoc = shingles(docs, n)
+      .withColumn("h0", md5Long60(col("shingle")))
+      .groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("shs"),
+        minCols: _*)
+      .persist()
+    val numBands = numSeeds / rowsPerBand
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("-", (0 until rowsPerBand)
+          .map(r => col(s"mh${b * rowsPerBand + r}").cast("string")): _*).as("bkey"))
+    }
+    val bands = perDoc.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
       .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val sh = shingles(docs, n)
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
-        Seq("b_id", "shingle"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    jaccardOf(inter, sz).where(col("jaccard_bp") >= minBp)
+    val sets = perDoc.select(col("doc_id"), col("shs"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("shs").as("sa")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("shs").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard_bp",
+        expr("(10000 * inter) div (size(sa) + size(sb) - inter)"))
+      .where(col("jaccard_bp") >= minBp)
       .select("a_id", "b_id", "jaccard_bp")
   }
 
@@ -122,16 +169,23 @@ object Dedup {
     * iff the tf-weighted sum of (±1 per term, sign = bit i of the term's
     * 32-bit hash) is positive. Fully relational: the 32× bit expansion is
     * map-side, both aggregations combine partially. */
-  def simhash(docs: DataFrame): DataFrame =
+  def simhash(docs: DataFrame): DataFrame = {
+    // 32 conditional sums in ONE aggregation — no 32× row explosion, one
+    // shuffle (keyed on doc_id) instead of two; the signature assembles
+    // map-side from the aggregated bit balances
+    val bitSums = (0 until 32).map { i =>
+      sum(when(expr(s"shiftright(h, $i) & 1") === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s$i")
+    }
+    val sig = (0 until 32).map { i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
     Text.termFreq(docs)
       .withColumn("h", conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"))
-      .withColumn("i", explode(sequence(lit(0), lit(31))))
-      .withColumn("contrib",
-        when(expr("shiftright(h, i) & 1") === 1, col("tf")).otherwise(-col("tf")))
-      .groupBy("doc_id", "i").agg(sum("contrib").as("s"))
       .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("cast(pow(2.0d, i) as bigint)"))
-        .otherwise(0L)).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxHamming. Written as an
     * all-pairs join for the oracle-checked small path; at scale, band the
