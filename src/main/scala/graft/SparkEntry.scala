@@ -201,6 +201,8 @@ object SparkEntry {
         graft.streaming.RunbookStep("search"))
       knnResult(exec.run(steps)(4))
     }),
+    "events_sessions" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessions(Tables.events(s, dir), gapMinutes = 30)),
     "events_tumbling" -> ((s, dir) =>
       graft.streaming.StreamingOps.eventsTumbling(Tables.events(s, dir))),
     "events_sliding" -> ((s, dir) =>
@@ -472,6 +474,21 @@ object SparkEntry {
     // net effect of the demo runbook: live ids are exactly [100, 400)
     "runbook_final" -> knnOracle(10, 10, l2Sql, "ASC",
       filterSql = "e.vec_id >= 100 AND e.vec_id < 400"),
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, ts FROM events),
+        |flags AS (SELECT user_id, event_id, ts,
+        |                 CASE WHEN lag(ts) OVER w IS NULL
+        |                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+        |                      THEN 1 ELSE 0 END AS new_session
+        |          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ids AS (SELECT user_id, ts,
+        |               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |        FROM flags)
+        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM ids GROUP BY user_id, session_id
+        |""".stripMargin,
     // floor() in the oracle mirrors Spark's truncating double→long cast
     "events_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,

@@ -69,6 +69,43 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got === batch)
   }
 
+  test("stateful streaming sessionization agrees with the batch window form") {
+    import graft.streaming.Sessionize
+    val events = Tables.events(spark, sfDir)
+    val batch = Sessionize.sessions(events, gapMinutes = 30)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_sessions_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val raw = spark.readStream.schema(rawSchema).parquet(dir.toString)
+    val src =
+      (if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw).select("user_id", "ts").as[Sessionize.SessionEvent]
+    val q = Sessionize.sessionsStream(src, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sess")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+
+    // sessions still open at end-of-stream never see the watermark pass, so
+    // the streamed set is a subset; every emitted session must match the
+    // batch computation exactly
+    assert(streamed.nonEmpty, "no sessions emitted")
+    assert(streamed.subsetOf(batch),
+      s"streamed sessions disagree with batch: ${streamed.diff(batch).take(3)}")
+    // and it must be MOST of them at this data shape (only the last session
+    // per user can be withheld)
+    val users = events.select("user_id").distinct().count()
+    assert(streamed.size >= batch.size - users)
+  }
+
   test("sliding windows: each event lands in exactly windowLen/slide windows") {
     val events = Tables.events(spark, sfDir)
     val slid = StreamingOps.eventsSliding(events, "2 hours", "1 hour")
