@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.{VecDot, VecL2Sq, VecL2SqInt}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions installer: exposes the codegen vector kernels to
+  * pure-SQL users. Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — then
+  * `SELECT vec_l2sq(a.vec, b.vec) FROM ...` works in spark.sql, notebooks,
+  * and thrift-server sessions with the exact same whole-stage-codegen
+  * kernels the DataFrame API uses (no UDF fallback, no extra dialect).
+  *
+  * This is the library's SparkSessionExtensions surface; the reference's
+  * equivalent extension point is its per-track algorithm ABC
+  * (/root/reference/filter/base.py:3-12) — ours plugs into the SQL engine
+  * itself. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private def binary(name: String, f: (Expression, Expression) => Expression,
+                     clazz: Class[_], usage: String) =
+    (FunctionIdentifier(name), info(clazz, name, usage),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+        f(args(0), args(1))
+      })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(binary("vec_l2sq", VecL2Sq.apply, classOf[VecL2Sq],
+      "vec_l2sq(a, b) - squared L2 distance between two ARRAY<FLOAT> vectors"))
+    ext.injectFunction(binary("vec_dot", VecDot.apply, classOf[VecDot],
+      "vec_dot(a, b) - dot product of two ARRAY<FLOAT> vectors"))
+    ext.injectFunction(binary("vec_l2sq_int", VecL2SqInt.apply, classOf[VecL2SqInt],
+      "vec_l2sq_int(a, b) - integer squared L2 between two ARRAY<SHORT> vectors"))
+  }
+}
