@@ -178,6 +178,35 @@ object SparkEntry {
       val idx = graft.index.IvfIndex.build(b, c = 8, iters = 3)
       knnResult(idx.probe(embQueries(s, dir, 10), b, k = 10, nprobe = 8))
     }),
+    // save → load → exhaustive probe: persistence must not change results,
+    // so this stays hash-checked against the exact oracle (S7/X4 analog).
+    "ann_ivf_persisted" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val idx = graft.index.IvfIndex.build(b, c = 8, iters = 3)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf")
+        .resolve("idx").toString
+      graft.index.IvfIndex.save(idx, path)
+      val loaded = graft.index.IvfIndex.load(s, path)
+      knnResult(loaded.probe(embQueries(s, dir, 10), b, k = 10, nprobe = 8))
+    }),
+    // recall@10 of the approximate paths vs exact brute force, per query —
+    // deterministic (both paths are), but not SQL-expressible → rows-only
+    // driver check; thresholds asserted in IndexSpec.
+    "recall_ivf_partial" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val q = embQueries(s, dir, 10)
+      val idx = graft.index.IvfIndex.build(b, c = 8, iters = 3)
+      val got = idx.probe(q, b, k = 10, nprobe = 2)
+      val truth = Knn.knnJoin(q, b, 10, Metric.L2)
+      Recall.perQuery(got, truth, 10)
+    }),
+    "recall_hnsw" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val q = embQueries(s, dir, 10)
+      val got = graft.index.HnswKnn.knn(q, b, k = 10, efSearch = 128, numPartitions = 8)
+      val truth = Knn.knnJoin(q, b, 10, Metric.L2)
+      Recall.perQuery(got, truth, 10)
+    }),
     // HNSW is approximate → rows-only driver check; recall graded in tests.
     "ann_hnsw" -> ((s, dir) =>
       knnResult(graft.index.HnswKnn.knn(
@@ -469,6 +498,9 @@ object SparkEntry {
     "filtered_knn_bucketed" -> conjKnnOracle,
     // exhaustive IVF (nprobe = C) is exact brute force
     "ann_ivf" -> knnOracle(10, 10, l2Sql, "ASC"),
+    "ann_ivf_persisted" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // recall_ivf_partial / recall_hnsw: no oracle (approximate paths;
+    // recall thresholds asserted in IndexSpec)
     // ann_hnsw: intentionally no oracle (approximate; recall-graded in tests)
 
     // net effect of the demo runbook: live ids are exactly [100, 400)

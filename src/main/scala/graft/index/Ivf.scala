@@ -91,4 +91,19 @@ object IvfIndex {
     val centroids = KMeans.fit(base, c, iters)
     IvfIndex(centroids, KMeans.assign(base, centroids).cache())
   }
+
+  /** Persist the index as parquet artifacts (S7/X4 analog of the
+    * reference's saveIndex, /root/reference/filter/hnsw/hnswalg.h:1224-1362):
+    * centroids as one small table, assignments partitioned by cluster id so
+    * a loaded index's probes prune at the file-listing level. */
+  def save(index: IvfIndex, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cid").parquet(s"$path/assigned")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assigned"))
 }

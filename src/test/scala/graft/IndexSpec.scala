@@ -25,6 +25,19 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(g === t)
   }
 
+  test("IVF save/load round-trip probes identically to the in-memory index") {
+    val idx = IvfIndex.build(base, c = 8, iters = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").resolve("idx").toString
+    IvfIndex.save(idx, path)
+    val loaded = IvfIndex.load(spark, path)
+    def rs(i: IvfIndex) = i.probe(queries, base, 10, nprobe = 8)
+      .select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(rs(loaded) === rs(idx))
+    // the persisted assignment must be cluster-partitioned on disk
+    val dirs = new java.io.File(s"$path/assigned").listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("cid=")), s"expected cid= partitions, got ${dirs.toSeq}")
+  }
+
   test("IVF partial probe trades recall for scan volume but stays useful") {
     val idx = IvfIndex.build(base, c = 8, iters = 3)
     val r2 = Recall.mean(idx.probe(queries, base, 10, nprobe = 2), truth, 10)
