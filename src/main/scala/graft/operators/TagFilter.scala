@@ -69,6 +69,23 @@ object TagFilter {
       .select("qid", "id")
   }
 
+  /** Skew-resistant form of [[candidates]]: a hot tag (stopword-frequency
+    * tag) puts its whole postings list in one reducer under a plain
+    * tag-keyed join. Salting splits each tag's postings across `salts`
+    * reducers by hashing the doc id, and replicates the (tiny) query side
+    * across all salt values — the classic replicate-small/split-big skew
+    * join. Same results as [[candidates]], shuffle key (tag, salt). */
+  def candidatesSalted(queries: DataFrame, base: DataFrame, salts: Int): DataFrame = {
+    val qtags = queries
+      .select(col("qid"), explode(col("qtags")).as("tag"), size(col("qtags")).as("ntags"))
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    val p = postings(base).withColumn("salt", pmod(hash(col("id")), lit(salts)))
+    qtags.join(p, Seq("tag", "salt"))
+      .groupBy("qid", "id", "ntags").agg(count(lit(1)).as("hits"))
+      .where(col("hits") === col("ntags"))
+      .select("qid", "id")
+  }
+
   /** Exact conjunctive-filtered top-k kNN via the intersection dataflow:
     * candidates → gather vectors (P5 row-subset gather) → distance → top-k. */
   def filteredKnn(queries: DataFrame, base: DataFrame, k: Int,

@@ -56,6 +56,16 @@ class TagFilterSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("salted candidates join equals the plain tag-keyed join") {
+    val plain = TagFilter.candidates(queries, base)
+      .as[(Long, Long)].collect().toSet
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = TagFilter.candidatesSalted(queries, base, salts)
+        .as[(Long, Long)].collect().toSet
+      assert(salted === plain, s"salts=$salts")
+    }
+  }
+
   test("bucketed layout returns exactly filteredKnn's results") {
     val path = java.nio.file.Files.createTempDirectory("graft-bkt").resolve("emb").toString
     TagBuckets.writeBucketed(base, path)
