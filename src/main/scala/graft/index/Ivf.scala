@@ -1,6 +1,5 @@
 package graft.index
 
-import graft.functions.vectors._
 import graft.operators.{Metric, TopK}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -22,13 +21,32 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Assign each row to its nearest centroid: (id, cid). */
-  def assign(base: DataFrame, centroids: DataFrame): DataFrame =
-    TopK.aggTopK(
-      base.crossJoin(broadcast(centroids))
-        .withColumn("dist", vecL2Sq(col("vec"), col("cvec"))),
-      "id", "cid", "dist", 1)
-      .select(col("id"), col("cid"))
+  /** Assign each row to its nearest centroid: (id, cid). The centroid set
+    * is tiny by construction (C ≪ n; even IVF16384×192f is ~12 MB), so it
+    * ships to executors inside a closure and assignment is a MAP-SIDE argmin
+    * — no join, no shuffle, one pass over the base. Ties break to the
+    * lowest cid (deterministic). */
+  def assign(base: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col("cid").cast("long"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val argmin = udf { (vec: Seq[Float]) =>
+      val v = vec.toArray
+      var bestCid = -1L
+      var bestD = Double.MaxValue
+      cents.foreach { case (cid, c) =>
+        var d = 0.0
+        var i = 0
+        val n = math.min(v.length, c.length)
+        while (i < n) { val t = v(i).toDouble - c(i).toDouble; d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; bestCid = cid }
+      }
+      bestCid
+    }
+    base.select(col("id"), argmin(col("vec")).as("cid"))
+  }
 
   /** Train C centroids with `iters` Lloyd iterations: (cid, cvec). */
   def fit(base: DataFrame, c: Int, iters: Int): DataFrame = {
@@ -36,15 +54,16 @@ object KMeans {
     var centroids = base.orderBy("id").limit(c)
       .select(col("id").as("cid"), col("vec").as("cvec")).cache()
     centroids.count()
+    val dim = base.select(size(col("vec"))).head().getInt(0)
     for (_ <- 0 until iters) {
-      val assigned = assign(base, centroids)
-      val next = assigned.join(base, "id")
-        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("m"))
+      // recenter with one WIDE aggregation (dim avg columns) — no n×d row
+      // explosion, one partial-aggregating shuffle keyed on cid
+      val avgs = (0 until dim).map(i => avg(col("vec").getItem(i)).as(s"m$i"))
+      val next = assign(base, centroids).join(base, "id")
         .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .agg(avgs.head, avgs.tail: _*)
         .select(col("cid"),
-          transform(col("pm"), p => p.getField("m").cast("float")).as("cvec"))
+          array((0 until dim).map(i => col(s"m$i").cast("float")): _*).as("cvec"))
         .cache()
       next.count()
       centroids.unpersist()
