@@ -215,8 +215,9 @@ object SparkEntry {
 
     // -- streaming track -----------------------------------------------------
     // Runbook op-log: insert [0,300) → delete [0,100) (triggers tombstone
-    // consolidation) → insert [300,400) → search. Final checkpoint must see
-    // exactly the live set [100,400).
+    // consolidation) → insert [300,400) → RE-insert [50,100) (the
+    // simple_runbook.yaml delete-then-reinsert pattern) → search. Final
+    // checkpoint must see exactly the live set [50,400).
     "runbook_final" -> ((s, dir) => {
       val exec = new graft.streaming.RunbookExecutor(
         embBase(s, dir).select("id", "vec"),
@@ -227,8 +228,9 @@ object SparkEntry {
         graft.streaming.RunbookStep("search"),
         graft.streaming.RunbookStep("delete", 0, 100),
         graft.streaming.RunbookStep("insert", 300, 400),
+        graft.streaming.RunbookStep("insert", 50, 100),
         graft.streaming.RunbookStep("search"))
-      knnResult(exec.run(steps)(4))
+      knnResult(exec.run(steps)(5))
     }),
     "events_sessions" -> ((s, dir) =>
       graft.streaming.Sessionize.sessions(Tables.events(s, dir), gapMinutes = 30)),
@@ -503,9 +505,10 @@ object SparkEntry {
     // recall thresholds asserted in IndexSpec)
     // ann_hnsw: intentionally no oracle (approximate; recall-graded in tests)
 
-    // net effect of the demo runbook: live ids are exactly [100, 400)
+    // net effect of the demo runbook (incl. re-insert of [50,100)):
+    // live ids are exactly [50, 400)
     "runbook_final" -> knnOracle(10, 10, l2Sql, "ASC",
-      filterSql = "e.vec_id >= 100 AND e.vec_id < 400"),
+      filterSql = "e.vec_id >= 50 AND e.vec_id < 400"),
     "events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, ts FROM events),
         |flags AS (SELECT user_id, event_id, ts,

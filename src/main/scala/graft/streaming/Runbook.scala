@@ -10,6 +10,57 @@ import org.apache.spark.sql.functions._
   * streaming/run.py:36-58). */
 final case class RunbookStep(op: String, start: Long = 0L, end: Long = 0L)
 
+/** A parsed runbook: dataset name, live-point bound, ordered steps. */
+final case class Runbook(dataset: String, maxPts: Long, steps: Seq[RunbookStep])
+
+object Runbook {
+
+  /** Parse the reference's runbook YAML format (S9). The format is a
+    * restricted, regular YAML subset (see simple_runbook.yaml): top-level
+    * dataset keys, then `max_pts`, numbered step maps with
+    * operation/start/end, and an ignorable `gt_url` — a small line-based
+    * parser covers it with no YAML dependency. Returns one Runbook per
+    * dataset, in file order. */
+  def parseYaml(text: String): Seq[Runbook] = {
+    val books = Seq.newBuilder[Runbook]
+    var dataset: String = null
+    var maxPts = 0L
+    var steps = scala.collection.mutable.SortedMap.empty[Int, scala.collection.mutable.Map[String, String]]
+    var curStep: Int = -1
+
+    def flush(): Unit = if (dataset != null) {
+      books += Runbook(dataset, maxPts,
+        steps.values.toSeq.map { m =>
+          RunbookStep(m("operation"),
+            m.getOrElse("start", "0").toLong, m.getOrElse("end", "0").toLong)
+        })
+      dataset = null; maxPts = 0L
+      steps = scala.collection.mutable.SortedMap.empty; curStep = -1
+    }
+
+    def unquote(s: String) = s.trim.stripPrefix("\"").stripSuffix("\"")
+
+    text.linesIterator.foreach { raw =>
+      val line = raw.replaceAll("#.*$", "") // strip comments
+      if (line.trim.nonEmpty) {
+        val indent = line.takeWhile(_ == ' ').length
+        val Array(k, v @ _*) = line.trim.split(":", 2).map(_.trim): @unchecked
+        val value = if (v.nonEmpty) v.head else ""
+        if (indent == 0) { flush(); dataset = k }
+        else if (indent == 2 && k == "max_pts") maxPts = value.toLong
+        else if (indent == 2 && k.forall(_.isDigit)) {
+          curStep = k.toInt
+          steps(curStep) = scala.collection.mutable.Map.empty
+        } else if (indent >= 4 && curStep >= 0 && value.nonEmpty) {
+          steps(curStep)(k) = unquote(value)
+        }
+      }
+    }
+    flush()
+    books.result()
+  }
+}
+
 /** Sequential-consistency executor for insert/delete/search op logs over a
   * mutable vector collection (the reference's streaming track,
   * /root/reference/streaming/base.py:9-31).
@@ -17,13 +68,14 @@ final case class RunbookStep(op: String, start: Long = 0L, end: Long = 0L)
   * State model — the Spark-native translation of DiskANN-dynamic's
   * lazy-delete design (/root/reference/streaming/diskann/diskann-str.py:
   * 60-99):
-  *  - inserts accumulate as id-set DataFrames (union of range scans of the
-  *    immutable source table — at scale, a Delta-style upsert log);
-  *  - deletes are TOMBSTONES, applied at read time by anti-join (the
-  *    `mark_deleted` analog);
+  *  - inserts and deletes accumulate as SEQUENCE-NUMBERED id-range sets;
+  *    an id is live iff its latest op is an insert. This makes
+  *    re-insert-after-delete correct — the reference's runbooks do exactly
+  *    that (simple_runbook.yaml steps 3/5 delete then re-insert [0, n/2));
+  *  - deletes are lazy TOMBSTONES applied at read time (`mark_deleted`);
   *  - when tombstones exceed `consolidateAt`, the live set is materialized
-  *    and tombstones cleared (`consolidate_delete` when live + pending ≥
-  *    max_pts — diskann-str.py:90-93). This bounds both anti-join cost and
+  *    and both logs are compacted (`consolidate_delete` when live + pending
+  *    ≥ max_pts — diskann-str.py:90-93). This bounds anti-join cost and
   *    lineage depth.
   *
   * Every search checkpoint sees exactly the net effect of all prior ops. */
@@ -38,32 +90,41 @@ final class RunbookExecutor(
   def run(steps: Seq[RunbookStep]): Map[Int, DataFrame] = {
     val spark = source.sparkSession
     import spark.implicits._
-    var inserted: DataFrame = Seq.empty[Long].toDF("id")
-    var tombstones: DataFrame = Seq.empty[Long].toDF("id")
+    var inserted: DataFrame = Seq.empty[(Long, Long)].toDF("id", "seq")
+    var tombstones: DataFrame = Seq.empty[(Long, Long)].toDF("id", "seq")
     var nTombstones = 0L
     val checkpoints = Map.newBuilder[Int, DataFrame]
 
+    // an id is live iff its most recent op is an insert
+    def liveIds: DataFrame = {
+      val ins = inserted.groupBy("id").agg(max("seq").as("ins_seq"))
+      val del = tombstones.groupBy("id").agg(max("seq").as("del_seq"))
+      ins.join(del, Seq("id"), "left")
+        .where(col("del_seq").isNull || col("ins_seq") > col("del_seq"))
+        .select("id")
+    }
+
     steps.zipWithIndex.foreach { case (step, i) =>
+      val seq = i.toLong
       step.op match {
         case "insert" =>
           inserted = inserted.unionByName(
             source.where(col("id") >= step.start && col("id") < step.end)
-              .select("id"))
+              .select(col("id"), lit(seq).as("seq")))
         case "delete" =>
           tombstones = tombstones.unionByName(
-            inserted.where(col("id") >= step.start && col("id") < step.end))
+            inserted.where(col("id") >= step.start && col("id") < step.end)
+              .select(col("id"), lit(seq).as("seq")).distinct())
           nTombstones += (step.end - step.start)
           if (nTombstones >= consolidateAt) {
-            // consolidate: materialize the net live set, drop tombstones
-            inserted = inserted.join(tombstones, Seq("id"), "left_anti")
-              .cache()
+            // consolidate: materialize the net live set, clear both logs
+            inserted = liveIds.withColumn("seq", lit(seq)).cache()
             inserted.count()
-            tombstones = Seq.empty[Long].toDF("id")
+            tombstones = Seq.empty[(Long, Long)].toDF("id", "seq")
             nTombstones = 0L
           }
         case "search" =>
-          val live = inserted.join(tombstones, Seq("id"), "left_anti")
-          val liveVecs = live.join(source, "id")
+          val liveVecs = liveIds.join(source, "id")
           checkpoints += i -> Knn.knnJoin(queries, liveVecs, k, Metric.L2)
         case other =>
           throw new IllegalArgumentException(s"unknown runbook op: $other")

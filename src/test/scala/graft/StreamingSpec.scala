@@ -45,6 +45,66 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(lazily === eagerly)
   }
 
+  test("runbook: re-insert after delete makes ids live again (reference semantics)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val source = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val queries = emb.where($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // simple_runbook.yaml shape: insert all, delete half, re-insert that half
+    val steps = Seq(
+      RunbookStep("insert", 0, 200),
+      RunbookStep("delete", 0, 100),
+      RunbookStep("insert", 0, 100),
+      RunbookStep("search"))
+    val got = new RunbookExecutor(source, queries, 5, consolidateAt = 1000000)
+      .run(steps)(3).select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    val expect = Knn.knnJoin(queries, source.where($"id" < 200), 5, Metric.L2)
+      .select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(got === expect)
+    // and with consolidation in the middle
+    val got2 = new RunbookExecutor(source, queries, 5, consolidateAt = 1)
+      .run(steps)(3).select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(got2 === expect)
+  }
+
+  test("runbook YAML parser handles the reference's format") {
+    val yaml =
+      """tiny-ds:
+        |  max_pts: 10000
+        |  1:
+        |    operation: "insert"
+        |    start: 0
+        |    end: 10000
+        |  2:
+        |    operation: "search"
+        |  3:
+        |    operation: "delete"
+        |    start: 0
+        |    end: 5000
+        |  4:
+        |    operation: "search"
+        |  5:
+        |    operation: "insert"   # re-insert deleted range
+        |    start: 0
+        |    end: 5000
+        |  6:
+        |    operation: "search"
+        |  gt_url: "https://example.invalid/gt"
+        |second-ds:
+        |  max_pts: 7
+        |  1:
+        |    operation: "search"
+        |""".stripMargin
+    val books = Runbook.parseYaml(yaml)
+    assert(books.map(_.dataset) === Seq("tiny-ds", "second-ds"))
+    assert(books.head.maxPts === 10000L)
+    assert(books.head.steps === Seq(
+      RunbookStep("insert", 0, 10000), RunbookStep("search"),
+      RunbookStep("delete", 0, 5000), RunbookStep("search"),
+      RunbookStep("insert", 0, 5000), RunbookStep("search")))
+    assert(books(1).steps === Seq(RunbookStep("search")))
+  }
+
   test("streaming tumbling windows equal the batch aggregation (availableNow)") {
     val events = Tables.events(spark, sfDir)
     val batch = StreamingOps.eventsTumbling(events)
