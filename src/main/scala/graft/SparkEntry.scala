@@ -162,6 +162,20 @@ object SparkEntry {
         threshold = 8))
     }),
 
+    // the reference's yfcc semantics end-to-end: conjunctive 2-tag filter
+    // AND uint8-quantized vectors with pure-integer L2 (faiss.py:361-426 +
+    // space_l2.h:376-413 in one query)
+    "filtered_knn_u8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q8 = TagFilter.tagQueries(emb, 20).withColumn("qvec8",
+        expr("transform(qvec, x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS SHORT))"))
+      val b8 = TagFilter.withTags(emb).withColumn("vec8",
+        expr("transform(vec, x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS SHORT))"))
+      val scored = b8.crossJoin(broadcast(q8))
+        .where(forall(col("qtags"), t => array_contains(col("tags"), t)))
+        .withColumn("dist", vecL2SqInt(col("qvec8"), col("vec8")).cast("double"))
+      knnResult(TopK.aggTopK(scored, "qid", "id", "dist", 10))
+    }),
     "filtered_knn_bucketed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft-buckets")
@@ -498,6 +512,12 @@ object SparkEntry {
     "filtered_knn_routed" -> conjKnnOracle,
     // bucketed layout is a physical rewrite; same logical result
     "filtered_knn_bucketed" -> conjKnnOracle,
+    // conjunctive tags + integer quantized L2 (exact integer arithmetic)
+    "filtered_knn_u8" -> knnOracle(20, 10,
+      """sum((CAST(floor(CAST(x AS DOUBLE) * 10) AS BIGINT) - CAST(floor(CAST(y AS DOUBLE) * 10) AS BIGINT))
+        |  * (CAST(floor(CAST(x AS DOUBLE) * 10) AS BIGINT) - CAST(floor(CAST(y AS DOUBLE) * 10) AS BIGINT)))""".stripMargin,
+      "ASC",
+      filterSql = "e.label = q.qlabel AND e.vec_id % 7 = (q.qid * 3 + 1) % 7"),
     // exhaustive IVF (nprobe = C) is exact brute force
     "ann_ivf" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_ivf_persisted" -> knnOracle(10, 10, l2Sql, "ASC"),

@@ -67,6 +67,20 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"partial aggregate must sit below the qid exchange:\n$p")
   }
 
+  test("sparse MIPS: query side broadcasts and the score agg combines map-side") {
+    val df = SparkEntry.queries("sparse_mips")(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"dim join must broadcast the query side:\n$p")
+    // partial score aggregation must run below the (qid,id) exchange so the
+    // shuffle carries per-(query,doc) partial sums, not raw postings pairs
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(qid")
+    assert(exchangeIdx >= 0, s"expected qid exchange:\n$p")
+    val partialIdx = p.indexOf("partial_sum", exchangeIdx)
+    assert(partialIdx > exchangeIdx || p.substring(exchangeIdx).contains("HashAggregate"),
+      s"partial aggregation must sit below the exchange:\n$p")
+  }
+
   test("bucketed single-tag probe prunes partitions in the scan") {
     val base = TagFilter.withTags(Tables.embeddings(spark, sfDir))
     val path = java.nio.file.Files.createTempDirectory("graft-bkt").resolve("emb").toString
