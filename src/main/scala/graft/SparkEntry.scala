@@ -214,6 +214,14 @@ object SparkEntry {
       val truth = Knn.knnJoin(q, b, 10, Metric.L2)
       Recall.perQuery(got, truth, 10)
     }),
+    "recall_sq8" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val q = embQueries(s, dir, 10)
+      val (mins, spans) = graft.index.Sq8.train(b)
+      val got = graft.index.Sq8.knnSq8(q, b, k = 10, rerank = 40, mins, spans)
+      val truth = Knn.knnJoin(q, b, 10, Metric.L2)
+      Recall.perQuery(got, truth, 10)
+    }),
     "recall_hnsw" -> ((s, dir) => {
       val b = embBase(s, dir)
       val q = embQueries(s, dir, 10)

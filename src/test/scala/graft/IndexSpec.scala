@@ -46,6 +46,22 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(r4 >= r2, s"recall must not decrease with nprobe: $r2 -> $r4")
   }
 
+  test("SQ8: codes bounded to [0,255], quantized+rerank recall is high") {
+    val (mins, spans) = Sq8.train(base)
+    val codes = base.withColumn("codes", Sq8.encodeCol($"vec", mins, spans))
+    val bounds = codes.select(
+      min(array_min($"codes")), max(array_max($"codes"))).head()
+    assert(bounds.getShort(0) >= 0 && bounds.getShort(1) <= 255)
+    val got = Sq8.knnSq8(queries, base, k = 10, rerank = 40, mins, spans)
+    val r = Recall.mean(got, truth, 10)
+    assert(r >= 0.9, s"sq8+rerank recall $r")
+    // rerank = full corpus degenerates to exact brute force
+    val full = Sq8.knnSq8(queries, base, 10, base.count().toInt, mins, spans)
+      .select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    val t = truth.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(full === t)
+  }
+
   test("KMeans assigns every row to exactly one of C clusters") {
     val cents = KMeans.fit(base, 8, 2)
     assert(cents.count() === 8)
