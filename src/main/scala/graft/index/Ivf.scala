@@ -73,6 +73,33 @@ object KMeans {
   }
 }
 
+object ClusterPermute {
+  /** Cluster-and-permute data prep (A4, /root/reference/streaming/
+    * clustered_data_gen.py:10-42): assign rows to clusters and emit the
+    * permutation that lays clusters out contiguously — the reference uses
+    * this to build "data drift" runbooks; at scale it's the
+    * repartitionByRange + within-partition sort that makes cluster-local
+    * scans sequential. Returns (id, cid, pos) with pos the contiguous
+    * position under (cid, id) order. */
+  def permutation(base: DataFrame, c: Int, iters: Int): DataFrame = {
+    val spark = base.sparkSession
+    val assigned = KMeans.assign(base, KMeans.fit(base, c, iters))
+    // global positions WITHOUT a single-partition sort: range-partition on
+    // (cid, id), sort within partitions, then zipWithIndex (which offsets
+    // each partition by the preceding partitions' sizes — distributed)
+    val sorted = assigned
+      .repartitionByRange(col("cid"), col("id"))
+      .sortWithinPartitions("cid", "id")
+    val rdd = sorted.select("id", "cid").rdd.zipWithIndex.map {
+      case (r, pos) => org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), pos)
+    }
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType))))
+  }
+}
+
 /** IVF (inverted-file) vector index: rows bucketed by nearest centroid;
   * probes scan only the `nprobe` clusters nearest to the query vector —
   * partition pruning for vector search. With nprobe = C the probe is

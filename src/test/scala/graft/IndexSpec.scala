@@ -70,6 +70,17 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(assigned.select("id").distinct().count() === base.count())
   }
 
+  test("cluster permutation is a bijection with clusters contiguous") {
+    val perm = ClusterPermute.permutation(base, c = 4, iters = 2)
+      .select("id", "cid", "pos").as[(Long, Long, Long)].collect().sortBy(_._3)
+    val n = base.count()
+    assert(perm.length === n)
+    assert(perm.map(_._3).toSeq === (0L until n).toSeq, "positions must be 0..n-1")
+    assert(perm.map(_._1).distinct.length === n, "ids must be a permutation")
+    // cluster ids must be non-decreasing along the permutation
+    assert(perm.map(_._2).toSeq === perm.map(_._2).sorted.toSeq, "clusters not contiguous")
+  }
+
   test("partition-local HNSW reaches high recall with a generous beam") {
     val got = HnswKnn.knn(queries, base, 10, efSearch = 128, numPartitions = 4)
     val r = Recall.mean(got, truth, 10)
