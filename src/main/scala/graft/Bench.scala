@@ -19,9 +19,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(name: String): Unit =
+    def run(name: String): Unit = {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
+      // queries are independent; drop their persisted intermediates so 47
+      // queries' caches don't accumulate into GC pressure that skews timings
+      spark.sqlContext.clearCache()
+    }
     try run("q1_agg") catch { case _: Throwable => () } // untimed warmup
     val results = SparkEntry.queries.map { case (name, _) =>
       val t0 = System.nanoTime()
