@@ -114,6 +114,7 @@ object SparkEntry {
       .select("doc_id", "n_tokens", "stop_bp", "uniq_bp", "quality_flag")),
     "text_langid" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => Text.fingerprint(Tables.documents(s, dir))),
+    "text_tokens_bpe" -> ((s, dir) => Text.bpeishCounts(Tables.documents(s, dir))),
 
     // -- dedup family (training-data pipeline ops) ---------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
@@ -402,6 +403,14 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, CAST(length(text) AS BIGINT) AS text_len
         |FROM documents
+        |""".stripMargin,
+    "text_tokens_bpe" ->
+      """WITH p AS (SELECT doc_id,
+        |                  unnest(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS piece
+        |           FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+        |       CAST(count(DISTINCT piece) AS BIGINT) AS n_unique_pieces
+        |FROM p GROUP BY doc_id
         |""".stripMargin,
 
     "dedup_exact" ->

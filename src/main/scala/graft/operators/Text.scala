@@ -23,6 +23,24 @@ object Text {
   def termFreq(docs: DataFrame): DataFrame =
     tokens(docs).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
+  /** BPE-ish subword-boundary tokenizer: splits runs of letters, runs of
+    * digits, and single punctuation marks (the pre-tokenization pass every
+    * BPE-family tokenizer applies before merges). The pattern uses only
+    * portable regex constructs so DuckDB's RE2 tokenizes identically —
+    * enabling exact cross-engine token-count parity. */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  def bpeishTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(expr(s"regexp_extract_all(text, '$BpeishPattern', 0)")).as("piece"))
+
+  /** Per-document BPE-ish token counts — the "how many tokens is this
+    * corpus" pass a training pipeline budgets with. */
+  def bpeishCounts(docs: DataFrame): DataFrame =
+    bpeishTokens(docs).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pieces"),
+        countDistinct(col("piece")).as("n_unique_pieces"))
+
   /** Per-document token statistics (all integer columns). */
   def tokenStats(docs: DataFrame): DataFrame =
     tokens(docs)
