@@ -61,6 +61,51 @@ object Runbook {
   }
 }
 
+/** Structured Streaming form of the runbook executor: the op log arrives as
+  * an unbounded stream of (seq, op, start, end) rows and foreachBatch applies
+  * each micro-batch's ops in sequence order against the same
+  * sequence-numbered live-set state as [[RunbookExecutor]]. This is the
+  * SURVEY §2.9 mapping ("Structured Streaming foreachBatch over the op
+  * log") — the batch executor and this stream produce identical checkpoint
+  * results (StreamingSpec proves it on a shared runbook).
+  *
+  * State lives in DataFrames keyed by the executor exactly as in batch mode;
+  * at scale the inserted/tombstone logs would be Delta-style tables and
+  * `consolidate` a compaction job — the dataflow is unchanged. */
+final class RunbookStreamExecutor(
+    source: DataFrame,
+    queries: DataFrame,
+    k: Int = 10,
+    consolidateAt: Long = 1000L) {
+
+  private val inner = new RunbookExecutor(source, queries, k, consolidateAt)
+  private val results = scala.collection.mutable.Map.empty[Int, DataFrame]
+  private val pending = scala.collection.mutable.ArrayBuffer.empty[(Int, RunbookStep)]
+
+  /** foreachBatch sink function: feed micro-batches of op rows
+    * (seq INT, op STRING, start LONG, end LONG). Ops accumulate across
+    * batches and replay through the sequential executor at every search —
+    * sequence order is total, so late-arriving earlier ops in the same
+    * micro-batch sort correctly. */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val steps = batch.select("seq", "op", "start", "end")
+      .collect()
+      .map(r => (r.getInt(0), RunbookStep(r.getString(1), r.getLong(2), r.getLong(3))))
+    pending ++= steps
+    if (steps.exists(_._2.op == "search")) {
+      val ordered = pending.sortBy(_._1)
+      val out = inner.run(ordered.map(_._2).toSeq)
+      // remap executor step indices back to runbook seq numbers
+      ordered.zipWithIndex.foreach { case ((seq, st), i) =>
+        if (st.op == "search" && out.contains(i)) results(seq) = out(i)
+      }
+    }
+  }
+
+  /** Checkpoint results keyed by runbook seq, after the stream drains. */
+  def checkpoints: Map[Int, DataFrame] = results.toMap
+}
+
 /** Sequential-consistency executor for insert/delete/search op logs over a
   * mutable vector collection (the reference's streaming track,
   * /root/reference/streaming/base.py:9-31).

@@ -67,6 +67,42 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got2 === expect)
   }
 
+  test("foreachBatch runbook stream matches the batch executor checkpoint-for-checkpoint") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val source = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val queries = emb.where($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val steps = Seq(
+      RunbookStep("insert", 0, 200),
+      RunbookStep("search"),
+      RunbookStep("delete", 0, 100),
+      RunbookStep("insert", 0, 50),
+      RunbookStep("search"))
+
+    val batchResults = new RunbookExecutor(source, queries, 5).run(steps)
+
+    val exec = new RunbookStreamExecutor(source, queries, 5)
+    val ops = MemoryStream[(Int, String, Long, Long)]
+    val q = ops.toDF().toDF("seq", "op", "start", "end")
+      .writeStream.foreachBatch(exec.processBatch _)
+      .outputMode("append").start()
+    // two micro-batches split mid-runbook
+    ops.addData(steps.zipWithIndex.take(3).map { case (s, i) => (i, s.op, s.start, s.end) }: _*)
+    q.processAllAvailable()
+    ops.addData(steps.zipWithIndex.drop(3).map { case (s, i) => (i, s.op, s.start, s.end) }: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(exec.checkpoints.keySet === batchResults.keySet)
+    batchResults.foreach { case (i, df) =>
+      assert(ids(exec.checkpoints(i)) === ids(df), s"checkpoint $i differs")
+    }
+  }
+
   test("runbook YAML parser handles the reference's format") {
     val yaml =
       """tiny-ds:
