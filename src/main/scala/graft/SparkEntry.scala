@@ -126,8 +126,13 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 2)),
+    // LSH-bucketed (the 100 TB path): integer hyperplane signatures →
+    // 4×8-bit band candidates → exact cosine re-rank. The oracle replicates
+    // the identical banding in SQL (integer signs are engine-exact), so this
+    // stays hash-checked despite being an approximate-NN construction.
     "dedup_embed_nn" -> ((s, dir) =>
-      knnResult(Dedup.embeddingNearestNeighbor(Tables.embeddings(s, dir), k = 1))),
+      knnResult(Dedup.embeddingLshNearestNeighbor(Tables.embeddings(s, dir),
+        dim = 64, k = 1))),
 
     // -- sparse track: MIPS over long-form (id, dim, v) ----------------------
     "sparse_mips" -> ((s, dir) => {
@@ -158,9 +163,11 @@ object SparkEntry {
     }),
     "filtered_knn_routed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // 1200 bp sits between the label tags (~1000 bp) and the mod-7 tags
+      // (~1428 bp): routing keys off the rarest tag, stats-driven (O(1)/query)
       knnResult(TagFilter.routedFilteredKnn(
         TagFilter.tagQueries(emb, 20), TagFilter.withTags(emb), k = 10,
-        threshold = 8))
+        thresholdBp = 1200))
     }),
 
     // the reference's yfcc semantics end-to-end: conjunctive 2-tag filter
@@ -459,11 +466,29 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         |""".stripMargin),
+    // replicates embedLshSig exactly: integer-quantized vector × md5-derived
+    // integer hyperplanes → 32 sign bits → 4×8-bit bands → candidate pairs →
+    // exact cosine top-1 among candidates
     "dedup_embed_nn" ->
-      s"""WITH pairs AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
-         |                      unnest(e.embedding) AS x, unnest(q.embedding) AS y
-         |               FROM embeddings e CROSS JOIN embeddings q
-         |               WHERE e.vec_id != q.vec_id),
+      s"""WITH dims AS (SELECT vec_id, g.i AS i,
+         |                     CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 100) AS BIGINT) AS qx
+         |              FROM embeddings CROSS JOIN generate_series(0, 63) g(i)),
+         |hp AS (SELECT gj.j AS j, gi.i AS i,
+         |              (('0x' || substr(md5('hp:' || gj.j || ':' || gi.i), 1, 8))::BIGINT % 2001) - 1000 AS h
+         |       FROM generate_series(0, 31) gj(j) CROSS JOIN generate_series(0, 63) gi(i)),
+         |s AS (SELECT vec_id, j, sum(qx * h) AS s FROM dims JOIN hp USING (i) GROUP BY 1, 2),
+         |sig AS (SELECT vec_id,
+         |               CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+         |        FROM s GROUP BY 1),
+         |bands AS (SELECT vec_id, gb.b AS band, (sig >> (8 * gb.b)) & 255 AS bval
+         |          FROM sig CROSS JOIN generate_series(0, 3) gb(b)),
+         |cand AS (SELECT DISTINCT a.vec_id AS qid, c.vec_id AS nid
+         |         FROM bands a JOIN bands c
+         |           ON a.band = c.band AND a.bval = c.bval AND a.vec_id != c.vec_id),
+         |pairs AS (SELECT cand.qid, cand.nid,
+         |                 unnest(e.embedding) AS x, unnest(q.embedding) AS y
+         |          FROM cand JOIN embeddings e ON e.vec_id = cand.nid
+         |                    JOIN embeddings q ON q.vec_id = cand.qid),
          |scored AS (SELECT qid, nid,
          |                  sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
          |                  / sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))

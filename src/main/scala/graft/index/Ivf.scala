@@ -26,7 +26,15 @@ object KMeans {
     * ships to executors inside a closure and assignment is a MAP-SIDE argmin
     * — no join, no shuffle, one pass over the base. Ties break to the
     * lowest cid (deterministic). */
-  def assign(base: DataFrame, centroids: DataFrame): DataFrame = {
+  def assign(base: DataFrame, centroids: DataFrame): DataFrame =
+    assignCarry(base, centroids).select("id", "cid")
+
+  /** [[assign]] that carries the vector through: (id, vec, cid). Lloyd's
+    * recenter consumes this directly, so no join of the base back to itself
+    * is ever needed — assignment stays a map-side argmin over the closure's
+    * centroid array and the only shuffle per iteration is the partial
+    * aggregation keyed on cid. */
+  def assignCarry(base: DataFrame, centroids: DataFrame): DataFrame = {
     val cents: Array[(Long, Array[Float])] = centroids
       .select(col("cid").cast("long"), col("cvec"))
       .collect()
@@ -45,7 +53,7 @@ object KMeans {
       }
       bestCid
     }
-    base.select(col("id"), argmin(col("vec")).as("cid"))
+    base.select(col("id"), col("vec"), argmin(col("vec")).as("cid"))
   }
 
   /** Train C centroids with `iters` Lloyd iterations: (cid, cvec). */
@@ -57,9 +65,10 @@ object KMeans {
     val dim = base.select(size(col("vec"))).head().getInt(0)
     for (_ <- 0 until iters) {
       // recenter with one WIDE aggregation (dim avg columns) — no n×d row
-      // explosion, one partial-aggregating shuffle keyed on cid
+      // explosion, one partial-aggregating shuffle keyed on cid; assignCarry
+      // keeps the vector in-row so the base is never joined back to itself
       val avgs = (0 until dim).map(i => avg(col("vec").getItem(i)).as(s"m$i"))
-      val next = assign(base, centroids).join(base, "id")
+      val next = assignCarry(base, centroids)
         .groupBy("cid")
         .agg(avgs.head, avgs.tail: _*)
         .select(col("cid"),

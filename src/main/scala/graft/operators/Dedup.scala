@@ -127,20 +127,21 @@ object Dedup {
     * that survives 100 TB. */
   def minhashLsh(docs: DataFrame, n: Int, numSeeds: Int, rowsPerBand: Int,
                  minBp: Int): DataFrame = {
-    // ONE wide aggregation computes the whole per-doc state — all numSeeds
-    // minhashes AND the shingle set — so the entire pipeline shuffles the
-    // corpus exactly once (plus the tiny candidate self-join). Band keys are
-    // then derived map-side, and verification is array_intersect over the
-    // (broadcast-joined) per-doc sets: no second pass over the corpus.
+    // ONE wide aggregation computes all numSeeds minhashes per doc, so the
+    // signature pipeline shuffles numSeeds longs per doc — never the shingle
+    // sets themselves. Band keys derive map-side; the self-join touches only
+    // band-key groups. Verification is CANDIDATE-FIRST: the (tiny) candidate
+    // doc-id set broadcasts back against the map-side shingle stream, so the
+    // exact-Jaccard joins shuffle only candidate docs' shingles — the corpus
+    // text is re-SCANNED (map-side, no shuffle) but never re-shuffled.
     val minCols = (0 until numSeeds).map { s =>
       min(col("h0").bitwiseXOR(lit(md5Long60Local(s"seed:$s")))).as(s"mh$s")
     }
-    val perDoc = shingles(docs, n)
+    val sh = shingles(docs, n) // map-side: tokenize + n-gram + distinct per row
+    val perDoc = sh
       .withColumn("h0", md5Long60(col("shingle")))
       .groupBy("doc_id")
-      .agg(collect_set(col("shingle")).as("shs"),
-        minCols: _*)
-      .persist()
+      .agg(minCols.head, minCols.tail: _*)
     val numBands = numSeeds / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
@@ -154,14 +155,18 @@ object Dedup {
         Seq("band", "bkey"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val sets = perDoc.select(col("doc_id"), col("shs"))
-    cand
-      .join(sets.select(col("doc_id").as("a_id"), col("shs").as("sa")), "a_id")
-      .join(sets.select(col("doc_id").as("b_id"), col("shs").as("sb")), "b_id")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jaccard_bp",
-        expr("(10000 * inter) div (size(sa) + size(sb) - inter)"))
-      .where(col("jaccard_bp") >= minBp)
+    // exact verification restricted to candidate docs: broadcast-semi-join
+    // prunes the shingle stream map-side before any shuffle
+    val candDocs = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val sz = shCand.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = broadcast(cand)
+      .join(shCand.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(shCand.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    jaccardOf(inter, sz).where(col("jaccard_bp") >= minBp)
       .select("a_id", "b_id", "jaccard_bp")
   }
 
@@ -187,29 +192,98 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming. Written as an
-    * all-pairs join for the oracle-checked small path; at scale, band the
-    * 32-bit signature into 4 bytes and join on any-equal-byte first
-    * (pigeonhole: hamming ≤ 3 ⇒ some byte equal), then verify. */
+  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming, via the
+    * pigeonhole byte-band join — the 32-bit signature splits into 4 bytes;
+    * hamming ≤ 3 flips at most 3 bytes, so near-dup pairs SHARE at least one
+    * byte value. Candidates come from an equi-join on (band, byte) — the
+    * shuffle is keyed on byte-band buckets, never all-pairs — and the exact
+    * Hamming check then verifies. Lossless for maxHamming ≤ 3. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-byte pigeonhole banding is lossless only for hamming <= 3, got $maxHamming")
     val sig = simhash(docs)
-    sig.select(col("doc_id").as("a_id"), col("simhash").as("sa"))
-      .crossJoin(sig.select(col("doc_id").as("b_id"), col("simhash").as("sb")))
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"(simhash >> ${8 * b}) & 255").as("bval"))
+    }
+    val bands = sig.select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    bands.select(col("doc_id").as("a_id"), col("simhash").as("sa"),
+        col("band"), col("bval"))
+      .join(bands.select(col("doc_id").as("b_id"), col("simhash").as("sb"),
+        col("band"), col("bval")), Seq("band", "bval"))
       .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "sa", "sb").distinct()
       .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
 
-  /** Embedding-space dedup scan: each vector's nearest other vector by
-    * cosine (k=1, self excluded). Inputs are the embeddings table columns
-    * (vec_id, embedding). At 100 TB the query side would be LSH-bucketed;
-    * here every row is both query and corpus — the exact all-pairs scan the
-    * reference's brute-force path runs (/root/reference/filter/hnsw/
-    * bruteforce.h:10-172). */
-  def embeddingNearestNeighbor(emb: DataFrame, k: Int): DataFrame = {
+  /** Exact embedding-space dedup scan: each vector's nearest other vector by
+    * cosine (k=1, self excluded) — the all-pairs oracle baseline for
+    * [[embeddingLshNearestNeighbor]], same role [[jaccardPairs]] plays for
+    * [[minhashLsh]]. O(n²): use only to grade the LSH path on samples. */
+  def embeddingNearestNeighborExact(emb: DataFrame, k: Int): DataFrame = {
     val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val b = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     Knn.knnJoin(q, b, k, Metric.Cosine, Some(col("qid") =!= col("id")))
+  }
+
+  /** Driver-side integer hyperplane coefficient in [-1000, 1000], md5-derived
+    * so the SQL oracle recomputes it bit-identically:
+    * (first-8-hex-of-md5("hp:j:i") % 2001) − 1000. */
+  private[graft] def hpCoef(j: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp:$j:$i".getBytes("UTF-8"))
+    val v = java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    (v % 2001) - 1000
+  }
+
+  /** 32-bit random-hyperplane (SimHash-for-vectors) signature, pure INTEGER
+    * arithmetic: the vector quantizes to floor(x·100) longs, each hyperplane
+    * is a literal array of md5-derived integer coefficients, and bit j is
+    * sign(⟨q, h_j⟩). Integer dots make the sign decision exact on any
+    * engine — no float-accumulation-order hazard — so LSH buckets are
+    * oracle-reproducible. Entirely map-side: one projection, no shuffle. */
+  def embedLshSig(vecCol: Column, dim: Int, nBits: Int = 32): Column = {
+    val qv = transform(vecCol, x => floor(x.cast("double") * lit(100)).cast("long"))
+    (0 until nBits).map { j =>
+      val hj = array((0 until dim).map(i => lit(hpCoef(j, i))): _*)
+      when(aggregate(zip_with(qv, hj, (x, h) => x * h), lit(0L),
+        (acc, x) => acc + x) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Embedding near-dup dedup, LSH-bucketed (the 100 TB path): signatures
+    * map-side, candidates from a 4×8-bit band equi-join (bucket-keyed
+    * shuffle — never all-pairs), then each vector's nearest CANDIDATE by
+    * exact cosine. True near-dups (cosine → 1) agree on nearly every
+    * hyperplane sign, so they always share a band; unrelated vectors share
+    * one with p ≈ 4/256. Returns (qid, id, dist, rank); vectors with no
+    * candidate emit no row. Reference analog: the brute-force scan
+    * (/root/reference/filter/hnsw/bruteforce.h:10-172) replaced by the
+    * banding construction of [[minhashLsh]] applied to vectors. */
+  def embeddingLshNearestNeighbor(emb: DataFrame, dim: Int, k: Int): DataFrame = {
+    val sig = emb.select(col("vec_id"),
+      embedLshSig(col("embedding"), dim).as("sig"))
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"), expr(s"(sig >> ${8 * b}) & 255").as("bval"))
+    }
+    val bands = sig.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val cand = bands.select(col("vec_id").as("qid"), col("band"), col("bval"))
+      .join(bands.select(col("vec_id").as("id"), col("band"), col("bval")),
+        Seq("band", "bval"))
+      .where(col("qid") =!= col("id"))
+      .select("qid", "id").distinct()
+    // exact cosine re-rank over candidates only; id-keyed shuffle joins (no
+    // broadcast of the corpus — every row is a query here)
+    val scored = cand
+      .join(emb.select(col("vec_id").as("id"), col("embedding").as("vec")), "id")
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+      .withColumn("dist", Metric.distColumn(Metric.Cosine, col("qvec"), col("vec")))
+    TopK.aggTopK(scored, "qid", "id", "dist", k)
   }
 }

@@ -134,28 +134,39 @@ object TagFilter {
   }
 
   /** Selectivity-adaptive routed kNN (faiss.py:392-418): queries whose
-    * candidate count is below `threshold` take the gather-then-score branch
-    * (brute force over the few matches); the rest take the full-scan branch
-    * with the predicate evaluated in-stream (the stand-in for the graph
-    * probe — same results, different physical plan). Both branches are
-    * exact, so the union equals [[filteredKnn]]. Routing is a join against
-    * per-query counts — no driver round-trip. */
+    * RAREST tag is below `thresholdBp` basis points of the corpus take the
+    * gather-then-score branch (the candidate set is at most that small);
+    * the rest take the full-scan branch with the predicate evaluated
+    * in-stream (the stand-in for the graph probe — same results, different
+    * physical plan). Both branches are exact, so the union equals
+    * [[filteredKnn]].
+    *
+    * Routing is O(1) per query — a broadcast join against the precomputed
+    * [[tagStats]] table (faiss.py:379-391's `freq = min(freq_w1, freq_w2)`
+    * vs `mt_threshold`), exactly mirroring the reference's planner. The
+    * candidate intersection is built ONLY for the queries routed to the
+    * selective branch; nothing is materialized to decide the route. */
   def routedFilteredKnn(queries: DataFrame, base: DataFrame, k: Int,
-                        threshold: Long, metric: String = Metric.L2): DataFrame = {
-    val cand = candidates(queries, base).cache()
-    val counts = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
-    val routed = queries.join(counts, Seq("qid"), "left")
-      .na.fill(0, Seq("n_cand"))
+                        thresholdBp: Long, metric: String = Metric.L2): DataFrame = {
+    val stats = tagStats(base)
+    val qmin = queries.select(col("qid"), explode(col("qtags")).as("tag"))
+      .join(broadcast(stats), Seq("tag"), "left")
+      .na.fill(0, Seq("freq_bp")) // unseen tag → zero matches → selective
+      .groupBy("qid").agg(min("freq_bp").as("min_freq_bp"))
+    val routed = queries.join(broadcast(qmin), "qid")
 
-    val selectiveQ = routed.where(col("n_cand") < threshold).select("qid", "qvec")
-    val denseQ = routed.where(col("n_cand") >= threshold)
+    val selectiveQ = routed.where(col("min_freq_bp") < thresholdBp)
+      .select("qid", "qvec", "qtags")
+    val denseQ = routed.where(col("min_freq_bp") >= thresholdBp)
       .select("qid", "qvec", "qtags")
 
-    // branch A: gather the candidate subset, score only those rows
-    val a = cand.join(broadcast(selectiveQ), "qid")
+    // branch A: posting-intersection gather of the (provably small)
+    // candidate set, scored row-subset only
+    val a = candidates(selectiveQ, base)
       .join(base.select("id", "vec"), "id")
+      .join(broadcast(selectiveQ.select("qid", "qvec")), "qid")
       .withColumn("dist", Metric.distColumn(metric, col("qvec"), col("vec")))
-    // branch B: stream the full base, predicate evaluated in the scan
+    // branch B: stream the full base once, predicate evaluated in the scan
     val b = base.crossJoin(broadcast(denseQ))
       .where(forall(col("qtags"), t => array_contains(col("tags"), t)))
       .withColumn("dist", Metric.distColumn(metric, col("qvec"), col("vec")))

@@ -52,10 +52,36 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(p.where($"hamming" > 2).count() === 0)
   }
 
-  test("embedding NN dedup never returns self and returns one row per vector") {
+  test("exact embedding NN dedup never returns self and returns one row per vector") {
     val emb = Tables.embeddings(spark, sfDir)
-    val nn = Dedup.embeddingNearestNeighbor(emb, 1).cache()
+    val nn = Dedup.embeddingNearestNeighborExact(emb, 1).cache()
     assert(nn.where($"qid" === $"id").count() === 0)
     assert(nn.count() === emb.count())
+  }
+
+  test("LSH embedding NN: no self pairs, candidates share a signature band") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val nn = Dedup.embeddingLshNearestNeighbor(emb, dim = 64, k = 1).cache()
+    assert(nn.count() > 0)
+    assert(nn.where($"qid" === $"id").count() === 0)
+    // every returned pair must share at least one 8-bit band of the 32-bit sig
+    val sig = emb.select($"vec_id", Dedup.embedLshSig($"embedding", 64).as("sig"))
+    val joined = nn
+      .join(sig.select($"vec_id".as("qid"), $"sig".as("qsig")), "qid")
+      .join(sig.select($"vec_id".as("id"), $"sig".as("nsig")), "id")
+    val bandMatch = (0 until 4).map { b =>
+      expr(s"(qsig >> ${8 * b}) & 255") === expr(s"(nsig >> ${8 * b}) & 255")
+    }.reduce(_ || _)
+    assert(joined.where(!bandMatch).count() === 0)
+  }
+
+  test("LSH embedding NN finds every true near-duplicate (cosine >= 0.95)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // true near-dups agree on almost all hyperplane signs → always candidates
+    val exact = Dedup.embeddingNearestNeighborExact(emb, 1)
+      .where(-$"dist" >= 0.95).select("qid", "id")
+    val lsh = Dedup.embeddingLshNearestNeighbor(emb, dim = 64, k = 1)
+      .select("qid", "id")
+    assert(exact.exceptAll(lsh).count() === 0)
   }
 }

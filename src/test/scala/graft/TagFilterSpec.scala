@@ -50,10 +50,20 @@ class TagFilterSpec extends AnyFunSuite with SparkSuite {
 
   test("routedFilteredKnn equals filteredKnn at every routing threshold") {
     val exact = ids(TagFilter.filteredKnn(queries, base, 10))
-    for (t <- Seq(0L, 8L, 1000000L)) {
+    // 0 → all dense, 1200 → splits label vs mod-7 tag rarity, 20001 → all
+    // selective; results must be route-invariant
+    for (t <- Seq(0L, 1200L, 20001L)) {
       assert(ids(TagFilter.routedFilteredKnn(queries, base, 10, t)) === exact,
-        s"threshold=$t")
+        s"thresholdBp=$t")
     }
+  }
+
+  test("routed plan derives routes from tag stats, not materialized candidates") {
+    val df = TagFilter.routedFilteredKnn(queries, base, 10, 1200)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("min_freq_bp"), s"routing must join the stats table:\n$p")
+    assert(!p.contains("n_cand"),
+      s"routing must not count materialized candidate sets:\n$p")
   }
 
   test("salted candidates join equals the plain tag-keyed join") {
