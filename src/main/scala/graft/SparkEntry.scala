@@ -242,6 +242,29 @@ object SparkEntry {
       knnResult(graft.index.HnswKnn.knn(
         embQueries(s, dir, 10), embBase(s, dir), k = 10,
         efSearch = 128, numPartitions = 8))),
+    // S7/X4: build → save → load → probe. Deterministic builds (id-sorted
+    // partitions) make the persisted probe equal the in-memory path exactly
+    // (asserted in IndexSpec); rows-only driver check (approximate path).
+    "ann_hnsw_persisted" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-hnsw")
+        .resolve("idx").toString
+      graft.index.HnswKnn.buildAndSave(embBase(s, dir), path, numPartitions = 8)
+      knnResult(graft.index.HnswKnn.probeSaved(
+        s, path, embQueries(s, dir, 10), k = 10, efSearch = 128))
+    }),
+    // J3 one-stage conjunctive-tag graph search, recall-graded against the
+    // exact filtered kNN (the reference's filter-track operating point:
+    // 2 tags, ~1/70 selectivity — expand-until-k keeps recall high where a
+    // fixed-beam post-filter would return < k).
+    "filtered_ann_hnsw" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = TagFilter.tagQueries(emb, 10)
+      val b = TagFilter.withTags(emb)
+      val got = graft.index.HnswKnn.filteredKnnTags(q, b, k = 10,
+        efSearch = 64, numPartitions = 8)
+      val truth = TagFilter.filteredKnn(q, b, 10)
+      Recall.perQuery(got, truth, 10)
+    }),
 
     // -- streaming track -----------------------------------------------------
     // Runbook op-log: insert [0,300) → delete [0,100) (triggers tombstone

@@ -7,17 +7,25 @@ import scala.collection.mutable
   * [[HnswKnn]]). Freshly implemented from the HNSW paper's algorithm
   * (Malkov & Yashunin 2016); the reference embeds a heavily modified
   * hnswlib (/root/reference/filter/hnsw/hnswalg.h) whose semantics —
-  * leveled small-world graph, ef-bounded best-first search, and a
-  * predicate gate on result admission (hnswalg.h:618-703's filter functor)
-  * — this reproduces in plain Scala.
+  * leveled small-world graph, ef-bounded best-first search, heuristic
+  * neighbor diversification, and a one-stage filtered search that widens
+  * until enough allowed candidates are found — this reproduces in plain
+  * Scala.
   *
   * Design notes:
   *  - levels are drawn from the standard exponential distribution with a
-  *    deterministic per-id seed, so builds are reproducible;
-  *  - the predicate gates result ADMISSION, not traversal (the reference's
-  *    one-stage search, bindings.cpp:724-841, walks through blocked nodes
-  *    and re-ranks candidates at the end — post-filtering during traversal
-  *    keeps the graph connected under selective filters);
+  *    deterministic per-id seed; builds are reproducible given a fixed
+  *    insertion order (callers sort partitions by id before inserting);
+  *  - neighbor selection uses the diversification heuristic
+  *    (hnswalg.h:794-834 getNeighborsByHeuristic2): a candidate is kept
+  *    only if it is closer to the target than to every already-kept
+  *    neighbor, so edges span clusters instead of collapsing into the
+  *    nearest clique — better graphs at equal M;
+  *  - the filtered search walks THROUGH blocked nodes and keeps widening
+  *    the beam until ≥ k allowed candidates are admitted (the reference's
+  *    one-stage search, bindings.cpp:724-841, widens a bounded BFS radius
+  *    until the allowed-candidate count is reached, then re-ranks exactly;
+  *    distances here are exact already so the re-rank is inherent);
   *  - single-threaded by design: parallelism comes from Spark partitioning,
   *    not intra-index threads (the reference's per-query OMP=1 choice,
   *    faiss.py:374, makes the same call).
@@ -103,6 +111,28 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100) {
     cur
   }
 
+  /** Neighbor diversification (hnswalg.h:794-834 getNeighborsByHeuristic2):
+    * walk candidates ascending by distance to the target; keep one only if
+    * it is closer to the target than to every already-kept neighbor. */
+  private def selectNeighborsHeuristic(candidates: collection.Seq[(Int, Double)],
+                                       cap: Int): mutable.ArrayBuffer[Int] = {
+    val sorted = candidates.sortBy(_._2)
+    val kept = mutable.ArrayBuffer.empty[(Int, Double)]
+    var i = 0
+    while (i < sorted.length && kept.length < cap) {
+      val (c, dC) = sorted(i)
+      var good = true
+      var j = 0
+      while (j < kept.length && good) {
+        if (dist(vecs(c), vecs(kept(j)._1)) < dC) good = false
+        j += 1
+      }
+      if (good) kept += ((c, dC))
+      i += 1
+    }
+    kept.map(_._1)
+  }
+
   def add(id: Long, vec: Array[Float]): Unit = {
     val node = ids.length
     val level = randomLevel(id)
@@ -117,18 +147,15 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100) {
     while (l >= 0) {
       val found = searchLayer(vec, ep, efConstruction, l)
       val cap = if (l == 0) maxM0 else maxM
-      val selected = found.take(m)
-      val lst = links(node)(l)
-      selected.foreach { case (n, _) =>
-        if (n != node) {
-          lst += n
-          val back = links(n)(l)
-          back += node
-          if (back.length > cap) {
-            // prune to the cap closest neighbors of n
-            val pruned = back.map(x => (x, dist(vecs(n), vecs(x)))).sortInPlaceBy(_._2).take(cap).map(_._1)
-            links(n)(l) = pruned
-          }
+      val selected = selectNeighborsHeuristic(found.filter(_._1 != node), m)
+      links(node)(l) = selected
+      selected.foreach { n =>
+        val back = links(n)(l)
+        back += node
+        if (back.length > cap) {
+          // re-select n's neighbors with the same diversification heuristic
+          val withD = back.map(x => (x, dist(vecs(n), vecs(x))))
+          links(n)(l) = selectNeighborsHeuristic(withD, cap)
         }
       }
       ep = if (found.nonEmpty) found.head._1 else ep
@@ -137,20 +164,76 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100) {
     if (level > maxLevel) { maxLevel = level; entryPoint = node }
   }
 
-  /** Top-k search with an optional admission predicate on row ids. The
-    * beam explores `ef` candidates regardless of the predicate; only
-    * admitted ids reach the result (the reference's functor gate). */
+  /** Top-k search with an optional admission predicate on row ids —
+    * delegates to [[searchFiltered]], whose expand-until-k guarantee is a
+    * no-op for the always-true predicate (a single fixed-ef pass). */
   def search(q: Array[Float], k: Int, ef: Int,
-             allowed: Long => Boolean = _ => true): Array[(Long, Double)] = {
+             allowed: Long => Boolean = _ => true): Array[(Long, Double)] =
+    searchFiltered(q, k, ef, allowed)
+
+  /** One-stage filtered top-k (the reference's novel contribution:
+    * bindings.cpp:724-841 hop-bounded BFS widened until ≥ k allowed
+    * candidates, then exact re-rank, hnswalg.h:1993-2033). The beam
+    * traverses blocked nodes freely (the graph stays connected under
+    * selective filters); only allowed ids are admitted to the result. If a
+    * pass admits fewer than k, the beam width doubles — the ef analog of
+    * the reference's radius widening — and once the beam covers the whole
+    * graph an exact scan over the partition's allowed rows guarantees the
+    * candidate count even if the filter disconnects the graph. Distances
+    * are exact throughout, so the reference's final re-rank is inherent. */
+  def searchFiltered(q: Array[Float], k: Int, ef0: Int,
+                     allowed: Long => Boolean): Array[(Long, Double)] = {
     if (entryPoint < 0) return Array.empty
     var ep = entryPoint
     var l = maxLevel
     while (l > 0) { ep = greedyStep(q, ep, l); l -= 1 }
-    val found = searchLayer(q, ep, math.max(ef, k), 0)
-    found.iterator
-      .map { case (n, d) => (ids(n), d) }
-      .filter { case (id, _) => allowed(id) }
-      .take(k)
-      .toArray
+    var ef = math.max(ef0, k)
+    var admitted: Array[(Long, Double)] = null
+    var exhausted = false
+    while (admitted == null) {
+      val found = searchLayer(q, ep, ef, 0)
+      val adm = found.iterator
+        .map { case (n, d) => (ids(n), d) }
+        .filter { case (id, _) => allowed(id) }
+        .toArray
+      exhausted = ef >= size
+      if (adm.length >= k || exhausted) admitted = adm
+      else ef = math.min(ef.toLong * 2, size.toLong).toInt
+    }
+    if (admitted.length < k && exhausted) {
+      // the filter disconnected the graph: exact fallback over the partition
+      admitted = ids.indices.iterator
+        .filter(n => allowed(ids(n)))
+        .map(n => (ids(n), dist(q, vecs(n))))
+        .toArray.sortBy(t => (t._2, t._1))
+    }
+    admitted.take(k)
+  }
+
+  /** Per-node state in insertion order, for persistence (S7/X4; the
+    * reference's saveIndex serializes the same fields — links, vector,
+    * level — hnswalg.h:1224-1253). */
+  def exportNodes: IndexedSeq[(Long, Array[Float], Int, Array[Array[Int]])] =
+    ids.indices.map(n => (ids(n), vecs(n), levels(n), links(n).map(_.toArray)))
+
+  /** (entryPoint, maxLevel) — the only non-per-node state. */
+  def entryState: (Int, Int) = (entryPoint, maxLevel)
+}
+
+object HnswIndex {
+  /** Rebuild an index from persisted state WITHOUT re-running insertion —
+    * the loadIndex analog (hnswalg.h:1255-1362): arrays are filled
+    * directly, so loading costs O(n) deserialization, not O(n log n)
+    * graph construction. `nodes` must be in the original insertion order. */
+  def fromState(nodes: IndexedSeq[(Long, Array[Float], Int, Array[Array[Int]])],
+                entryPoint: Int, maxLevel: Int): HnswIndex = {
+    val idx = new HnswIndex()
+    nodes.foreach { case (id, v, lvl, lk) =>
+      idx.ids += id; idx.vecs += v; idx.levels += lvl
+      idx.links += lk.map(a => mutable.ArrayBuffer.from(a))
+    }
+    idx.entryPoint = entryPoint
+    idx.maxLevel = maxLevel
+    idx
   }
 }

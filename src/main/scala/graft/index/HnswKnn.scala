@@ -1,8 +1,20 @@
 package graft.index
 
 import graft.operators.TopK
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** One persisted row of a partition-local HNSW graph: the node's id, vector,
+  * optional tag set, level, and adjacency per level, plus the owning
+  * partition's entry point replicated per row (2 ints — cheaper than a
+  * separate meta table and atomically consistent with the nodes). `seq` is
+  * the insertion position: loading sorts on it so the rebuilt arrays are
+  * byte-identical to the built ones. */
+final case class HnswNodeRow(part: Int, seq: Int, id: Long, vec: Array[Float],
+                             tags: Array[Int], level: Int,
+                             links: Array[Array[Int]],
+                             entryPoint: Int, maxLevel: Int)
 
 /** Distributed approximate kNN: one [[HnswIndex]] per partition of the base
   * table, built inside `mapPartitions`, probed with the broadcast query set,
@@ -16,8 +28,29 @@ import org.apache.spark.sql.functions._
   * Recall composes: the global merge of per-partition top-k is exact over
   * the union of per-partition candidates, so total recall ≈ per-partition
   * graph recall, independent of partition count.
+  *
+  * Builds are DETERMINISTIC: partitions hash on id and sort by id before
+  * insertion, so the same base always produces the same graphs — and the
+  * persisted index ([[buildAndSave]]/[[probeSaved]]) probes identically to
+  * the in-memory path.
+  *
+  * Persistence (S7/X4, the reference's saveIndex/loadIndex
+  * hnswalg.h:1224-1362): [[buildAndSave]] writes each partition's graph as
+  * parquet rows partitioned by `part`; [[probeSaved]] rebuilds each graph
+  * with O(n) array fills — no re-insertion — so the build cost is paid once
+  * and every probe afterwards is search-only. Build-once/probe-many is the
+  * economics that make an ANN index an index.
   */
 object HnswKnn {
+
+  private def subsetOf(qtags: Array[Int], tags: Array[Int]): Boolean = {
+    var i = 0
+    while (i < qtags.length) {
+      if (!tags.contains(qtags(i))) return false
+      i += 1
+    }
+    true
+  }
 
   /** Plain ANN top-k join: (qid, id, dist, rank). */
   def knn(queries: DataFrame, base: DataFrame, k: Int, m: Int = 16,
@@ -31,6 +64,7 @@ object HnswKnn {
     val bq = spark.sparkContext.broadcast(qs)
     val local = base.select(col("id").cast("long"), col("vec"))
       .repartition(numPartitions, col("id"))
+      .sortWithinPartitions("id") // deterministic insertion order
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val idx = new HnswIndex(m, efConstruction)
@@ -43,8 +77,9 @@ object HnswKnn {
   }
 
   /** Label-filtered ANN: the per-query label must equal the base row's
-    * label; the predicate gates admission inside the graph search (J3/J4
-    * semantics), not traversal. */
+    * label. One-stage semantics (J3): the beam widens until ≥ k allowed
+    * candidates are admitted, then exact ranking (see
+    * [[HnswIndex.searchFiltered]]). */
   def filteredKnn(queries: DataFrame, base: DataFrame, k: Int, m: Int = 16,
                   efConstruction: Int = 100, efSearch: Int = 64,
                   numPartitions: Int = 8): DataFrame = {
@@ -56,14 +91,121 @@ object HnswKnn {
     val bq = spark.sparkContext.broadcast(qs)
     val local = base.select(col("id").cast("long"), col("vec"), col("label").cast("int"))
       .repartition(numPartitions, col("id"))
+      .sortWithinPartitions("id")
       .as[(Long, Array[Float], Int)]
       .mapPartitions { it =>
         val idx = new HnswIndex(m, efConstruction)
         val labels = scala.collection.mutable.HashMap.empty[Long, Int]
         it.foreach { case (id, v, lab) => labels(id) = lab; idx.add(id, v) }
         bq.value.iterator.flatMap { case (qid, qv, qlab) =>
-          idx.search(qv, k, efSearch, id => labels(id) == qlab)
+          idx.searchFiltered(qv, k, efSearch, id => labels(id) == qlab)
             .iterator.map { case (id, d) => (qid, id, d) }
+        }
+      }.toDF("qid", "id", "dist")
+    TopK.aggTopK(local, "qid", "id", "dist", k)
+  }
+
+  /** Conjunctive-tag filtered ANN — the reference's filter-track semantics
+    * (1–2 query tags, ALL must be present on the base row,
+    * faiss.py:375-377) on the graph path: one-stage expand-until-k with
+    * exact ranking among admitted candidates. `queries` = (qid, qvec,
+    * qtags); `base` = (id, vec, tags). */
+  def filteredKnnTags(queries: DataFrame, base: DataFrame, k: Int,
+                      m: Int = 16, efConstruction: Int = 100,
+                      efSearch: Int = 64, numPartitions: Int = 8): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col("qid").cast("long"), col("qvec"), col("qtags"))
+      .as[(Long, Array[Float], Array[Int])].collect()
+    val bq = spark.sparkContext.broadcast(qs)
+    val local = base.select(col("id").cast("long"), col("vec"), col("tags"))
+      .repartition(numPartitions, col("id"))
+      .sortWithinPartitions("id")
+      .as[(Long, Array[Float], Array[Int])]
+      .mapPartitions { it =>
+        val idx = new HnswIndex(m, efConstruction)
+        val tagMap = scala.collection.mutable.HashMap.empty[Long, Array[Int]]
+        it.foreach { case (id, v, tg) => tagMap(id) = tg; idx.add(id, v) }
+        bq.value.iterator.flatMap { case (qid, qv, qt) =>
+          idx.searchFiltered(qv, k, efSearch, id => subsetOf(qt, tagMap(id)))
+            .iterator.map { case (id, d) => (qid, id, d) }
+        }
+      }.toDF("qid", "id", "dist")
+    TopK.aggTopK(local, "qid", "id", "dist", k)
+  }
+
+  /** Build per-partition graphs once and persist them as parquet rows
+    * partitioned by `part`. `base` needs (id, vec) and may carry a
+    * `tags ARRAY<INT>` column for filtered probes. */
+  def buildAndSave(base: DataFrame, path: String, m: Int = 16,
+                   efConstruction: Int = 100, numPartitions: Int = 8): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val withTags =
+      if (base.columns.contains("tags"))
+        base.select(col("id").cast("long"), col("vec"), col("tags"))
+      else
+        base.select(col("id").cast("long"), col("vec"),
+          array().cast("array<int>").as("tags"))
+    val nodes = withTags.as[(Long, Array[Float], Array[Int])]
+      .repartition(numPartitions, col("id"))
+      .sortWithinPartitions("id")
+      .mapPartitions { it =>
+        val part = TaskContext.getPartitionId()
+        val rows = it.toArray
+        val idx = new HnswIndex(m, efConstruction)
+        rows.foreach { case (id, v, _) => idx.add(id, v) }
+        val (ep, ml) = idx.entryState
+        idx.exportNodes.iterator.zipWithIndex.map {
+          case ((id, vec, level, links), seq) =>
+            HnswNodeRow(part, seq, id, vec, rows(seq)._3, level, links, ep, ml)
+        }
+      }
+    nodes.toDF().write.mode("overwrite").partitionBy("part").parquet(path)
+  }
+
+  /** Probe a persisted index: plain top-k. Rebuilds each partition's graph
+    * by direct array fill (no insertion), probes with the broadcast query
+    * set. Results are identical to [[knn]] on the same base/partitioning. */
+  def probeSaved(spark: SparkSession, path: String, queries: DataFrame,
+                 k: Int, efSearch: Int = 64): DataFrame = {
+    import spark.implicits._
+    val qs = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) => (qid, qv, Array.empty[Int]) }
+    probeImpl(spark, path, qs, k, efSearch, filtered = false)
+  }
+
+  /** Probe a persisted index with conjunctive tags (the saved rows must
+    * carry tags). */
+  def probeSavedFiltered(spark: SparkSession, path: String, queries: DataFrame,
+                         k: Int, efSearch: Int = 64): DataFrame = {
+    import spark.implicits._
+    val qs = queries.select(col("qid").cast("long"), col("qvec"), col("qtags"))
+      .as[(Long, Array[Float], Array[Int])].collect()
+    probeImpl(spark, path, qs, k, efSearch, filtered = true)
+  }
+
+  private def probeImpl(spark: SparkSession, path: String,
+                        qs: Array[(Long, Array[Float], Array[Int])],
+                        k: Int, efSearch: Int, filtered: Boolean): DataFrame = {
+    import spark.implicits._
+    val bq = spark.sparkContext.broadcast(qs)
+    val local = spark.read.parquet(path).as[HnswNodeRow]
+      .groupByKey(_.part)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_.seq)
+        val idx = HnswIndex.fromState(
+          rows.map(r => (r.id, r.vec, r.level, r.links)).toIndexedSeq,
+          rows.head.entryPoint, rows.head.maxLevel)
+        val tagMap: Long => Array[Int] =
+          if (filtered) rows.map(r => r.id -> r.tags).toMap else _ => Array.empty
+        bq.value.iterator.flatMap { case (qid, qv, qt) =>
+          val res =
+            if (filtered) idx.searchFiltered(qv, k, efSearch, id => subsetOf(qt, tagMap(id)))
+            else idx.search(qv, k, efSearch)
+          res.iterator.map { case (id, d) => (qid, id, d) }
         }
       }.toDF("qid", "id", "dist")
     TopK.aggTopK(local, "qid", "id", "dist", k)

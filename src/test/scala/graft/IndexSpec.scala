@@ -108,6 +108,64 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(r >= 0.9, s"filtered hnsw recall $r")
   }
 
+  test("HNSW persisted probe equals the in-memory path exactly") {
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw").resolve("idx").toString
+    HnswKnn.buildAndSave(base, path, numPartitions = 4)
+    def rs(df: DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    val mem = rs(HnswKnn.knn(queries, base, 10, efSearch = 64, numPartitions = 4))
+    val persisted = rs(HnswKnn.probeSaved(spark, path, queries, 10, efSearch = 64))
+    assert(persisted === mem)
+    // partition-pruned layout on disk
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("part=")), s"expected part= dirs, got ${dirs.toSeq}")
+  }
+
+  test("one-stage conjunctive-tag graph search reaches exact-recall under a selective filter") {
+    val q = TagFilter.tagQueries(emb, 10)
+    val b = TagFilter.withTags(emb)
+    // 2-tag conjunctive filter ≈ 1/70 selectivity: a fixed-ef post-filter
+    // returns < k here; expand-until-k + exact fallback must not
+    val got = HnswKnn.filteredKnnTags(q, b, 10, efSearch = 64, numPartitions = 4)
+    val truth = TagFilter.filteredKnn(q, b, 10)
+    val r = Recall.mean(got, truth, 10)
+    assert(r >= 0.9, s"one-stage filtered recall $r")
+    // every neighbor satisfies the conjunctive predicate
+    val bad = got.join(b, "id").join(q.select($"qid", $"qtags"), "qid")
+      .where(!forall($"qtags", t => array_contains($"tags", t)))
+    assert(bad.count() === 0)
+  }
+
+  test("persisted filtered probe matches the in-memory one-stage search") {
+    val q = TagFilter.tagQueries(emb, 10)
+    val b = TagFilter.withTags(emb)
+    val path = java.nio.file.Files.createTempDirectory("graft-hnswf").resolve("idx").toString
+    HnswKnn.buildAndSave(b, path, numPartitions = 4)
+    def rs(df: DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    val mem = rs(HnswKnn.filteredKnnTags(q, b, 10, efSearch = 64, numPartitions = 4))
+    val persisted = rs(HnswKnn.probeSavedFiltered(spark, path, q, 10, efSearch = 64))
+    assert(persisted === mem)
+  }
+
+  test("searchFiltered guarantees k allowed candidates under an adversarial filter") {
+    val idx = new HnswIndex(m = 8, efConstruction = 50)
+    (0 until 500).foreach { i =>
+      idx.add(i.toLong, Array(i.toFloat, (i * 13 % 101).toFloat))
+    }
+    // 10 allowed nodes in a 500-node graph, tiny initial beam: the
+    // admission-gated fixed beam returns far fewer than k — the one-stage
+    // search must return ALL of them, exactly ranked
+    val allowed: Long => Boolean = id => id % 50 == 0
+    val got = idx.searchFiltered(Array(250.0f, 50.0f), 10, 4, allowed)
+    assert(got.length === 10, s"expected all 10 allowed nodes, got ${got.length}")
+    val exact = (0 until 500).filter(i => allowed(i.toLong)).map { i =>
+      val dx = 250.0 - i; val dy = 50.0 - (i * 13 % 101)
+      (i.toLong, dx * dx + dy * dy)
+    }.sortBy(t => (t._2, t._1)).take(10).map(_._1).toSet
+    assert(got.map(_._1).toSet === exact)
+  }
+
   test("in-memory HnswIndex: exact on tiny data, predicate gate respected") {
     val idx = new HnswIndex(m = 8, efConstruction = 50)
     val vecs = (0 until 50).map(i => (i.toLong, Array(i.toFloat, (i * i % 17).toFloat)))
