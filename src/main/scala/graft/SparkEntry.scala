@@ -94,6 +94,26 @@ object SparkEntry {
       knnResult(TopK.aggTopK(scored, "qid", "id", "dist", 10))
     }),
 
+    // S6-u8/F1 end-to-end: embeddings quantized to uint8, exported as the
+    // reference's .u8bin layout (yfcc-10M's native dtype), re-ingested by
+    // the range-split binary reader, then pure-integer L2 kNN — proves the
+    // reference's flagship dataset format round-trips without conversion.
+    "knn_l2_u8bin" -> ((s, dir) => {
+      val u8 = "CAST(least(greatest(floor(CAST(x AS DOUBLE) * 10) + 128, 0), 255) AS SHORT)"
+      val b8 = embBase(s, dir)
+        .withColumn("vec8", expr(s"transform(vec, x -> $u8)"))
+        .select("id", "vec8")
+      val path = java.nio.file.Files.createTempDirectory("graft-u8")
+        .resolve("base.u8bin").toString
+      graft.sources.BinaryFormats.writeDenseU8(b8, "id", "vec8", path)
+      val base = graft.sources.BinaryFormats.readDenseU8(s, path, numPartitions = 8)
+      val q = embQueries(s, dir, 10)
+        .withColumn("qvec8", expr(s"transform(qvec, x -> $u8)"))
+      val scored = base.crossJoin(broadcast(q))
+        .withColumn("dist", vecL2SqInt(col("qvec8"), col("vec")).cast("double"))
+      knnResult(TopK.aggTopK(scored, "qid", "id", "dist", 10))
+    }),
+
     // P1+J1: flagship filtered kNN (filter track, label = conjunctive tag).
     "filtered_knn" -> ((s, dir) =>
       knnResult(Knn.filteredKnn(embQueries(s, dir, 20), embBase(s, dir), 10, Metric.L2))),
@@ -382,6 +402,14 @@ object SparkEntry {
     // norm trick is a pure rewrite: same oracle as knn_l2 (note the tie-break
     // caveat: ‖x‖²−2x·q ranks identically to L2 for distinct distances).
     "knn_norm_trick" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // u8bin round-trip: clamp(floor(x*10)+128, 0, 255) per component, exact
+    // integer L2 — quantization identical on both sides, zero float hazard
+    "knn_l2_u8bin" -> knnOracle(10, 10,
+      """sum((CAST(least(greatest(floor(CAST(x AS DOUBLE) * 10) + 128, 0), 255) AS BIGINT)
+        |    - CAST(least(greatest(floor(CAST(y AS DOUBLE) * 10) + 128, 0), 255) AS BIGINT))
+        |  * (CAST(least(greatest(floor(CAST(x AS DOUBLE) * 10) + 128, 0), 255) AS BIGINT)
+        |    - CAST(least(greatest(floor(CAST(y AS DOUBLE) * 10) + 128, 0), 255) AS BIGINT)))""".stripMargin,
+      "ASC"),
 
     "text_termfreq" ->
       s"""WITH $tokensCte

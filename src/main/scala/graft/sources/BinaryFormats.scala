@@ -75,9 +75,10 @@ object BinaryFormats {
         if (start >= end) Iterator.empty
         else {
           val raf = new RandomAccessFile(path, "r")
+          closeOnTaskEnd(raf)
           raf.seek(8L + 4L * dim * start)
           val buf = new Array[Byte](4 * dim)
-          val it = (start until end).iterator.map { i =>
+          (start until end).iterator.map { i =>
             raf.readFully(buf)
             val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
             val vec = Array.ofDim[Float](dim)
@@ -85,18 +86,101 @@ object BinaryFormats {
             while (j < dim) { vec(j) = bb.getFloat(); j += 1 }
             Row(i.toLong, vec.toSeq)
           }
-          new Iterator[Row] {
-            def hasNext: Boolean = { val h = it.hasNext; if (!h) raf.close(); h }
-            def next(): Row = it.next()
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  // ---- dense uint8: int32 nrows, int32 dim, row-major uint8 ---------------
+  // (the reference's .u8bin layout — yfcc-10M's native dtype:
+  //  /root/reference/streaming/base.py:13 allows 'uint8'; writer layout
+  //  /root/reference/streaming/clustered_data_gen.py:83-86)
+
+  /** Write (id, vec ARRAY<SHORT> with values 0–255) as .u8bin. Spark has no
+    * unsigned types, so uint8 components travel as shorts and serialize as
+    * single bytes. Export utility: single-stream foreign format, funneled
+    * through the driver at O(1 row) memory like [[writeDenseF32]]. */
+  def writeDenseU8(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val rows = df.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+    val n = rows.count().toInt
+    val first = rows.select(size(col(vecCol))).head().getInt(0)
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 20))
+    try {
+      val hdr = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      hdr.putInt(n).putInt(first)
+      out.write(hdr.array())
+      val it = rows.toLocalIterator()
+      while (it.hasNext) {
+        val vec = it.next().getSeq[Short](1)
+        require(vec.length == first, s"ragged row: ${vec.length} != $first")
+        val bb = new Array[Byte](first)
+        var j = 0
+        while (j < first) {
+          val v = vec(j)
+          require(v >= 0 && v <= 255, s"u8 component out of range: $v")
+          bb(j) = v.toByte
+          j += 1
+        }
+        out.write(bb)
+      }
+    } finally out.close()
+  }
+
+  /** Distributed uint8 dense read: like [[readDenseF32]] but 1 byte per
+    * component, decoded unsigned into ARRAY<SHORT>. Returns (id, vec). */
+  def readDenseU8(spark: SparkSession, path: String, numPartitions: Int = 32): DataFrame = {
+    val (n, dim) = {
+      val raf = new RandomAccessFile(path, "r")
+      try {
+        val hdr = new Array[Byte](8)
+        raf.readFully(hdr)
+        val bb = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
+        (bb.getInt(), bb.getInt())
+      } finally raf.close()
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(ShortType, containsNull = false), nullable = false)))
+    val rdd = spark.sparkContext
+      .parallelize(0 until numPartitions, numPartitions)
+      .flatMap { p =>
+        val start = (n.toLong * p / numPartitions).toInt
+        val end = (n.toLong * (p + 1) / numPartitions).toInt
+        if (start >= end) Iterator.empty
+        else {
+          val raf = new RandomAccessFile(path, "r")
+          closeOnTaskEnd(raf)
+          raf.seek(8L + 1L * dim * start)
+          val buf = new Array[Byte](dim)
+          (start until end).iterator.map { i =>
+            raf.readFully(buf)
+            val vec = Array.ofDim[Short](dim)
+            var j = 0
+            while (j < dim) { vec(j) = (buf(j) & 0xFF).toShort; j += 1 }
+            Row(i.toLong, vec.toSeq)
           }
         }
       }
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Close a file handle when the task completes — covers partial iterator
+    * consumption (limit, take, task failure), where a close-on-exhaust
+    * iterator would leak the descriptor. No-op outside a task (driver-side
+    * unit tests). RandomAccessFile.close is idempotent, so pairing this
+    * with an explicit close is safe. */
+  private def closeOnTaskEnd(raf: RandomAccessFile): Unit =
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => raf.close()))
+
   // ---- spmat sparse CSR ----------------------------------------------------
 
-  def writeSpmat(df: DataFrame, path: String): Unit = {
+  /** Write CSR spmat. `ncol` is the true matrix width; the default −1
+    * derives it as max(indices)+1, which UNDERSTATES the width when
+    * trailing columns are empty — pass it explicitly when the consumer
+    * reads the header's ncol (the reference's loaders do,
+    * faiss.py:63-73). */
+  def writeSpmat(df: DataFrame, path: String, ncol: Int = -1): Unit = {
     // rows: (id, indices ARRAY<INT>, values ARRAY<FLOAT>); ids must be a
     // contiguous 0-based range (CSR row index is positional)
     val rows = df.select(col("id"), col("indices"), col("values")).orderBy(col("id"))
@@ -104,12 +188,15 @@ object BinaryFormats {
     val agg = df.agg(
       coalesce(max(expr("array_max(indices)")), lit(-1)).cast("int"),
       coalesce(sum(size(col("indices"))), lit(0)).cast("long")).head()
-    val ncol = agg.getInt(0) + 1
+    val derivedNcol = agg.getInt(0) + 1
+    require(ncol < 0 || ncol >= derivedNcol,
+      s"explicit ncol $ncol smaller than max index + 1 = $derivedNcol")
+    val effNcol = if (ncol < 0) derivedNcol else ncol
     val nnz = agg.getLong(1)
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 20))
     try {
       val hdr = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
-      hdr.putLong(nrow.toLong).putLong(ncol.toLong).putLong(nnz)
+      hdr.putLong(nrow.toLong).putLong(effNcol.toLong).putLong(nnz)
       out.write(hdr.array())
       // pass 1: indptr (cumulative nnz); pass 2: indices; pass 3: data.
       // Three toLocalIterator passes keep driver memory at O(1 row).
@@ -187,19 +274,19 @@ object BinaryFormats {
         if (rs >= re) Iterator.empty
         else {
           val raf = new RandomAccessFile(path, "r")
+          closeOnTaskEnd(raf) // covers failure between open and close below
           val sliceNnz = (pe - ps).toInt
           val ib = new Array[Byte](4 * sliceNnz)
           raf.seek(indicesBase + 4L * ps); raf.readFully(ib)
           val db = new Array[Byte](4 * sliceNnz)
           raf.seek(dataBase + 4L * ps); raf.readFully(db)
+          // per-row offsets relative to ps; re-derive from a local indptr
+          // slice read once more (cheap: 8 bytes/row of this range only)
+          val ipb = new Array[Byte](8 * (re - rs + 1))
+          raf.seek(24L + 8L * rs); raf.readFully(ipb)
           raf.close()
           val ibb = ByteBuffer.wrap(ib).order(ByteOrder.LITTLE_ENDIAN)
           val dbb = ByteBuffer.wrap(db).order(ByteOrder.LITTLE_ENDIAN)
-          // per-row offsets relative to ps; re-derive from a local indptr
-          // slice read once more (cheap: 8 bytes/row of this range only)
-          val raf2 = new RandomAccessFile(path, "r")
-          val ipb = new Array[Byte](8 * (re - rs + 1))
-          raf2.seek(24L + 8L * rs); raf2.readFully(ipb); raf2.close()
           val ipbb = ByteBuffer.wrap(ipb).order(ByteOrder.LITTLE_ENDIAN)
           val localIp = Array.ofDim[Long](re - rs + 1)
           var i = 0

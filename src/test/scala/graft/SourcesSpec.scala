@@ -41,6 +41,48 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(bytes.length === 8 + 4 * 4)
   }
 
+  test("u8bin round-trip: full 0-255 range, range-split read, exact equality") {
+    val path = tmp("dense.u8bin")
+    val src = (0L until 300L).map { i =>
+      (i, Array.tabulate(7)(j => (((i + j * 37) % 256)).toShort))
+    }
+    val df = src.toDF("id", "vec")
+    BinaryFormats.writeDenseU8(df, "id", "vec", path)
+    val back = BinaryFormats.readDenseU8(spark, path, numPartitions = 5)
+      .as[(Long, Array[Short])].collect().toMap
+    assert(back.size === 300)
+    src.foreach { case (id, vec) =>
+      assert(back(id).toSeq === vec.toSeq, s"row $id differs")
+    }
+    // header + 1 byte/component payload, reference layout
+    // (streaming/clustered_data_gen.py:83-86 with uint8 dtype)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt() === 300)
+    assert(bb.getInt() === 7)
+    assert(bytes.length === 8 + 300 * 7)
+    assert((bytes(8) & 0xFF) === 0 && (bytes(9) & 0xFF) === 37)
+  }
+
+  test("u8bin writer rejects out-of-range components") {
+    val path = tmp("bad.u8bin")
+    val df = Seq((0L, Array(300.toShort))).toDF("id", "vec")
+    assertThrows[Exception](BinaryFormats.writeDenseU8(df, "id", "vec", path))
+  }
+
+  test("spmat writer honors an explicit ncol wider than the data") {
+    val path = tmp("wide.spmat")
+    val src = Seq((0L, Array(1, 3), Array(1f, 2f))).toDF("id", "indices", "values")
+    BinaryFormats.writeSpmat(src, path, ncol = 100)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getLong() === 1)   // nrow
+    assert(bb.getLong() === 100) // ncol from the caller, not max(indices)+1
+    assert(bb.getLong() === 2)   // nnz
+    // too-small explicit ncol is rejected
+    assertThrows[Exception](BinaryFormats.writeSpmat(src, tmp("bad.spmat"), ncol = 2))
+  }
+
   test("spmat CSR round-trip with empty rows and skewed nnz") {
     val path = tmp("m.spmat")
     val rows = Seq(
