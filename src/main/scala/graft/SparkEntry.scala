@@ -213,7 +213,23 @@ object SparkEntry {
         s, path, TagFilter.tagQueries(emb, 20), k = 10))
     }),
 
+    // P4 sorted union: disjunctive (match-ANY-tag) candidates via
+    // array_union over presorted posting arrays (bow_id_selector.swig:163-192).
+    "tag_union" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      TagFilter.unionCandidates(
+        TagFilter.tagQueries(emb, 10), TagFilter.withTags(emb))
+    }),
+
     // -- index layer ---------------------------------------------------------
+    // A5 cluster histogram: per-cluster counts + contiguous-layout offsets.
+    // iters=0 pins centroids to the 8 lowest-id rows, so the assignment is
+    // SQL-expressible and the histogram stays exactly oracle-checkable.
+    "ann_ivf_hist" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val cents = graft.index.KMeans.fit(b, c = 8, iters = 0)
+      graft.index.ClusterHistogram.histogram(graft.index.KMeans.assign(b, cents))
+    }),
     // IVF probed exhaustively (nprobe = C) is exact → hash-checked oracle.
     "ann_ivf" -> ((s, dir) => {
       val b = embBase(s, dir)
@@ -597,6 +613,32 @@ object SparkEntry {
         |SELECT tag, CAST(count(*) AS BIGINT) AS df,
         |       CAST((10000 * count(*)) // (SELECT count(*) FROM embeddings) AS BIGINT) AS freq_bp
         |FROM p GROUP BY tag
+        |""".stripMargin,
+    "tag_union" ->
+      """WITH p AS (SELECT CAST(label AS INT) AS tag, vec_id AS id FROM embeddings
+        |           UNION ALL
+        |           SELECT CAST(10 + vec_id % 7 AS INT) AS tag, vec_id AS id FROM embeddings),
+        |q AS (SELECT vec_id AS qid, CAST(label AS INT) AS t1,
+        |             CAST(10 + (vec_id * 3 + 1) % 7 AS INT) AS t2
+        |      FROM embeddings WHERE vec_id < 10),
+        |qt AS (SELECT qid, t1 AS tag FROM q UNION ALL SELECT qid, t2 AS tag FROM q)
+        |SELECT DISTINCT qid, id FROM qt JOIN p USING (tag)
+        |""".stripMargin,
+    "ann_ivf_hist" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        |pairs AS (SELECT e.vec_id AS id, c.cid,
+        |                 unnest(e.embedding) AS x, unnest(c.cvec) AS y
+        |          FROM embeddings e CROSS JOIN c),
+        |d AS (SELECT id, cid,
+        |             sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))) AS dd
+        |      FROM pairs GROUP BY 1, 2),
+        |best AS (SELECT id, cid
+        |         FROM (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dd, cid) AS rn FROM d)
+        |         WHERE rn = 1),
+        |cnts AS (SELECT cid, CAST(count(*) AS BIGINT) AS cnt FROM best GROUP BY cid)
+        |SELECT cid, cnt,
+        |       CAST(sum(cnt) OVER (ORDER BY cid ROWS UNBOUNDED PRECEDING) - cnt AS BIGINT) AS offset
+        |FROM cnts
         |""".stripMargin,
     "filtered_knn2" -> conjKnnOracle,
     // signature prefilter and selectivity routing are lossless plan rewrites:

@@ -82,6 +82,24 @@ object KMeans {
   }
 }
 
+object ClusterHistogram {
+  /** A5 cluster histogram: per-cluster row counts and the exclusive prefix
+    * offsets a contiguous (cluster-major) layout would use — the
+    * counts/offsets the reference's clustered data generator computes to
+    * lay clusters out contiguously (/root/reference/streaming/
+    * clustered_data_gen.py:10-42) and the IVF list-size stats faiss keeps
+    * per inverted list. One partial-aggregating shuffle keyed on cid plus a
+    * C-row window (C ≪ n, single tiny partition is fine). Input: any
+    * (id, cid) assignment. Returns (cid, cnt, offset). */
+  def histogram(assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = assigned.groupBy("cid").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("cid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.withColumn("offset", sum("cnt").over(w) - col("cnt"))
+      .select("cid", "cnt", "offset")
+  }
+}
+
 object ClusterPermute {
   /** Cluster-and-permute data prep (A4, /root/reference/streaming/
     * clustered_data_gen.py:10-42): assign rows to clusters and emit the

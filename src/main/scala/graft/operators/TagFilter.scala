@@ -55,6 +55,31 @@ object TagFilter {
       .select("tag", "df", "freq_bp")
   }
 
+  /** Sorted posting arrays: (tag, ids ARRAY<LONG> ascending) — the
+    * materialized form of the reference's CSR posting rows
+    * (bow_id_selector.swig:60-104 assumes sorted lists). */
+  def postingsArrays(base: DataFrame): DataFrame =
+    postings(base).groupBy("tag")
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+
+  /** P4 sorted union (bow_id_selector.swig:163-192's merge of two sorted
+    * id lists): per query, the ascending union of its tags' posting lists —
+    * DISJUNCTIVE (match-ANY-tag) candidates, the OR-complement of
+    * [[candidates]]' AND semantics. The merge itself is `array_union` over
+    * the presorted arrays + a final sort — per-row array kernels, no extra
+    * shuffle beyond the posting-array build. Returns (qid, id). */
+  def unionCandidates(queries: DataFrame, base: DataFrame): DataFrame = {
+    val pa = postingsArrays(base)
+    val merged = queries.select(col("qid"), explode(col("qtags")).as("tag"))
+      .join(pa, Seq("tag"), "left")
+      .withColumn("ids", coalesce(col("ids"), array().cast("array<bigint>")))
+      .groupBy("qid")
+      .agg(sort_array(aggregate(collect_list(col("ids")),
+        array().cast("array<bigint>"),
+        (acc, x) => array_union(acc, x))).as("ids"))
+    merged.select(col("qid"), explode(col("ids")).as("id"))
+  }
+
   /** Posting-list intersection as dataflow: a row is a candidate for a
     * query iff it matches on every query tag — explode both sides, equi-join
     * on tag, and keep (qid, id) groups whose match count equals the query's

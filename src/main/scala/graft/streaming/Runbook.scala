@@ -118,17 +118,22 @@ final class RunbookStreamExecutor(
   *    re-insert-after-delete correct — the reference's runbooks do exactly
   *    that (simple_runbook.yaml steps 3/5 delete then re-insert [0, n/2));
   *  - deletes are lazy TOMBSTONES applied at read time (`mark_deleted`);
-  *  - when tombstones exceed `consolidateAt`, the live set is materialized
-  *    and both logs are compacted (`consolidate_delete` when live + pending
-  *    ≥ max_pts — diskann-str.py:90-93). This bounds anti-join cost and
-  *    lineage depth.
+  *  - compaction (`consolidate_delete`) triggers on EITHER of the
+  *    reference's conditions: the tombstone count reaching `consolidateAt`,
+  *    or an insert that would push the op-log occupancy (live + pending
+  *    rows) past `maxPts` (diskann-str.py:90-93 consolidates exactly when
+  *    the next batch would overflow max_pts). Both counters track ACTUAL
+  *    affected rows — ids never inserted or already deleted don't count —
+  *    so compaction cost behavior matches the documented policy. This
+  *    bounds anti-join cost and lineage depth.
   *
   * Every search checkpoint sees exactly the net effect of all prior ops. */
 final class RunbookExecutor(
     source: DataFrame, // (id, vec) — immutable base the ranges index into
     queries: DataFrame, // (qid, qvec)
     k: Int = 10,
-    consolidateAt: Long = 1000L) {
+    consolidateAt: Long = 1000L,
+    maxPts: Long = Long.MaxValue) {
 
   /** Run all steps; returns (stepIndex → search result) for every search
     * checkpoint, each (qid, id, dist, rank). */
@@ -136,6 +141,7 @@ final class RunbookExecutor(
     val spark = source.sparkSession
     import spark.implicits._
     var inserted: DataFrame = Seq.empty[(Long, Long)].toDF("id", "seq")
+    var insertedLogRows = 0L // rows in the insert log (live + pending dupes)
     var tombstones: DataFrame = Seq.empty[(Long, Long)].toDF("id", "seq")
     var nTombstones = 0L
     val checkpoints = Map.newBuilder[Int, DataFrame]
@@ -149,25 +155,37 @@ final class RunbookExecutor(
         .select("id")
     }
 
+    // materialize the net live set, clear both logs
+    def consolidate(seq: Long): Unit = {
+      inserted = liveIds.withColumn("seq", lit(seq)).cache()
+      insertedLogRows = inserted.count()
+      tombstones = Seq.empty[(Long, Long)].toDF("id", "seq")
+      nTombstones = 0L
+    }
+
     steps.zipWithIndex.foreach { case (step, i) =>
       val seq = i.toLong
       step.op match {
         case "insert" =>
-          inserted = inserted.unionByName(
-            source.where(col("id") >= step.start && col("id") < step.end)
-              .select(col("id"), lit(seq).as("seq")))
+          val batch = source
+            .where(col("id") >= step.start && col("id") < step.end)
+            .select(col("id"), lit(seq).as("seq"))
+          val batchRows = batch.count() // actual rows, not range width
+          // diskann-str.py:90-93: consolidate BEFORE the insert that would
+          // push occupancy past max_pts (only useful if tombstones exist)
+          if (insertedLogRows + batchRows > maxPts && nTombstones > 0)
+            consolidate(seq)
+          inserted = inserted.unionByName(batch)
+          insertedLogRows += batchRows
         case "delete" =>
-          tombstones = tombstones.unionByName(
+          val newTombstones =
             inserted.where(col("id") >= step.start && col("id") < step.end)
-              .select(col("id"), lit(seq).as("seq")).distinct())
-          nTombstones += (step.end - step.start)
-          if (nTombstones >= consolidateAt) {
-            // consolidate: materialize the net live set, clear both logs
-            inserted = liveIds.withColumn("seq", lit(seq)).cache()
-            inserted.count()
-            tombstones = Seq.empty[(Long, Long)].toDF("id", "seq")
-            nTombstones = 0L
-          }
+              .select(col("id"), lit(seq).as("seq")).distinct()
+          // count the rows actually tombstoned (ids never inserted don't
+          // count; ids already tombstoned count once more only if re-marked)
+          nTombstones += newTombstones.count()
+          tombstones = tombstones.unionByName(newTombstones)
+          if (nTombstones >= consolidateAt) consolidate(seq)
         case "search" =>
           val liveVecs = liveIds.join(source, "id")
           checkpoints += i -> Knn.knnJoin(queries, liveVecs, k, Metric.L2)

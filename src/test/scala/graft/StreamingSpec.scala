@@ -45,6 +45,25 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(lazily === eagerly)
   }
 
+  test("runbook: max_pts-keyed consolidation preserves checkpoint results") {
+    val steps = Seq(
+      RunbookStep("insert", 0, 150),
+      RunbookStep("delete", 0, 100),
+      RunbookStep("insert", 200, 300), // log would hold 250 rows > maxPts=200
+      RunbookStep("search"))
+    val unbounded = new RunbookExecutor(source, queries, 5, consolidateAt = 1000000)
+      .run(steps)(3).select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    val bounded = new RunbookExecutor(source, queries, 5,
+      consolidateAt = 1000000, maxPts = 200)
+      .run(steps)(3).select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(bounded === unbounded)
+    // live set is [100,150) ∪ [200,300)
+    val expect = Knn.knnJoin(queries,
+      source.where(($"id" >= 100 && $"id" < 150) || ($"id" >= 200 && $"id" < 300)),
+      5, Metric.L2).select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(bounded === expect)
+  }
+
   test("runbook: re-insert after delete makes ids live again (reference semantics)") {
     val emb = Tables.embeddings(spark, sfDir)
     val source = emb.select($"vec_id".as("id"), $"embedding".as("vec"))

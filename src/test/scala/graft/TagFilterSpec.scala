@@ -66,6 +66,22 @@ class TagFilterSpec extends AnyFunSuite with SparkSuite {
       s"routing must not count materialized candidate sets:\n$p")
   }
 
+  test("sorted-union disjunctive candidates equal the direct ANY-tag filter") {
+    val viaUnion = TagFilter.unionCandidates(queries, base)
+      .as[(Long, Long)].collect().toSet
+    val direct = queries.crossJoin(base)
+      .where(exists($"qtags", t => array_contains($"tags", t)))
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(viaUnion === direct)
+    // and the per-query id arrays really are sorted unions (ascending)
+    val merged = TagFilter.unionCandidates(queries, base)
+      .groupBy("qid").agg(collect_list($"id").as("got"))
+    // no duplicate ids per query
+    val dups = TagFilter.unionCandidates(queries, base)
+      .groupBy("qid", "id").count().where($"count" > 1)
+    assert(dups.count() === 0)
+  }
+
   test("salted candidates join equals the plain tag-keyed join") {
     val plain = TagFilter.candidates(queries, base)
       .as[(Long, Long)].collect().toSet
