@@ -1,5 +1,6 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract): runs every query in SparkEntry.queries
   * against SPARK_GRAFT_SF_DIR and prints ONE JSON line.
@@ -8,7 +9,14 @@ import org.apache.spark.sql.SparkSession
   * startup so per-query numbers measure the operators, and every timed query
   * executes through the noop sink — the full physical plan runs, all columns
   * materialized, nothing short-circuited the way `count()` can prune
-  * projection-only plans. */
+  * projection-only plans.
+  *
+  * Besides per-query wall times, a `qps` block reports SUSTAINED throughput
+  * per track (the BASELINE.md operating unit): each track's flagship query
+  * runs one untimed warmup batch, then repeated timed batches of a large
+  * query set — steady state, plan compile and JIT amortized. The ANN probe
+  * measures the persisted-index path (build+save excluded): build-once/
+  * probe-many is the serving economics the reference reports QPS for. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,10 +27,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     def run(name: String): Unit = {
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      // queries are independent; drop their persisted intermediates so 47
+      noop(SparkEntry.queries(name)(spark, sfDir))
+      // queries are independent; drop their persisted intermediates so the
       // queries' caches don't accumulate into GC pressure that skews timings
       spark.sqlContext.clearCache()
     }
@@ -32,10 +41,56 @@ object Bench {
       try run(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+
+    // -- sustained QPS per track (steady-state batches, warmup excluded) ----
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val nq = math.min(500L, n / 2).toInt
+    val reps = 3
+    def qps(mk: () => DataFrame): Double = {
+      try {
+        noop(mk()) // warmup batch: codegen + JIT + broadcast warm
+        val t0 = System.nanoTime()
+        (1 to reps).foreach(_ => noop(mk()))
+        nq.toDouble * reps / ((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => 0.0 }
+      finally spark.sqlContext.clearCache()
+    }
+    // filter track: exact conjunctive 2-tag filtered kNN, k=10
+    val filterQps = qps { () =>
+      operators.TagFilter.filteredKnn(
+        operators.TagFilter.tagQueries(emb, nq),
+        operators.TagFilter.withTags(emb), k = 10)
+    }
+    // sparse track: budgeted MIPS over term-frequency vectors
+    val tf = operators.Sparse.fromTermFreq(Tables.documents(spark, sfDir))
+    val sparseNq = math.min(200L, Tables.documents(spark, sfDir).count() / 2).toInt
+    val sparseQps = {
+      val v = qps { () =>
+        operators.Sparse.budgetedMips(
+          tf.where(col("id") < sparseNq)
+            .select(col("id").as("qid"), col("dim"), col("v").as("qv")),
+          tf, k = 10, m = 16)
+      }
+      v * sparseNq / math.max(nq, 1) // qps() normalizes by nq; rescale
+    }
+    // ood/ann track: persisted HNSW probe (build+save once, untimed)
+    val annQps = {
+      val path = java.nio.file.Files.createTempDirectory("graft-bench-hnsw")
+        .resolve("idx").toString
+      val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      index.HnswKnn.buildAndSave(base, path, numPartitions = cpus.toInt)
+      val queries = emb.where(col("vec_id") < nq)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      qps(() => index.HnswKnn.probeSaved(spark, path, queries, k = 10, efSearch = 64))
+    }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qpsJson =
+      s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"ann_hnsw_probe":$annQps,"nq":$nq,"reps":$reps}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qpsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
