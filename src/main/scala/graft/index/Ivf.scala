@@ -62,17 +62,14 @@ object KMeans {
     var centroids = base.orderBy("id").limit(c)
       .select(col("id").as("cid"), col("vec").as("cvec")).cache()
     centroids.count()
-    val dim = base.select(size(col("vec"))).head().getInt(0)
     for (_ <- 0 until iters) {
-      // recenter with one WIDE aggregation (dim avg columns) — no n×d row
-      // explosion, one partial-aggregating shuffle keyed on cid; assignCarry
-      // keeps the vector in-row so the base is never joined back to itself
-      val avgs = (0 until dim).map(i => avg(col("vec").getItem(i)).as(s"m$i"))
+      // recenter with ONE whole-vector mean aggregate (O(d) buffer per
+      // group, map-side combining — dimension-scalable where d avg columns
+      // are not); assignCarry keeps the vector in-row so the base is never
+      // joined back to itself
       val next = assignCarry(base, centroids)
         .groupBy("cid")
-        .agg(avgs.head, avgs.tail: _*)
-        .select(col("cid"),
-          array((0 until dim).map(i => col(s"m$i").cast("float")): _*).as("cvec"))
+        .agg(graft.functions.VectorAggs.vecMean(col("vec")).as("cvec"))
         .cache()
       next.count()
       centroids.unpersist()

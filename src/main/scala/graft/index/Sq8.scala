@@ -22,17 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Sq8 {
 
-  /** Per-dimension (min, span) trained from the corpus: one row,
-    * mins ARRAY<DOUBLE>, spans ARRAY<DOUBLE> (span 0 → 1 to avoid div-0). */
+  /** Per-dimension (min, span) trained from the corpus with ONE
+    * whole-vector (min, max) aggregate — O(d) buffer, dimension-scalable
+    * (the 2·d-column wide-agg form degrades past d≈1000). Min/max are
+    * order-independent, so training is exactly deterministic. Span 0 → 1 to
+    * avoid div-0. */
   def train(base: DataFrame): (Array[Double], Array[Double]) = {
-    val dim = base.select(size(col("vec"))).head().getInt(0)
-    val aggs = (0 until dim).flatMap { i =>
-      Seq(min(col("vec").getItem(i)).as(s"lo$i"), max(col("vec").getItem(i)).as(s"hi$i"))
-    }
-    val r = base.agg(aggs.head, aggs.tail: _*).head()
-    val mins = Array.tabulate(dim)(i => r.getFloat(2 * i).toDouble)
-    val spans = Array.tabulate(dim) { i =>
-      val s = r.getFloat(2 * i + 1).toDouble - mins(i)
+    val r = base.agg(graft.functions.VectorAggs.vecMinMax(col("vec")).as("mm"))
+      .select(col("mm._1").as("lo"), col("mm._2").as("hi")).head()
+    val lo = r.getSeq[Float](0)
+    val hi = r.getSeq[Float](1)
+    val mins = lo.map(_.toDouble).toArray
+    val spans = Array.tabulate(mins.length) { i =>
+      val s = hi(i).toDouble - mins(i)
       if (s > 0) s else 1.0
     }
     (mins, spans)

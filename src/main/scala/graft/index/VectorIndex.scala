@@ -1,0 +1,121 @@
+package graft.index
+
+import graft.operators.{Knn, Metric, TagFilter}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §7.1 layer-4 unified index abstraction: one interface over the
+  * flat (brute-force), IVF, and partition-local-HNSW paths, with uniform
+  * persistence. Mirrors the reference's algorithm wrappers, which expose
+  * the same fit/query surface over faiss, DiskANN, and the custom HNSW
+  * (/root/reference/filter/base.py:4, ood/base.py:3, and the
+  * load-or-build pattern filter/faiss/faiss.py:196-205).
+  *
+  * Contracts:
+  *  - `probe(queries, k)`: queries (qid, qvec) → (qid, id, dist, rank);
+  *  - `probeFiltered(queries, k)`: queries additionally carry
+  *    `qtags ARRAY<INT>`; every returned id's tag set contains ALL query
+  *    tags (conjunctive — the filter-track predicate);
+  *  - `save(path)`: self-describing on-disk artifact;
+  *    [[VectorIndex.load]] dispatches on the persisted kind, so callers
+  *    need not know which index family wrote a path.
+  *
+  * Exactness: flat is exact; IVF is exact at nprobe = C; HNSW is
+  * approximate with a one-stage candidate-count guarantee under filters. */
+trait VectorIndex {
+  def probe(queries: DataFrame, k: Int): DataFrame
+  def probeFiltered(queries: DataFrame, k: Int): DataFrame
+  def save(path: String): Unit
+}
+
+/** X5 brute-force index: the base table itself (id, vec, tags?) — Spark's
+  * native mode; the reference's flat store (filter/hnsw/bruteforce.h). */
+final class FlatVectorIndex(base: DataFrame) extends VectorIndex {
+  def probe(queries: DataFrame, k: Int): DataFrame =
+    Knn.knnJoin(queries.select("qid", "qvec"), base.select("id", "vec"), k, Metric.L2)
+  def probeFiltered(queries: DataFrame, k: Int): DataFrame =
+    TagFilter.filteredKnn(queries, base, k)
+  def save(path: String): Unit = {
+    VectorIndex.writeKind(base.sparkSession, path, "flat")
+    base.write.mode("overwrite").parquet(s"$path/base")
+  }
+}
+
+/** IVF over the shared base: centroid routing + cluster-pruned scan. */
+final class IvfVectorIndex(ivf: IvfIndex, base: DataFrame, nprobe: Int) extends VectorIndex {
+  def probe(queries: DataFrame, k: Int): DataFrame =
+    ivf.probe(queries.select("qid", "qvec"), base.select("id", "vec"), k, nprobe)
+  def probeFiltered(queries: DataFrame, k: Int): DataFrame = {
+    // route to nprobe clusters, then evaluate the conjunctive predicate
+    // IN-STREAM over the routed clusters' rows before scoring — filtering
+    // narrows the cluster scan, it is never applied after a top-k cut (that
+    // would starve selective queries). Exact at nprobe = C.
+    val routes = graft.operators.TopK.aggTopK(
+      queries.select("qid", "qvec").crossJoin(broadcast(ivf.centroids))
+        .withColumn("dist", Metric.distColumn(Metric.L2, col("qvec"), col("cvec"))),
+      "qid", "cid", "dist", nprobe)
+      .select("qid", "cid")
+    val cand = routes.join(ivf.assigned, "cid").select("qid", "id")
+    val scored = cand
+      .join(base.select(col("id"), col("vec"), col("tags")), "id")
+      .join(broadcast(queries.select("qid", "qvec", "qtags")), "qid")
+      .where(forall(col("qtags"), t => array_contains(col("tags"), t)))
+      .withColumn("dist", Metric.distColumn(Metric.L2, col("qvec"), col("vec")))
+    graft.operators.TopK.aggTopK(scored, "qid", "id", "dist", k)
+  }
+  def save(path: String): Unit = {
+    VectorIndex.writeKind(base.sparkSession, path, "ivf")
+    IvfIndex.save(ivf, s"$path/ivf")
+    base.write.mode("overwrite").parquet(s"$path/base")
+  }
+}
+
+/** Partition-local HNSW, persisted-graph backed: probes never rebuild. */
+final class HnswVectorIndex(spark: SparkSession, graphPath: String,
+                            efSearch: Int) extends VectorIndex {
+  def probe(queries: DataFrame, k: Int): DataFrame =
+    HnswKnn.probeSaved(spark, graphPath, queries, k, efSearch)
+  def probeFiltered(queries: DataFrame, k: Int): DataFrame =
+    HnswKnn.probeSavedFiltered(spark, graphPath, queries, k, efSearch)
+  def save(path: String): Unit = {
+    VectorIndex.writeKind(spark, path, "hnsw")
+    spark.read.parquet(graphPath).write.mode("overwrite")
+      .partitionBy("part").parquet(s"$path/graph")
+  }
+}
+
+object VectorIndex {
+
+  /** Build the requested index kind over a (id, vec[, tags]) base. */
+  def flat(base: DataFrame): VectorIndex = new FlatVectorIndex(base)
+
+  def ivf(base: DataFrame, c: Int, iters: Int, nprobe: Int): VectorIndex =
+    new IvfVectorIndex(IvfIndex.build(base.select("id", "vec"), c, iters), base, nprobe)
+
+  def hnsw(base: DataFrame, workPath: String, m: Int = 16,
+           efConstruction: Int = 100, efSearch: Int = 64,
+           numPartitions: Int = 8): VectorIndex = {
+    HnswKnn.buildAndSave(base, workPath, m, efConstruction, numPartitions)
+    new HnswVectorIndex(base.sparkSession, workPath, efSearch)
+  }
+
+  /** Load any persisted VectorIndex; dispatches on the saved kind marker
+    * (the load-or-build pattern, faiss.py:196-205). */
+  def load(spark: SparkSession, path: String, nprobe: Int = 8,
+           efSearch: Int = 64): VectorIndex =
+    readKind(spark, path) match {
+      case "flat" => new FlatVectorIndex(spark.read.parquet(s"$path/base"))
+      case "ivf" => new IvfVectorIndex(IvfIndex.load(spark, s"$path/ivf"),
+        spark.read.parquet(s"$path/base"), nprobe)
+      case "hnsw" => new HnswVectorIndex(spark, s"$path/graph", efSearch)
+      case other => throw new IllegalArgumentException(s"unknown index kind: $other")
+    }
+
+  private[index] def writeKind(spark: SparkSession, path: String, kind: String): Unit = {
+    import spark.implicits._
+    Seq(kind).toDF("kind").coalesce(1).write.mode("overwrite").parquet(s"$path/kind")
+  }
+
+  private def readKind(spark: SparkSession, path: String): String =
+    spark.read.parquet(s"$path/kind").head().getString(0)
+}

@@ -52,7 +52,12 @@ object Dedup {
     * Jaccard ≥ minBp basis points. Shuffle is keyed on shingle; a shingle
     * appearing in d docs contributes d² join rows, so at scale drop
     * ultra-frequent shingles first (stopword n-grams carry no dedup
-    * signal) — see [[minhashLsh]] for the bounded-fan-out variant. */
+    * signal) — see [[minhashLsh]] for the bounded-fan-out variant.
+    *
+    * CACHING CONTRACT: the shingle set is persisted (it feeds three plan
+    * branches) and stays persisted after the returned frame's action — the
+    * caller owns cleanup (`spark.sqlContext.clearCache()` or unpersist by
+    * plan), as Bench/Verify do between queries. */
   def jaccardPairs(docs: DataFrame, n: Int, minBp: Int): DataFrame = {
     // the shingle set feeds three plan branches (a-side, b-side, sizes);
     // persist so tokenize+explode+distinct runs once, not three times

@@ -166,6 +166,37 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(got.map(_._1).toSet === exact)
   }
 
+  test("VectorIndex: flat and exhaustive IVF agree exactly; save/load dispatches by kind") {
+    val tagged = TagFilter.withTags(emb).cache()
+    val tq = TagFilter.tagQueries(emb, 10).cache()
+    def rs(df: DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+
+    val flat = VectorIndex.flat(tagged)
+    val ivf = VectorIndex.ivf(tagged, c = 8, iters = 2, nprobe = 8)
+    assert(rs(ivf.probe(queries, 10)) === rs(flat.probe(queries, 10)))
+    // filtered probes agree with the exact conjunctive path
+    val exactF = rs(TagFilter.filteredKnn(tq, tagged, 10))
+    assert(rs(flat.probeFiltered(tq, 10)) === exactF)
+    assert(rs(ivf.probeFiltered(tq, 10)) === exactF)
+
+    // uniform persistence: each kind round-trips through the same load()
+    val dir = java.nio.file.Files.createTempDirectory("graft-vidx")
+    for ((idx, name) <- Seq((flat, "flat"), (ivf, "ivf"))) {
+      val p = dir.resolve(name).toString
+      idx.save(p)
+      val loaded = VectorIndex.load(spark, p, nprobe = 8)
+      assert(rs(loaded.probe(queries, 10)) === rs(idx.probe(queries, 10)), name)
+    }
+    val hnswWork = dir.resolve("hnsw-work").toString
+    val hnsw = VectorIndex.hnsw(tagged, hnswWork, numPartitions = 4, efSearch = 64)
+    val p = dir.resolve("hnsw").toString
+    hnsw.save(p)
+    val loaded = VectorIndex.load(spark, p, efSearch = 64)
+    assert(rs(loaded.probe(queries, 10)) === rs(hnsw.probe(queries, 10)))
+    assert(Recall.mean(hnsw.probe(queries, 10), truth, 10) >= 0.9)
+  }
+
   test("in-memory HnswIndex: exact on tiny data, predicate gate respected") {
     val idx = new HnswIndex(m = 8, efConstruction = 50)
     val vecs = (0 until 50).map(i => (i.toLong, Array(i.toFloat, (i * i % 17).toFloat)))
