@@ -30,7 +30,7 @@ import scala.collection.mutable
   *    not intra-index threads (the reference's per-query OMP=1 choice,
   *    faiss.py:374, makes the same call).
   */
-final class HnswIndex(m: Int = 16, efConstruction: Int = 100) {
+final class HnswIndex(m: Int = 16, efConstruction: Int = 100) extends Serializable {
   private val maxM = m
   private val maxM0 = 2 * m
   private val levelMult = 1.0 / math.log(m.toDouble)

@@ -16,6 +16,48 @@ final case class HnswNodeRow(part: Int, seq: Int, id: Long, vec: Array[Float],
                              links: Array[Array[Int]],
                              entryPoint: Int, maxLevel: Int)
 
+/** Executor-resident loaded HNSW index (see [[HnswKnn.loadResident]]):
+  * probes are narrow maps over persisted graph objects. Results equal
+  * [[HnswKnn.probeSaved]]/[[HnswKnn.knn]] on the same build. Call
+  * [[unload]] when done — the graphs hold executor storage until then. */
+final class HnswResident(spark: SparkSession,
+                         rdd: org.apache.spark.rdd.RDD[(HnswIndex, Map[Long, Array[Int]])]) {
+
+  private def run(qs: Array[(Long, Array[Float], Array[Int])], k: Int,
+                  efSearch: Int, filtered: Boolean): DataFrame = {
+    import spark.implicits._
+    val bq = spark.sparkContext.broadcast(qs)
+    val local = rdd.flatMap { case (idx, tagMap) =>
+      bq.value.iterator.flatMap { case (qid, qv, qt) =>
+        val res =
+          if (filtered)
+            idx.searchFiltered(qv, k, efSearch,
+              id => qt.forall(t => tagMap(id).contains(t)))
+          else idx.search(qv, k, efSearch)
+        res.iterator.map { case (id, d) => (qid, id, d) }
+      }
+    }.toDF("qid", "id", "dist")
+    TopK.aggTopK(local, "qid", "id", "dist", k)
+  }
+
+  def probe(queries: DataFrame, k: Int, efSearch: Int = 64): DataFrame = {
+    import spark.implicits._
+    val qs = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) => (qid, qv, Array.empty[Int]) }
+    run(qs, k, efSearch, filtered = false)
+  }
+
+  def probeFiltered(queries: DataFrame, k: Int, efSearch: Int = 64): DataFrame = {
+    import spark.implicits._
+    val qs = queries.select(col("qid").cast("long"), col("qvec"), col("qtags"))
+      .as[(Long, Array[Float], Array[Int])].collect()
+    run(qs, k, efSearch, filtered = true)
+  }
+
+  def unload(): Unit = rdd.unpersist()
+}
+
 /** Distributed approximate kNN: one [[HnswIndex]] per partition of the base
   * table, built inside `mapPartitions`, probed with the broadcast query set,
   * partition-local top-k merged by the bounded-heap global top-k.
@@ -185,6 +227,30 @@ object HnswKnn {
     val qs = queries.select(col("qid").cast("long"), col("qvec"), col("qtags"))
       .as[(Long, Array[Float], Array[Int])].collect()
     probeImpl(spark, path, qs, k, efSearch, filtered = true)
+  }
+
+  /** Load the persisted graphs into an executor-RESIDENT index: the rebuild
+    * happens once and the built [[HnswIndex]] objects pin in executor
+    * storage as a persisted RDD; every subsequent probe is a NARROW map over
+    * the resident graphs — no parquet re-read, no shuffle, no rebuild. This
+    * is the serving shape: [[probeSaved]] pays one graph shuffle per batch
+    * (fine for occasional batches), resident probing amortizes load across
+    * a query stream the way the reference keeps its index in RAM between
+    * queries (faiss.py:196-205 load-or-build, then query-only). */
+  def loadResident(spark: SparkSession, path: String): HnswResident = {
+    import spark.implicits._
+    val rdd = spark.read.parquet(path).as[HnswNodeRow].rdd
+      .groupBy(_.part)
+      .map { case (_, rows) =>
+        val arr = rows.toArray.sortBy(_.seq)
+        val idx = HnswIndex.fromState(
+          arr.map(r => (r.id, r.vec, r.level, r.links)).toIndexedSeq,
+          arr.head.entryPoint, arr.head.maxLevel)
+        (idx, arr.map(r => r.id -> r.tags).toMap)
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // materialize the graphs before the first probe
+    new HnswResident(spark, rdd)
   }
 
   private def probeImpl(spark: SparkSession, path: String,

@@ -166,6 +166,21 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(got.map(_._1).toSet === exact)
   }
 
+  test("resident HNSW probes equal the per-batch persisted probes") {
+    val b = TagFilter.withTags(emb)
+    val q = TagFilter.tagQueries(emb, 10)
+    val path = java.nio.file.Files.createTempDirectory("graft-hnswr").resolve("idx").toString
+    HnswKnn.buildAndSave(b, path, numPartitions = 4)
+    val resident = HnswKnn.loadResident(spark, path)
+    def rs(df: DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(rs(resident.probe(queries, 10, efSearch = 64)) ===
+      rs(HnswKnn.probeSaved(spark, path, queries, 10, efSearch = 64)))
+    assert(rs(resident.probeFiltered(q, 10, efSearch = 64)) ===
+      rs(HnswKnn.probeSavedFiltered(spark, path, q, 10, efSearch = 64)))
+    resident.unload()
+  }
+
   test("VectorIndex: flat and exhaustive IVF agree exactly; save/load dispatches by kind") {
     val tagged = TagFilter.withTags(emb).cache()
     val tq = TagFilter.tagQueries(emb, 10).cache()

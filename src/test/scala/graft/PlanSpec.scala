@@ -104,6 +104,21 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"bucket join should trigger dynamic partition pruning:\n$p")
   }
 
+  test("banded dedup plans contain no cartesian or all-pairs join") {
+    for (q <- Seq("dedup_simhash_pairs", "dedup_embed_nn")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$q has an all-pairs join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+  }
+
+  test("minhash LSH verification never shuffles materialized shingle sets") {
+    val p = plan(SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir))
+    assert(!p.contains("collect_set"),
+      s"shingle sets must not be collected and shuffled for verification:\n$p")
+  }
+
   test("broadcast kNN join does not shuffle the base table") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.where(col("vec_id") < 10)
