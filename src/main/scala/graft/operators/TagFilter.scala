@@ -57,7 +57,12 @@ object TagFilter {
 
   /** Sorted posting arrays: (tag, ids ARRAY<LONG> ascending) — the
     * materialized form of the reference's CSR posting rows
-    * (bow_id_selector.swig:60-104 assumes sorted lists). */
+    * (bow_id_selector.swig:60-104 assumes sorted lists). SCALE CAP: one row
+    * holds a tag's whole posting list, so reserve this for bounded-df tags
+    * (the selective-filter regime where set algebra pays off); a
+    * stopword-frequency tag belongs in the row-form dataflow
+    * ([[postings]] join + distinct gives the same union without
+    * materializing any list). */
   def postingsArrays(base: DataFrame): DataFrame =
     postings(base).groupBy("tag")
       .agg(sort_array(collect_set(col("id"))).as("ids"))
