@@ -58,10 +58,23 @@ object Dedup {
     * branches) and stays persisted after the returned frame's action — the
     * caller owns cleanup (`spark.sqlContext.clearCache()` or unpersist by
     * plan), as Bench/Verify do between queries. */
-  def jaccardPairs(docs: DataFrame, n: Int, minBp: Int): DataFrame = {
+  def jaccardPairs(docs: DataFrame, n: Int, minBp: Int,
+                   maxDf: Int = Int.MaxValue): DataFrame = {
     // the shingle set feeds three plan branches (a-side, b-side, sizes);
     // persist so tokenize+explode+distinct runs once, not three times
-    val sh = shingles(docs, n).persist()
+    val sh0 = shingles(docs, n).persist()
+    // maxDf: drop shingles appearing in more than maxDf docs BEFORE the
+    // self-join — a shingle in d docs contributes d² join rows, and
+    // stopword-frequency n-grams carry no dedup signal. Jaccard is then
+    // computed over the reduced shingle space (sizes too), the standard
+    // df-capped construction. Default = uncapped (the oracle baseline).
+    val sh =
+      if (maxDf == Int.MaxValue) sh0
+      else {
+        val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select("shingle")
+        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter = sh.select(col("doc_id").as("a_id"), col("shingle"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")), "shingle")

@@ -196,8 +196,12 @@ object TagFilter {
       .join(base.select("id", "vec"), "id")
       .join(broadcast(selectiveQ.select("qid", "qvec")), "qid")
       .withColumn("dist", Metric.distColumn(metric, col("qvec"), col("vec")))
-    // branch B: stream the full base once, predicate evaluated in the scan
-    val b = base.crossJoin(broadcast(denseQ))
+    // branch B: stream the full base once — the bloom-style signature
+    // subset test (lossless, faiss binarysig=true) prunes non-matching rows
+    // with one bitwise op before the exact array_contains check
+    val b = withSignature(base, "tags")
+      .crossJoin(broadcast(withSignature(denseQ, "qtags").withColumnRenamed("sig", "qsig")))
+      .where(expr("(qsig & ~sig) = 0"))
       .where(forall(col("qtags"), t => array_contains(col("tags"), t)))
       .withColumn("dist", Metric.distColumn(metric, col("qvec"), col("vec")))
 

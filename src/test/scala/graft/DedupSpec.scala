@@ -44,6 +44,20 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(j.where($"jaccard_bp" < 5000 || $"jaccard_bp" > 10000).count() === 0)
   }
 
+  test("maxDf cap drops hot shingles but a loose cap changes nothing") {
+    val dfMax = Dedup.shingles(docs, 3).groupBy("shingle").count()
+      .agg(max("count")).as[Long].head().toInt
+    val uncapped = Dedup.jaccardPairs(docs, 3, 5000)
+      .as[(Long, Long, Long)].collect().toSet
+    val loose = Dedup.jaccardPairs(docs, 3, 5000, maxDf = dfMax)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(loose === uncapped, "cap above the max df must be a no-op")
+    // df > 1 shingles are exactly the shared ones: capping at 1 removes every
+    // intersection, so no pair can reach the threshold
+    val all = Dedup.jaccardPairs(docs, 3, 1, maxDf = 1)
+    assert(all.count() === 0)
+  }
+
   test("simhash is deterministic and pairs respect the hamming bound") {
     val s1 = Dedup.simhash(docs).orderBy("doc_id").collect()
     val s2 = Dedup.simhash(docs).orderBy("doc_id").collect()
