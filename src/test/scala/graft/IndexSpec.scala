@@ -81,10 +81,13 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(perm.map(_._2).toSeq === perm.map(_._2).sorted.toSeq, "clusters not contiguous")
   }
 
-  test("partition-local HNSW reaches high recall with a generous beam") {
-    val got = HnswKnn.knn(queries, base, 10, efSearch = 128, numPartitions = 4)
+  test("partition-local HNSW reaches high recall at a modest beam") {
+    // heuristic neighbor diversification (getNeighborsByHeuristic2 analog)
+    // buys this margin: the pre-heuristic graphs needed efSearch = 128 for
+    // the same threshold
+    val got = HnswKnn.knn(queries, base, 10, efSearch = 48, numPartitions = 4)
     val r = Recall.mean(got, truth, 10)
-    assert(r >= 0.95, s"hnsw recall $r")
+    assert(r >= 0.95, s"hnsw recall $r at efSearch=48")
   }
 
   test("HNSW search is deterministic across rebuilds") {
