@@ -266,6 +266,16 @@ object SparkEntry {
       val truth = Knn.knnJoin(q, b, 10, Metric.L2)
       Recall.perQuery(got, truth, 10)
     }),
+    // the reference baseline's composition (IVF coarse route × SQ8 integer
+    // scan × exact rerank, config.yaml:50-53) — recall-graded, rows-only.
+    "recall_ivf_sq8" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val q = embQueries(s, dir, 10)
+      val got = graft.index.IvfSq8.knn(q, b, k = 10, c = 8, iters = 3,
+        nprobe = 4, rerank = 40)
+      val truth = Knn.knnJoin(q, b, 10, Metric.L2)
+      Recall.perQuery(got, truth, 10)
+    }),
     "recall_hnsw" -> ((s, dir) => {
       val b = embBase(s, dir)
       val q = embQueries(s, dir, 10)

@@ -169,6 +169,20 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(got.map(_._1).toSet === exact)
   }
 
+  test("IVF,SQ8 composition: exact at the degenerate point, high recall pruned") {
+    // nprobe = C and rerank = n: both approximations off → exact brute force
+    val full = IvfSq8.knn(queries, base, 10, c = 8, iters = 2,
+      nprobe = 8, rerank = base.count().toInt)
+      .select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    val t = truth.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(full === t)
+    // cluster pruning + quantization + modest rerank keeps recall useful
+    val pruned = IvfSq8.knn(queries, base, 10, c = 8, iters = 2,
+      nprobe = 4, rerank = 40)
+    val r = Recall.mean(pruned, truth, 10)
+    assert(r >= 0.8, s"ivf,sq8 recall $r at nprobe=4, rerank=40")
+  }
+
   test("resident HNSW probes equal the per-batch persisted probes") {
     val b = TagFilter.withTags(emb)
     val q = TagFilter.tagQueries(emb, 10)
