@@ -38,3 +38,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "vec_l2sq_int(a, b) - integer squared L2 between two ARRAY<SHORT> vectors"))
   }
 }
+
+/** Session-scoped registration for the whole-vector AGGREGATES (UDAFs ride
+  * the udf registry, not the extension injector): after
+  * `GraftFunctions.register(spark)`, `SELECT cid, vec_mean(vec) FROM t
+  * GROUP BY cid` aggregates ARRAY<FLOAT> columns in SQL with the same
+  * single-buffer map-side-combining Aggregators the index layer trains
+  * with. */
+object GraftFunctions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("vec_mean", graft.functions.VectorAggs.vecMean)
+    spark.udf.register("vec_minmax", graft.functions.VectorAggs.vecMinMax)
+  }
+}

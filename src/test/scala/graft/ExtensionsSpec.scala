@@ -16,6 +16,28 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getLong(2) === 200L * 200 + 255L * 255)
   }
 
+  test("whole-vector aggregates resolve from SQL and match the DataFrame path") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_agg")
+    val viaSql = spark.sql(
+      """SELECT label, vec_mean(embedding) AS m FROM emb_agg GROUP BY label""")
+      .as[(Int, Seq[Float])].collect().toMap
+    val viaDf = Tables.embeddings(spark, sfDir)
+      .groupBy("label")
+      .agg(graft.functions.VectorAggs.vecMean($"embedding").as("m"))
+      .as[(Int, Seq[Float])].collect().toMap
+    assert(viaSql.keySet === viaDf.keySet)
+    // same groups, same dims; means equal within float tolerance (partial
+    // combine order may differ between the two plans)
+    viaSql.foreach { case (label, m) =>
+      assert(m.length === viaDf(label).length)
+      m.zip(viaDf(label)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-4f, s"label $label differs: $a vs $b")
+      }
+    }
+  }
+
   test("a full SQL kNN query over parquet matches the DataFrame path") {
     import spark.implicits._
     Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb")
