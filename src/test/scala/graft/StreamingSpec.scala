@@ -160,6 +160,41 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(books(1).steps === Seq(RunbookStep("search")))
   }
 
+  test("YAML parser ingests the reference's own runbook files verbatim") {
+    // format-compatibility proof against the real artifacts; skipped when
+    // the reference checkout is absent (the library itself stays standalone)
+    val dir = new java.io.File("/root/reference/streaming")
+    assume(dir.isDirectory, "reference checkout not present")
+    val files = Seq("simple_runbook.yaml", "clustered_runbook.yaml", "delete_runbook.yaml")
+      .map(f => new java.io.File(dir, f)).filter(_.isFile)
+    assume(files.nonEmpty)
+    files.foreach { f =>
+      val books = Runbook.parseYaml(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      assert(books.nonEmpty, f.getName)
+      books.foreach { b =>
+        assert(b.maxPts > 0, s"${f.getName}/${b.dataset} max_pts")
+        assert(b.steps.nonEmpty, s"${f.getName}/${b.dataset} steps")
+        // the reference's complete op vocabulary — all executable by
+        // RunbookExecutor (re-insert-after-delete covers "replace" flows)
+        assert(b.steps.forall(s => Set("insert", "delete", "search")(s.op)),
+          s"${f.getName}/${b.dataset} ops: ${b.steps.map(_.op).distinct}")
+        // every insert/delete carries a sane [start, end) range
+        b.steps.filter(s => s.op == "insert" || s.op == "delete").foreach { s =>
+          assert(s.start >= 0 && s.end > s.start, s"${f.getName}/${b.dataset}: $s")
+        }
+      }
+    }
+    // the simple runbook's first dataset is the documented random-xs shape
+    val simple = Runbook.parseYaml(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "simple_runbook.yaml").toPath), "UTF-8"))
+    val xs = simple.find(_.dataset == "random-xs").get
+    assert(xs.maxPts === 10000L)
+    assert(xs.steps.take(3) === Seq(
+      RunbookStep("insert", 0, 10000), RunbookStep("search"),
+      RunbookStep("delete", 0, 5000)))
+  }
+
   test("streaming tumbling windows equal the batch aggregation (availableNow)") {
     val events = Tables.events(spark, sfDir)
     val batch = StreamingOps.eventsTumbling(events)
