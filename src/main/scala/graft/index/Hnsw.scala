@@ -113,11 +113,16 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100) extends Serializab
 
   /** Neighbor diversification (hnswalg.h:794-834 getNeighborsByHeuristic2):
     * walk candidates ascending by distance to the target; keep one only if
-    * it is closer to the target than to every already-kept neighbor. */
+    * it is closer to the target than to every already-kept neighbor. Then
+    * keepPrunedConnections (the paper's Alg. 4 option): top up below-cap
+    * selections with the closest pruned candidates — pure diversification
+    * can leave small graphs under-connected (and at worst disconnected),
+    * which shows up directly as recall loss on few-hundred-node partitions. */
   private def selectNeighborsHeuristic(candidates: collection.Seq[(Int, Double)],
                                        cap: Int): mutable.ArrayBuffer[Int] = {
     val sorted = candidates.sortBy(_._2)
     val kept = mutable.ArrayBuffer.empty[(Int, Double)]
+    val pruned = mutable.ArrayBuffer.empty[(Int, Double)]
     var i = 0
     while (i < sorted.length && kept.length < cap) {
       val (c, dC) = sorted(i)
@@ -127,8 +132,13 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100) extends Serializab
         if (dist(vecs(c), vecs(kept(j)._1)) < dC) good = false
         j += 1
       }
-      if (good) kept += ((c, dC))
+      if (good) kept += ((c, dC)) else pruned += ((c, dC))
       i += 1
+    }
+    var p = 0
+    while (kept.length < cap && p < pruned.length) {
+      kept += pruned(p)
+      p += 1
     }
     kept.map(_._1)
   }

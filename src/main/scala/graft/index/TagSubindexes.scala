@@ -1,0 +1,62 @@
+package graft.index
+
+import graft.operators.TagFilter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** X8 per-tag subindexes (the reference's hot-tag strategy,
+  * /root/reference/filter/faiss/faiss.py:268-337): for every tag whose
+  * document frequency is at or above `minFreqBp` basis points, build a
+  * dedicated partition-local HNSW over ONLY the matching rows, persisted
+  * under `path/tag=<t>`. A query on a hot tag then probes a dense purpose-
+  * built graph (no filtering needed inside — membership is the index) while
+  * rare tags stay on the posting-intersection path; this is exactly the
+  * two-regime split the reference's selectivity router makes.
+  *
+  * Shared payload: the reference shares one level-0 vector arena across its
+  * subindexes (hnswalg.h:34-65); here the shared store is the columnar
+  * parquet the graphs reference by id — subindex rows carry vectors for
+  * probe locality, and the authoritative copy stays deduplicated in the
+  * base table.
+  */
+object TagSubindexes {
+
+  /** Build + persist one graph per hot tag; returns the hot tag ids.
+    * `base` = (id, vec, tags). */
+  def build(base: DataFrame, path: String, minFreqBp: Long, m: Int = 16,
+            efConstruction: Int = 100, numPartitions: Int = 2): Seq[Int] = {
+    val hot = TagFilter.tagStats(base)
+      .where(col("freq_bp") >= minFreqBp)
+      .select("tag").collect().map(_.getInt(0)).sorted.toSeq
+    hot.foreach { t =>
+      HnswKnn.buildAndSave(
+        base.where(array_contains(col("tags"), t)).select("id", "vec"),
+        s"$path/tag=$t", m, efConstruction, numPartitions)
+    }
+    hot
+  }
+
+  /** Probe: route each single-tag query to its tag's subindex (queries =
+    * (qid, qvec, qtag)); tags without a subindex yield no rows — the caller
+    * routes those to the posting-intersection path, as the reference does.
+    * The per-tag query groups probe independently; results union. */
+  def probe(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+            efSearch: Int = 64): DataFrame = {
+    import spark.implicits._
+    val byTag = queries.select(col("qid").cast("long"), col("qvec"), col("qtag").cast("int"))
+      .as[(Long, Array[Float], Int)].collect()
+      .groupBy(_._3)
+    val built = new java.io.File(path).listFiles() match {
+      case null => Set.empty[Int]
+      case fs => fs.map(_.getName).collect { case s if s.startsWith("tag=") =>
+        s.stripPrefix("tag=").toInt }.toSet
+    }
+    val parts = byTag.toSeq.sortBy(_._1).collect {
+      case (tag, qs) if built(tag) =>
+        val qdf = qs.map { case (qid, qv, _) => (qid, qv) }.toSeq.toDF("qid", "qvec")
+        HnswKnn.probeSaved(spark, s"$path/tag=$tag", qdf, k, efSearch)
+    }
+    parts.reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rank"))
+  }
+}

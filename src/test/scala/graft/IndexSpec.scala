@@ -198,6 +198,36 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     resident.unload()
   }
 
+  test("per-hot-tag subindexes: membership is exact, recall matches the filtered scan") {
+    val b = TagFilter.withTags(emb).cache()
+    val path = java.nio.file.Files.createTempDirectory("graft-sub").resolve("idx").toString
+    // 500 bp catches every label tag on this data → all 10 query labels
+    // get subindexes (a label under the cut would route to the posting path
+    // and return no rows here — asserted below)
+    val hot = TagSubindexes.build(b, path, minFreqBp = 500, numPartitions = 2)
+    assert(hot.nonEmpty)
+    // contract: probing a tag with no subindex yields no rows, not an error
+    val missing = TagSubindexes.probe(spark, path,
+      emb.where($"vec_id" < 2).select($"vec_id".as("qid"),
+        $"embedding".as("qvec"), lit(9999).as("qtag")), k = 10)
+    assert(missing.count() === 0)
+    // single-tag queries: first derived tag of the first 10 vectors
+    val q = emb.where($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"),
+        $"label".cast("int").as("qtag")).cache()
+    val got = TagSubindexes.probe(spark, path, q, k = 10, efSearch = 64).cache()
+    // every neighbor carries the query's tag (membership by construction)
+    val bad = got.join(b, "id").join(q.select("qid", "qtag"), "qid")
+      .where(!array_contains($"tags", $"qtag"))
+    assert(bad.count() === 0)
+    // recall vs the exact single-tag filtered scan
+    val truthF = Knn.filteredKnn(
+      q.select($"qid", $"qvec", $"qtag".as("qlabel")),
+      b.select($"id", $"vec", $"tags".getItem(0).as("label")), 10)
+    val r = Recall.mean(got, truthF, 10)
+    assert(r >= 0.9, s"subindex recall $r")
+  }
+
   test("VectorIndex: flat and exhaustive IVF agree exactly; save/load dispatches by kind") {
     val tagged = TagFilter.withTags(emb).cache()
     val tq = TagFilter.tagQueries(emb, 10).cache()
