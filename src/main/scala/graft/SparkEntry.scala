@@ -190,6 +190,24 @@ object SparkEntry {
         thresholdBp = 1200))
     }),
 
+    // the COMPLETE planner with the graph branch live (faiss.py:361-426):
+    // a mixed batch — 2-tag queries (rarest ≈ 1000 bp → exact brute-force
+    // branch) and single-mod7-tag queries (1428 bp → one-stage graph
+    // branch) — recall-graded against the exact filtered scan, rows-only.
+    "filtered_knn_planner" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val twoTag = TagFilter.tagQueries(emb, 10)
+      val oneTag = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          array((lit(10) + pmod(col("vec_id") * 3 + 1, lit(7))).cast("int")).as("qtags"))
+      val q = twoTag.unionByName(oneTag)
+      val b = TagFilter.withTags(emb)
+      val got = graft.index.RoutedGraphKnn.knn(q, b, k = 10,
+        thresholdBp = 1200, efSearch = 64, numPartitions = 8)
+      val truth = TagFilter.filteredKnn(q, b, 10)
+      Recall.perQuery(got, truth, 10)
+    }),
+
     // the reference's yfcc semantics end-to-end: conjunctive 2-tag filter
     // AND uint8-quantized vectors with pure-integer L2 (faiss.py:361-426 +
     // space_l2.h:376-413 in one query)

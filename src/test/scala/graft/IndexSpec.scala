@@ -198,6 +198,25 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     resident.unload()
   }
 
+  test("routed planner with live graph branch: both regimes, recall >= 0.9") {
+    val b = TagFilter.withTags(emb)
+    val twoTag = TagFilter.tagQueries(emb, 10) // rarest ~1000bp → exact branch
+    val oneTag = emb.where($"vec_id" >= 10 && $"vec_id" < 20) // 1428bp → graph
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"),
+        array((lit(10) + pmod($"vec_id" * 3 + 1, lit(7))).cast("int")).as("qtags"))
+    val q = twoTag.unionByName(oneTag).cache()
+    val got = RoutedGraphKnn.knn(q, b, 10, thresholdBp = 1200,
+      efSearch = 64, numPartitions = 4).cache()
+    // every query answered (the one-stage guarantee covers the graph branch)
+    assert(got.select("qid").distinct().count() === q.count())
+    // every neighbor satisfies its query's conjunctive predicate
+    val bad = got.join(b, "id").join(q.select($"qid", $"qtags"), "qid")
+      .where(!forall($"qtags", t => array_contains($"tags", t)))
+    assert(bad.count() === 0)
+    val r = Recall.mean(got, TagFilter.filteredKnn(q, b, 10), 10)
+    assert(r >= 0.9, s"planner recall $r")
+  }
+
   test("per-hot-tag subindexes: membership is exact, recall matches the filtered scan") {
     val b = TagFilter.withTags(emb).cache()
     val path = java.nio.file.Files.createTempDirectory("graft-sub").resolve("idx").toString
