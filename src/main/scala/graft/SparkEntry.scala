@@ -146,6 +146,14 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 2)),
+    // connected components over the MinHash-LSH near-dup pairs → canonical
+    // cluster per doc (the dedup pipeline's final step); oracle = the same
+    // pair construction + a recursive reachability CTE.
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dupClusters(docs,
+        Dedup.minhashLsh(docs, n = 3, numSeeds = 16, rowsPerBand = 4, minBp = 5000))
+    }),
     // LSH-bucketed (the 100 TB path): integer hyperplane signatures →
     // 4×8-bit band candidates → exact cosine re-rank. The oracle replicates
     // the identical banding in SQL (integer signs are engine-exact), so this
@@ -553,6 +561,37 @@ object SparkEntry {
          |SELECT a_id, b_id, CAST((10000 * i) // (sa.nsh + sb.nsh - i) AS BIGINT) AS jaccard_bp
          |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
          |WHERE (10000 * i) // (sa.nsh + sb.nsh - i) >= 5000
+         |""".stripMargin,
+    // same LSH pair construction as dedup_minhash_lsh, then component
+    // labels via recursive reachability (min reachable doc_id)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |mh AS (SELECT doc_id, g.seed AS seed,
+         |              min(xor(('0x' || substr(md5(shingle), 1, 15))::BIGINT,
+         |                      ('0x' || substr(md5('seed:' || CAST(g.seed AS VARCHAR)), 1, 15))::BIGINT)) AS mh
+         |       FROM sh CROSS JOIN generate_series(0, 15) g(seed) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, seed // 4 AS band,
+         |                 string_agg(mh::VARCHAR, '-' ORDER BY seed) AS bkey
+         |          FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS i
+         |          FROM cand c
+         |          JOIN sh a ON a.doc_id = c.a_id
+         |          JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT a_id, b_id
+         |          FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |          WHERE (10000 * i) // (sa.nsh + sb.nsh - i) >= 5000),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
          |""".stripMargin,
     "dedup_simhash" -> (simhashSql + "SELECT doc_id, simhash FROM sig\n"),
     "dedup_simhash_pairs" -> (simhashSql +

@@ -239,6 +239,46 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Near-duplicate CLUSTERS: connected components over a near-dup pair set
+    * (e.g. [[minhashLsh]]'s output) — the canonicalization step every dedup
+    * pipeline ends with (keep one doc per component). Returns
+    * (doc_id, cluster_id) for EVERY doc; cluster_id = the component's
+    * minimum doc_id (singletons cluster to themselves).
+    *
+    * Iterative min-label propagation: label(v) ← min(label(v), labels of
+    * v's neighbors) until fixpoint. Labels only decrease, so convergence is
+    * detected by the (cheap, single-agg) label sum. Near-dup components
+    * have tiny diameters, so iterations stay in the single digits; each one
+    * shuffles the (small) edge set plus one labels pass — no driver-side
+    * graph. */
+  def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    var labels = docs.select(col("doc_id"),
+      col("doc_id").as("cluster_id")).persist()
+    var prevSum = labels.agg(sum("cluster_id")).head().getLong(0)
+    var converged = false
+    while (!converged) {
+      val neigh = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("nl")), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min("nl").as("nmin"))
+      val next = labels.join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      val nextSum = next.agg(sum("cluster_id")).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact embedding-space dedup scan: each vector's nearest other vector by
     * cosine (k=1, self excluded) — the all-pairs oracle baseline for
     * [[embeddingLshNearestNeighbor]], same role [[jaccardPairs]] plays for

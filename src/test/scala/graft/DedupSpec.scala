@@ -66,6 +66,35 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(p.where($"hamming" > 2).count() === 0)
   }
 
+  test("dupClusters: components labeled by min id; singletons self-labeled") {
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val got = Dedup.dupClusters(d, pairs).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+    // a chain forces label propagation across multiple iterations
+    val d2 = (1L to 8L).toDF("doc_id")
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got2 = Dedup.dupClusters(d2, chain).as[(Long, Long)].collect()
+    assert(got2.forall(_._2 == 1L), got2.mkString(","))
+  }
+
+  test("dupClusters over LSH pairs: consistent with the pair set") {
+    val pairs = Dedup.minhashLsh(docs, 3, 16, 4, 5000).cache()
+    val clusters = Dedup.dupClusters(docs, pairs).cache()
+    assert(clusters.count() === docs.count())
+    // paired docs always share a cluster
+    val lab = clusters.withColumnRenamed("doc_id", "x")
+    val broken = pairs
+      .join(lab.select($"x".as("a_id"), $"cluster_id".as("ca")), "a_id")
+      .join(lab.select($"x".as("b_id"), $"cluster_id".as("cb")), "b_id")
+      .where($"ca" =!= $"cb")
+    assert(broken.count() === 0)
+    // cluster label is a member of the cluster
+    val members = clusters.select($"cluster_id").distinct()
+      .join(clusters.select($"doc_id"), $"cluster_id" === $"doc_id", "left_anti")
+    assert(members.count() === 0)
+  }
+
   test("exact embedding NN dedup never returns self and returns one row per vector") {
     val emb = Tables.embeddings(spark, sfDir)
     val nn = Dedup.embeddingNearestNeighborExact(emb, 1).cache()
