@@ -162,6 +162,13 @@ object SparkEntry {
       knnResult(Dedup.embeddingLshNearestNeighbor(Tables.embeddings(s, dir),
         dim = 64, k = 1))),
 
+    // -- dataset assembly (training-data pipeline tail) ----------------------
+    "pipeline_split" -> ((s, dir) =>
+      Pipeline.deterministicSplit(Tables.documents(s, dir), "doc_id",
+        trainPct = 80, valPct = 10).select("doc_id", "bucket", "split")),
+    "pipeline_shards" -> ((s, dir) =>
+      Pipeline.packShards(Tables.documents(s, dir), budget = 2000)),
+
     // -- sparse track: MIPS over long-form (id, dim, v) ----------------------
     "sparse_mips" -> ((s, dir) => {
       val tf = Sparse.fromTermFreq(Tables.documents(s, dir))
@@ -634,6 +641,24 @@ object SparkEntry {
          |SELECT qid, neighbor_id, rank FROM ranked WHERE rank <= 1
          |""".stripMargin,
 
+    "pipeline_split" ->
+      """WITH b AS (SELECT doc_id,
+        |                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |           FROM documents)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b
+        |""".stripMargin,
+    "pipeline_shards" ->
+      s"""WITH $tokensCte,
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id),
+         |w AS (SELECT doc_id, n_tokens,
+         |             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+         |      FROM n)
+         |SELECT doc_id, n_tokens, cum_before // 2000 AS shard FROM w
+         |""".stripMargin,
     "sparse_mips" ->
       s"""WITH $tokensCte, $sparseTfCte,
          |q AS (SELECT id AS qid, dim, v AS qv FROM tf WHERE id < 10),

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Pipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  test("deterministic split: total partition, stable across runs, sane proportions") {
+    val s1 = Pipeline.deterministicSplit(docs, "doc_id", 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val s2 = Pipeline.deterministicSplit(docs, "doc_id", 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1 === s2, "split must be rerun-stable")
+    assert(s1.size === docs.count())
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size.toDouble / s1.size).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"train frac ${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) > 0.03, s"val frac ${frac.get("val")}")
+    assert(frac.getOrElse("test", 0.0) > 0.03, s"test frac ${frac.get("test")}")
+  }
+
+  test("shard packing: contiguous, budget-bounded up to one document") {
+    val budget = 2000L
+    val shards = Pipeline.packShards(docs, budget)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(shards.length === docs.count())
+    // shard ids are non-decreasing along doc order (contiguous packing)
+    assert(shards.map(_._3).toSeq === shards.map(_._3).sorted.toSeq)
+    // every shard's total stays under budget + its largest doc (the
+    // straddling doc is the only allowed overflow)
+    shards.groupBy(_._3).foreach { case (shard, ds) =>
+      val total = ds.map(_._2).sum
+      val maxDoc = ds.map(_._2).max
+      assert(total <= budget + maxDoc, s"shard $shard total $total")
+    }
+    // no empty shards in the id range
+    val ids = shards.map(_._3).distinct.sorted
+    assert(ids.toSeq === (ids.min to ids.max).toSeq)
+  }
+}
