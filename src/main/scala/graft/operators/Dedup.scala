@@ -252,30 +252,33 @@ object Dedup {
     * shuffles the (small) edge set plus one labels pass — no driver-side
     * graph. */
   def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // localCheckpoint (not persist) each round: iterative joins grow the
+    // lineage linearly, and re-analysis/replanning of the growing plan —
+    // not the data — dominates the loop's cost. Checkpointing truncates the
+    // plan to the materialized partitions. (At cluster scale pair state
+    // with reliable checkpointing; the dataflow is identical.)
     val edges = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist()
+      .localCheckpoint(true)
+    if (edges.isEmpty) return docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var labels = docs.select(col("doc_id"),
-      col("doc_id").as("cluster_id")).persist()
+      col("doc_id").as("cluster_id")).localCheckpoint(true)
     var prevSum = labels.agg(sum("cluster_id")).head().getLong(0)
     var converged = false
     while (!converged) {
       val neigh = edges
         .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("nl")), "src")
         .groupBy(col("dst").as("doc_id")).agg(min("nl").as("nmin"))
-      val next = labels.join(neigh, Seq("doc_id"), "left")
+      labels = labels.join(neigh, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
-        .persist()
-      val nextSum = next.agg(sum("cluster_id")).head().getLong(0)
-      labels.unpersist()
-      labels = next
+        .localCheckpoint(true)
+      val nextSum = labels.agg(sum("cluster_id")).head().getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
     }
-    edges.unpersist()
     labels
   }
 
