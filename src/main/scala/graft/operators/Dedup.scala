@@ -215,7 +215,14 @@ object Dedup {
     * hamming ≤ 3 flips at most 3 bytes, so near-dup pairs SHARE at least one
     * byte value. Candidates come from an equi-join on (band, byte) — the
     * shuffle is keyed on byte-band buckets, never all-pairs — and the exact
-    * Hamming check then verifies. Lossless for maxHamming ≤ 3. */
+    * Hamming check then verifies. Lossless for maxHamming ≤ 3.
+    *
+    * Scale note: 8-bit bands give ≤ 4·256 distinct bucket keys, so bucket
+    * populations grow with n/256 and the within-bucket pair check grows
+    * quadratically in them — fine to tens of millions of docs, after which
+    * the lossless-hamming construction needs longer signatures with more
+    * bands (multi-index hashing), or switch to [[minhashLsh]], whose
+    * content-derived band keys keep buckets corpus-size-independent. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       s"4-byte pigeonhole banding is lossless only for hamming <= 3, got $maxHamming")
