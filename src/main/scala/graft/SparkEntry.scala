@@ -657,7 +657,7 @@ object SparkEntry {
          |w AS (SELECT doc_id, n_tokens,
          |             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
          |      FROM n)
-         |SELECT doc_id, n_tokens, cum_before // 2000 AS shard FROM w
+         |SELECT doc_id, n_tokens, CAST(cum_before // 2000 AS BIGINT) AS shard FROM w
          |""".stripMargin,
     "sparse_mips" ->
       s"""WITH $tokensCte, $sparseTfCte,

@@ -85,14 +85,18 @@ object ClusterHistogram {
     * counts/offsets the reference's clustered data generator computes to
     * lay clusters out contiguously (/root/reference/streaming/
     * clustered_data_gen.py:10-42) and the IVF list-size stats faiss keeps
-    * per inverted list. One partial-aggregating shuffle keyed on cid plus a
-    * C-row window (C ≪ n, single tiny partition is fine). Input: any
-    * (id, cid) assignment. Returns (cid, cnt, offset). */
+    * per inverted list. One partial-aggregating shuffle keyed on cid, then
+    * exclusive prefix offsets via a triangular broadcast self-join over the
+    * C-row histogram (C ≪ n; C² pairs of tiny rows — no global window, so
+    * nothing ever funnels into one task). Input: any (id, cid) assignment.
+    * Returns (cid, cnt, offset). */
   def histogram(assigned: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = assigned.groupBy("cid").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy("cid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts.withColumn("offset", sum("cnt").over(w) - col("cnt"))
+    counts.as("a")
+      .join(broadcast(counts.select(col("cid").as("b_cid"), col("cnt").as("b_cnt"))),
+        col("b_cid") < col("a.cid"), "left")
+      .groupBy(col("a.cid").as("cid"), col("a.cnt").as("cnt"))
+      .agg(coalesce(sum("b_cnt"), lit(0L)).as("offset"))
       .select("cid", "cnt", "offset")
   }
 }

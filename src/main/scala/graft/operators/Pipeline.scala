@@ -32,18 +32,43 @@ object Pipeline {
     * packed greedily into shards of ≤ `budget` tokens by the cumulative
     * count — shard = floor(cum_before / budget), the deterministic
     * contiguous approximation of bin packing that sequence-packing
-    * pipelines use. One window over the id order; at scale the window
-    * partitions by a coarse range key and offsets compose (same
-    * construction as distributed zipWithIndex). Oversized docs get their
-    * own shard(s). Returns (doc_id, n_tokens, shard). */
+    * pipelines use.
+    *
+    * Distributed two-pass prefix sum — NOT a global `Window.orderBy`,
+    * which would funnel the whole corpus through one task. Pass 1:
+    * range-partition on doc_id, sort within partitions, and reduce each
+    * partition to its token total (numPartitions values — tiny). Pass 2:
+    * broadcast the exclusive prefix of those totals and stream each
+    * partition once, carrying a running sum seeded at its offset. Same
+    * construction as distributed zipWithIndex / `ClusterPermute
+    * .permutation`; the range shuffle is written once and re-read by both
+    * passes. Oversized docs get their own shard(s). Returns
+    * (doc_id, n_tokens, shard). */
   def packShards(docs: DataFrame, budget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = Text.tokenStats(docs).select("doc_id", "n_tokens")
-    val w = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts
-      .withColumn("cum_before", sum("n_tokens").over(w) - col("n_tokens"))
-      .withColumn("shard", expr(s"cum_before div $budget"))
-      .select("doc_id", "n_tokens", "shard")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    val counts = Text.tokenStats(docs)
+      .select(col("doc_id").cast("long"), col("n_tokens").cast("long"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val partTotals = counts
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partTotals.scanLeft(0L)(_ + _))
+    val rows = counts.mapPartitionsWithIndex { (i, it) =>
+      var running = offsets.value(i)
+      it.map { case (id, n) =>
+        val before = running; running += n
+        org.apache.spark.sql.Row(id, n, before / budget)
+      }
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_tokens", LongType),
+      StructField("shard", LongType))))
   }
 }
