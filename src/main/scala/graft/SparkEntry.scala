@@ -316,6 +316,18 @@ object SparkEntry {
       val truth = Knn.knnJoin(q, b, 10, Metric.L2)
       Recall.perQuery(got, truth, 10)
     }),
+    // ip-metric graph ANN — the OOD track's flagship max-inner-product
+    // search (text2image semantics, /root/reference/ood/base.py:3,
+    // ood/diskann/diskann-in-mem.py:48-56) on the graph path; recall
+    // graded against exact brute-force MIPS.
+    "recall_hnsw_ip" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val q = embQueries(s, dir, 10)
+      val got = graft.index.HnswKnn.knn(q, b, k = 10, efSearch = 128,
+        numPartitions = 8, metric = Metric.Ip)
+      val truth = Knn.knnJoin(q, b, 10, Metric.Ip)
+      Recall.perQuery(got, truth, 10)
+    }),
     // HNSW is approximate → rows-only driver check; recall graded in tests.
     "ann_hnsw" -> ((s, dir) =>
       knnResult(graft.index.HnswKnn.knn(

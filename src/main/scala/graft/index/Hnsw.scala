@@ -30,10 +30,23 @@ import scala.collection.mutable
   *    not intra-index threads (the reference's per-query OMP=1 choice,
   *    faiss.py:374, makes the same call).
   */
-final class HnswIndex(m: Int = 16, efConstruction: Int = 100) extends Serializable {
+final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
+                      metric: String = "l2") extends Serializable {
   private val maxM = m
   private val maxM0 = 2 * m
   private val levelMult = 1.0 / math.log(m.toDouble)
+  // ip = max-inner-product as NEGATED dot, so smaller is always better and
+  // one best-first traversal serves both metrics — hnswlib's
+  // InnerProductSpace makes the same 1−ip / −ip transformation
+  // (/root/reference/filter/hnsw/space_ip.h; OOD track flagship metric,
+  // /root/reference/ood/base.py:3). Not a true metric, but graph ANN under
+  // negated-ip is the standard MIPS construction the reference ships.
+  private val ipMetric = metric match {
+    case "l2" => false
+    case "ip" => true
+    case other => throw new IllegalArgumentException(
+      s"unknown HNSW metric: $other (expected l2 | ip)")
+  }
 
   private val ids = mutable.ArrayBuffer.empty[Long]
   private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
@@ -48,7 +61,11 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100) extends Serializab
   private def dist(a: Array[Float], b: Array[Float]): Double = {
     var acc = 0.0; var i = 0
     val n = math.min(a.length, b.length)
-    while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    if (ipMetric) {
+      while (i < n) { acc -= a(i).toDouble * b(i).toDouble; i += 1 }
+    } else {
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    }
     acc
   }
 
@@ -236,8 +253,9 @@ object HnswIndex {
     * directly, so loading costs O(n) deserialization, not O(n log n)
     * graph construction. `nodes` must be in the original insertion order. */
   def fromState(nodes: IndexedSeq[(Long, Array[Float], Int, Array[Array[Int]])],
-                entryPoint: Int, maxLevel: Int): HnswIndex = {
-    val idx = new HnswIndex()
+                entryPoint: Int, maxLevel: Int,
+                metric: String = "l2"): HnswIndex = {
+    val idx = new HnswIndex(metric = metric)
     nodes.foreach { case (id, v, lvl, lk) =>
       idx.ids += id; idx.vecs += v; idx.levels += lvl
       idx.links += lk.map(a => mutable.ArrayBuffer.from(a))

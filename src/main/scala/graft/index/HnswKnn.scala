@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
 final case class HnswNodeRow(part: Int, seq: Int, id: Long, vec: Array[Float],
                              tags: Array[Int], level: Int,
                              links: Array[Array[Int]],
-                             entryPoint: Int, maxLevel: Int)
+                             entryPoint: Int, maxLevel: Int,
+                             metric: String)
 
 /** Executor-resident loaded HNSW index (see [[HnswKnn.loadResident]]):
   * probes are narrow maps over persisted graph objects. Results equal
@@ -94,10 +95,12 @@ object HnswKnn {
     true
   }
 
-  /** Plain ANN top-k join: (qid, id, dist, rank). */
+  /** Plain ANN top-k join: (qid, id, dist, rank). `metric` = l2 | ip
+    * (negated max-inner-product — the OOD track's flagship metric,
+    * /root/reference/ood/base.py:3, diskann-in-mem.py:48-56). */
   def knn(queries: DataFrame, base: DataFrame, k: Int, m: Int = 16,
           efConstruction: Int = 100, efSearch: Int = 64,
-          numPartitions: Int = 8): DataFrame = {
+          numPartitions: Int = 8, metric: String = "l2"): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     val qs = queries
@@ -109,7 +112,7 @@ object HnswKnn {
       .sortWithinPartitions("id") // deterministic insertion order
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val idx = new HnswIndex(m, efConstruction)
+        val idx = new HnswIndex(m, efConstruction, metric)
         it.foreach { case (id, v) => idx.add(id, v) }
         bq.value.iterator.flatMap { case (qid, qv) =>
           idx.search(qv, k, efSearch).iterator.map { case (id, d) => (qid, id, d) }
@@ -181,7 +184,8 @@ object HnswKnn {
     * partitioned by `part`. `base` needs (id, vec) and may carry a
     * `tags ARRAY<INT>` column for filtered probes. */
   def buildAndSave(base: DataFrame, path: String, m: Int = 16,
-                   efConstruction: Int = 100, numPartitions: Int = 8): Unit = {
+                   efConstruction: Int = 100, numPartitions: Int = 8,
+                   metric: String = "l2"): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
     val withTags =
@@ -196,12 +200,13 @@ object HnswKnn {
       .mapPartitions { it =>
         val part = TaskContext.getPartitionId()
         val rows = it.toArray
-        val idx = new HnswIndex(m, efConstruction)
+        val idx = new HnswIndex(m, efConstruction, metric)
         rows.foreach { case (id, v, _) => idx.add(id, v) }
         val (ep, ml) = idx.entryState
         idx.exportNodes.iterator.zipWithIndex.map {
           case ((id, vec, level, links), seq) =>
-            HnswNodeRow(part, seq, id, vec, rows(seq)._3, level, links, ep, ml)
+            HnswNodeRow(part, seq, id, vec, rows(seq)._3, level, links, ep, ml,
+              metric)
         }
       }
     nodes.toDF().write.mode("overwrite").partitionBy("part").parquet(path)
@@ -245,7 +250,7 @@ object HnswKnn {
         val arr = rows.toArray.sortBy(_.seq)
         val idx = HnswIndex.fromState(
           arr.map(r => (r.id, r.vec, r.level, r.links)).toIndexedSeq,
-          arr.head.entryPoint, arr.head.maxLevel)
+          arr.head.entryPoint, arr.head.maxLevel, arr.head.metric)
         (idx, arr.map(r => r.id -> r.tags).toMap)
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -264,7 +269,7 @@ object HnswKnn {
         val rows = it.toArray.sortBy(_.seq)
         val idx = HnswIndex.fromState(
           rows.map(r => (r.id, r.vec, r.level, r.links)).toIndexedSeq,
-          rows.head.entryPoint, rows.head.maxLevel)
+          rows.head.entryPoint, rows.head.maxLevel, rows.head.metric)
         val tagMap: Long => Array[Int] =
           if (filtered) rows.map(r => r.id -> r.tags).toMap else _ => Array.empty
         bq.value.iterator.flatMap { case (qid, qv, qt) =>

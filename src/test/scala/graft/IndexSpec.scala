@@ -90,6 +90,27 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(r >= 0.95, s"hnsw recall $r at efSearch=48")
   }
 
+  test("ip-metric HNSW recalls exact brute-force MIPS") {
+    // the OOD track's max-inner-product metric on the graph path
+    val ipTruth = Knn.knnJoin(queries, base, 10, Metric.Ip)
+    val got = HnswKnn.knn(queries, base, 10, efSearch = 128,
+      numPartitions = 4, metric = Metric.Ip)
+    val r = Recall.mean(got, ipTruth, 10)
+    assert(r >= 0.9, s"ip hnsw recall $r at efSearch=128")
+  }
+
+  test("ip-metric persisted graph probes with the stored metric") {
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw-ip")
+      .resolve("idx").toString
+    HnswKnn.buildAndSave(base, path, numPartitions = 4, metric = Metric.Ip)
+    def rs(df: DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    val mem = rs(HnswKnn.knn(queries, base, 10, efSearch = 64,
+      numPartitions = 4, metric = Metric.Ip))
+    val persisted = rs(HnswKnn.probeSaved(spark, path, queries, 10, efSearch = 64))
+    assert(persisted === mem)
+  }
+
   test("HNSW search is deterministic across rebuilds") {
     def run(): Set[(Long, Long, Long)] =
       HnswKnn.knn(queries, base, 10, efSearch = 64, numPartitions = 4)
