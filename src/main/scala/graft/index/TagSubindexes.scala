@@ -22,18 +22,47 @@ import org.apache.spark.sql.functions._
 object TagSubindexes {
 
   /** Build + persist one graph per hot tag; returns the hot tag ids.
-    * `base` = (id, vec, tags). */
+    * `base` = (id, vec, tags). Per-tag builds are independent Spark jobs,
+    * so they submit CONCURRENTLY (the scheduler interleaves them across
+    * executor slots — at the reference's ~300 hot tags a sequential loop
+    * would serialize 300 small jobs behind each other). `buildParallelism`
+    * bounds the in-flight jobs so driver memory stays flat. */
   def build(base: DataFrame, path: String, minFreqBp: Long, m: Int = 16,
-            efConstruction: Int = 100, numPartitions: Int = 2): Seq[Int] = {
+            efConstruction: Int = 100, numPartitions: Int = 2,
+            buildParallelism: Int = 8): Seq[Int] = {
     val hot = TagFilter.tagStats(base)
       .where(col("freq_bp") >= minFreqBp)
       .select("tag").collect().map(_.getInt(0)).sorted.toSeq
-    hot.foreach { t =>
-      HnswKnn.buildAndSave(
-        base.where(array_contains(col("tags"), t)).select("id", "vec"),
-        s"$path/tag=$t", m, efConstruction, numPartitions)
-    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(buildParallelism, hot.size.max(1))))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val builds = hot.map { t =>
+        scala.concurrent.Future {
+          HnswKnn.buildAndSave(
+            base.where(array_contains(col("tags"), t)).select("id", "vec"),
+            s"$path/tag=$t", m, efConstruction, numPartitions)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(builds),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     hot
+  }
+
+  /** List the tags with a persisted subindex under `path`, via the Hadoop
+    * FileSystem API — `java.io.File` would return null on HDFS/S3 paths and
+    * silently disable every hot-tag route. A missing registry directory is
+    * an empty registry (nothing built yet), not an error. */
+  private[index] def builtTags(spark: SparkSession, path: String): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .collect { case s if s.startsWith("tag=") => s.stripPrefix("tag=").toInt }
+      .toSet
   }
 
   /** Probe: route each single-tag query to its tag's subindex (queries =
@@ -46,11 +75,7 @@ object TagSubindexes {
     val byTag = queries.select(col("qid").cast("long"), col("qvec"), col("qtag").cast("int"))
       .as[(Long, Array[Float], Int)].collect()
       .groupBy(_._3)
-    val built = new java.io.File(path).listFiles() match {
-      case null => Set.empty[Int]
-      case fs => fs.map(_.getName).collect { case s if s.startsWith("tag=") =>
-        s.stripPrefix("tag=").toInt }.toSet
-    }
+    val built = builtTags(spark, path)
     val parts = byTag.toSeq.sortBy(_._1).collect {
       case (tag, qs) if built(tag) =>
         val qdf = qs.map { case (qid, qv, _) => (qid, qv) }.toSeq.toDF("qid", "qvec")

@@ -54,10 +54,12 @@ object Dedup {
     * ultra-frequent shingles first (stopword n-grams carry no dedup
     * signal) — see [[minhashLsh]] for the bounded-fan-out variant.
     *
-    * CACHING CONTRACT: the shingle set is persisted (it feeds three plan
-    * branches) and stays persisted after the returned frame's action — the
-    * caller owns cleanup (`spark.sqlContext.clearCache()` or unpersist by
-    * plan), as Bench/Verify do between queries. */
+    * The shingle set is persisted internally (it feeds three plan
+    * branches); the pair set is computed EAGERLY (localCheckpoint) so the
+    * shingle cache can be released before returning — no caching contract
+    * leaks to the caller, and the returned frame's lineage is truncated
+    * (the pair set is the operator's output; a dedup pipeline materializes
+    * it regardless). */
   def jaccardPairs(docs: DataFrame, n: Int, minBp: Int,
                    maxDf: Int = Int.MaxValue): DataFrame = {
     // the shingle set feeds three plan branches (a-side, b-side, sizes);
@@ -80,8 +82,11 @@ object Dedup {
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")), "shingle")
       .where(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    jaccardOf(inter, sz).where(col("jaccard_bp") >= minBp)
+    val pairs = jaccardOf(inter, sz).where(col("jaccard_bp") >= minBp)
       .select("a_id", "b_id", "jaccard_bp")
+      .localCheckpoint(true) // eager: materialize pairs, then free shingles
+    sh0.unpersist()
+    pairs
   }
 
   /** (a_id, b_id, inter) × per-doc sizes → integer basis-point Jaccard. */

@@ -59,6 +59,49 @@ object Runbook {
     flush()
     books.result()
   }
+
+  /** Rescale a runbook's id ranges into [0, n): every boundary maps to
+    * floor(b · n / maxEnd). The reference's runbooks address dataset-sized
+    * id spaces (random-xs ~8k, msturing 10M); replaying them against a
+    * smaller table keeps the exact insert/delete/search INTERLEAVING and
+    * relative range widths — the properties the recall grade measures —
+    * while touching ids that exist. maxPts scales identically so the
+    * occupancy-triggered consolidations fire at the same relative points. */
+  def scaled(rb: Runbook, n: Long): Runbook = {
+    val maxEnd = math.max(rb.steps.map(_.end).max, 1L)
+    def m(x: Long) = x * n / maxEnd
+    Runbook(rb.dataset, math.max(m(rb.maxPts), 1L), rb.steps.map { s =>
+      if (s.op == "search") s else RunbookStep(s.op, m(s.start), m(s.end))
+    })
+  }
+}
+
+/** End-to-end graded replay of a (reference) runbook: run every step in
+  * GRAPH mode (persisted HNSW + tombstone-aware probes) and grade each
+  * search checkpoint against the exact live-set kNN — the reference's
+  * streaming-track protocol (streaming/run.py + recall grading,
+  * BASELINE row 4; the reference reports recall@10 ≈ 0.92 for the
+  * msturing delete runbook). */
+object RunbookReplay {
+
+  /** Returns one row per search checkpoint: (checkpoint, recall_bp). */
+  def graded(source: DataFrame, queries: DataFrame, rb: Runbook,
+             k: Int = 10, efSearch: Int = 128,
+             consolidateAt: Long = 1000L): DataFrame = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    val gp = java.nio.file.Files.createTempDirectory("graft-replay")
+      .resolve("idx").toString
+    val graphExec = new RunbookExecutor(source, queries, k, consolidateAt,
+      rb.maxPts, Some(gp), efSearch)
+    val exactExec = new RunbookExecutor(source, queries, k, consolidateAt,
+      rb.maxPts)
+    val got = graphExec.run(rb.steps)
+    val truth = exactExec.run(rb.steps)
+    got.keys.toSeq.sorted.map { cp =>
+      (cp, math.round(graft.operators.Recall.mean(got(cp), truth(cp), k) * 10000))
+    }.toDF("checkpoint", "recall_bp")
+  }
 }
 
 /** Structured Streaming form of the runbook executor: the op log arrives as
@@ -133,10 +176,26 @@ final class RunbookExecutor(
     queries: DataFrame, // (qid, qvec)
     k: Int = 10,
     consolidateAt: Long = 1000L,
-    maxPts: Long = Long.MaxValue) {
+    maxPts: Long = Long.MaxValue,
+    graphPath: Option[String] = None, // serve searches from a persisted HNSW
+    efSearch: Int = 128) {
+
+  /** Number of graph artifact (re)builds — deletes alone must never bump
+    * this (tombstone-aware probes serve post-delete without rebuild;
+    * asserted in StreamingSpec). */
+  var graphBuilds: Int = 0
 
   /** Run all steps; returns (stepIndex → search result) for every search
-    * checkpoint, each (qid, id, dist, rank). */
+    * checkpoint, each (qid, id, dist, rank).
+    *
+    * With `graphPath` set, searches probe a PERSISTED HNSW graph instead of
+    * the exact scan: the graph is built over the live set at the first
+    * search (and rebuilt only after inserts or compaction change the live
+    * set), while deletes between builds are honored IN-TRAVERSAL as a
+    * broadcast tombstone set — the reference's lazy DELETE_MARK design
+    * (streaming/diskann/diskann-str.py:83-99, hnswalg.h:1392-1425): a
+    * delete-heavy interval costs zero rebuilds, and the tombstone broadcast
+    * is bounded by `consolidateAt` because compaction clears it. */
   def run(steps: Seq[RunbookStep]): Map[Int, DataFrame] = {
     val spark = source.sparkSession
     import spark.implicits._
@@ -144,6 +203,8 @@ final class RunbookExecutor(
     var insertedLogRows = 0L // rows in the insert log (live + pending dupes)
     var tombstones: DataFrame = Seq.empty[(Long, Long)].toDF("id", "seq")
     var nTombstones = 0L
+    var graphFresh = false // graph artifact covers the current live∪tomb set
+    var graphTomb = Set.empty[Long] // ids deleted since the last graph build
     val checkpoints = Map.newBuilder[Int, DataFrame]
 
     // an id is live iff its most recent op is an insert
@@ -155,12 +216,15 @@ final class RunbookExecutor(
         .select("id")
     }
 
-    // materialize the net live set, clear both logs
+    // materialize the net live set, clear both logs; the graph artifact
+    // (if any) is compacted away with them — next search rebuilds it over
+    // the consolidated live set (consolidate_delete semantics)
     def consolidate(seq: Long): Unit = {
       inserted = liveIds.withColumn("seq", lit(seq)).cache()
       insertedLogRows = inserted.count()
       tombstones = Seq.empty[(Long, Long)].toDF("id", "seq")
       nTombstones = 0L
+      graphFresh = false
     }
 
     steps.zipWithIndex.foreach { case (step, i) =>
@@ -177,6 +241,7 @@ final class RunbookExecutor(
             consolidate(seq)
           inserted = inserted.unionByName(batch)
           insertedLogRows += batchRows
+          if (batchRows > 0) graphFresh = false // new nodes: graph is stale
         case "delete" =>
           val newTombstones =
             inserted.where(col("id") >= step.start && col("id") < step.end)
@@ -185,10 +250,29 @@ final class RunbookExecutor(
           // count; ids already tombstoned count once more only if re-marked)
           nTombstones += newTombstones.count()
           tombstones = tombstones.unionByName(newTombstones)
+          if (graphPath.isDefined && graphFresh)
+            // lazy delete: mark, don't rebuild (bounded by consolidateAt)
+            graphTomb ++= newTombstones.select("id").as[Long].collect()
           if (nTombstones >= consolidateAt) consolidate(seq)
         case "search" =>
-          val liveVecs = liveIds.join(source, "id")
-          checkpoints += i -> Knn.knnJoin(queries, liveVecs, k, Metric.L2)
+          graphPath match {
+            case Some(gp) =>
+              if (!graphFresh) {
+                // each rebuild gets its own immutable build=N directory:
+                // checkpoint DataFrames are lazy, and overwriting one path
+                // would yank files out from under earlier checkpoints'
+                // scans (index generations, not in-place mutation)
+                val liveVecs = liveIds.join(source, "id").select("id", "vec")
+                graphBuilds += 1
+                graft.index.HnswKnn.buildAndSave(liveVecs, s"$gp/build=$graphBuilds")
+                graphTomb = Set.empty; graphFresh = true
+              }
+              checkpoints += i -> graft.index.HnswKnn.probeSaved(
+                spark, s"$gp/build=$graphBuilds", queries, k, efSearch, graphTomb)
+            case None =>
+              val liveVecs = liveIds.join(source, "id")
+              checkpoints += i -> Knn.knnJoin(queries, liveVecs, k, Metric.L2)
+          }
         case other =>
           throw new IllegalArgumentException(s"unknown runbook op: $other")
       }

@@ -33,6 +33,77 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(cps(3).where($"id" < 50).count() === 0)
   }
 
+  test("runbook graph mode: deletes served tombstone-aware, zero rebuilds") {
+    // build → delete → probe: the persisted graph must serve the
+    // post-delete checkpoint WITHOUT rebuild (DELETE_MARK semantics,
+    // diskann-str.py:83-99) — deleted ids excluded in-traversal.
+    val gp = java.nio.file.Files.createTempDirectory("graft-rb-graph")
+      .resolve("idx").toString
+    val exec = new RunbookExecutor(source, queries, k = 5,
+      consolidateAt = 1000000, graphPath = Some(gp))
+    val cps = exec.run(Seq(
+      RunbookStep("insert", 0, 200),
+      RunbookStep("search"), // builds the graph over [0,200)
+      RunbookStep("delete", 0, 80),
+      RunbookStep("search"), // same artifact + tombstones [0,80)
+      RunbookStep("delete", 80, 120),
+      RunbookStep("search"))) // same artifact, tombstones [0,120)
+    assert(exec.graphBuilds === 1,
+      s"deletes must not rebuild the graph (built ${exec.graphBuilds}x)")
+    // tombstoned ids never surface
+    assert(cps(3).where($"id" < 80).count() === 0)
+    assert(cps(5).where($"id" < 120).count() === 0)
+    // and the approximate probe still recalls the exact live-set answer
+    def truthOver(lo: Long, hi: Long) =
+      Knn.knnJoin(queries, source.where($"id" >= lo && $"id" < hi), 5, Metric.L2)
+    assert(Recall.mean(cps(1), truthOver(0, 200), 5) >= 0.9)
+    assert(Recall.mean(cps(3), truthOver(80, 200), 5) >= 0.9)
+    assert(Recall.mean(cps(5), truthOver(120, 200), 5) >= 0.9)
+  }
+
+  test("runbook graph mode: insert after delete rebuilds once and re-lives ids") {
+    val gp = java.nio.file.Files.createTempDirectory("graft-rb-graph2")
+      .resolve("idx").toString
+    val exec = new RunbookExecutor(source, queries, k = 5,
+      consolidateAt = 1000000, graphPath = Some(gp))
+    val cps = exec.run(Seq(
+      RunbookStep("insert", 0, 150),
+      RunbookStep("search"), // build #1
+      RunbookStep("delete", 0, 50),
+      RunbookStep("insert", 0, 30), // re-insert: stale graph
+      RunbookStep("search"))) // build #2 over [0,30) ∪ [50,150)
+    assert(exec.graphBuilds === 2)
+    assert(cps(4).where($"id" >= 30 && $"id" < 50).count() === 0)
+    val truth = Knn.knnJoin(queries,
+      source.where(($"id" >= 0 && $"id" < 30) || ($"id" >= 50 && $"id" < 150)),
+      5, Metric.L2)
+    assert(Recall.mean(cps(4), truth, 5) >= 0.9)
+  }
+
+  test("reference delete_runbook replays end-to-end, mean recall >= 0.9 (sf0.1)") {
+    // BASELINE row 4 at reduced scale: the reference's own
+    // streaming/delete_runbook.yaml (random-xs-clustered: 64 search
+    // checkpoints, interleaved inserts/deletes, max_pts-triggered
+    // consolidations), ranges scaled into the sf0.1 id space, every
+    // checkpoint graded against the exact live-set kNN.
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/streaming/delete_runbook.yaml")))
+    val rb0 = Runbook.parseYaml(yaml).head
+    assert(rb0.dataset === "random-xs-clustered")
+    val src01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select($"vec_id".as("id"), $"embedding".as("vec")).cache()
+    val q01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .where($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec")).cache()
+    val rb = Runbook.scaled(rb0, src01.count())
+    val graded = RunbookReplay.graded(src01, q01, rb, k = 10, efSearch = 128)
+      .cache()
+    assert(graded.count() === rb.steps.count(_.op == "search"))
+    val mean = graded.agg(avg($"recall_bp")).head().getDouble(0) / 10000.0
+    assert(mean >= 0.9, s"mean replay recall $mean")
+    src01.unpersist(); q01.unpersist()
+  }
+
   test("runbook: consolidation does not change results") {
     val steps = Seq(
       RunbookStep("insert", 0, 200),
