@@ -316,6 +316,18 @@ object SparkEntry {
       val truth = Knn.knnJoin(q, b, 10, Metric.L2)
       Recall.perQuery(got, truth, 10)
     }),
+    // SQ8-coded graph + exact re-rank (the reference's uint8-arena memory
+    // model, hnswalg.h:132-136): integer traversal distances over a 4×
+    // smaller resident graph; recall-graded rows-only.
+    "recall_hnsw_sq8" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val q = embQueries(s, dir, 10)
+      val (mins, spans) = graft.index.Sq8.train(b)
+      val got = graft.index.HnswKnn.knnSq8(q, b, k = 10, rerank = 40,
+        mins, spans, efSearch = 128, numPartitions = 8)
+      val truth = Knn.knnJoin(q, b, 10, Metric.L2)
+      Recall.perQuery(got, truth, 10)
+    }),
     // ip-metric graph ANN — the OOD track's flagship max-inner-product
     // search (text2image semantics, /root/reference/ood/base.py:3,
     // ood/diskann/diskann-in-mem.py:48-56) on the graph path; recall

@@ -31,7 +31,9 @@ import scala.collection.mutable
   *    faiss.py:374, makes the same call).
   */
 final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
-                      metric: String = "l2") extends Serializable {
+                      metric: String = "l2",
+                      quant: Option[(Array[Double], Array[Double])] = None)
+    extends Serializable {
   private val maxM = m
   private val maxM0 = 2 * m
   private val levelMult = 1.0 / math.log(m.toDouble)
@@ -49,7 +51,8 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
   }
 
   private val ids = mutable.ArrayBuffer.empty[Long]
-  private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+  private val vecs = mutable.ArrayBuffer.empty[Array[Float]] // float mode
+  private val codes = mutable.ArrayBuffer.empty[Array[Byte]] // sq8 mode
   private val levels = mutable.ArrayBuffer.empty[Int]
   // links(node)(level) = neighbor node indices
   private val links = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
@@ -58,7 +61,37 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
 
   def size: Int = ids.length
 
-  private def dist(a: Array[Float], b: Array[Float]): Double = {
+  /** SQ8 storage (hnswalg.h:132-136 memory model: the graph keeps uint8
+    * codes, traversal distances are integer): present iff `quant` is set.
+    * Code = round(255·(x−min_d)/span_d) clamped to [0,255], one byte per
+    * dimension — 4× smaller resident vectors than float32. Queries are
+    * encoded ONCE per search (unclamped ints — query values may fall
+    * outside the trained range; clamping them would distort rank order).
+    * Traversal distances are then approximate; callers re-rank the
+    * returned candidates exactly against the float rows (the dataflow
+    * does — [[HnswKnn.knnSq8]]), which is the reference's SQ8+refine
+    * composition. */
+  private val quantized = quant.isDefined
+
+  private def encodeNode(v: Array[Float]): Array[Byte] = {
+    val (mins, spans) = quant.get
+    val out = new Array[Byte](v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = math.round(255.0 * (v(i).toDouble - mins(i)) / spans(i)).toInt
+      out(i) = math.max(0, math.min(255, c)).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def encodeQuery(v: Array[Float]): Array[Int] = {
+    val (mins, spans) = quant.get
+    Array.tabulate(v.length)(i =>
+      math.round(255.0 * (v(i).toDouble - mins(i)) / spans(i)).toInt)
+  }
+
+  private def distF(a: Array[Float], b: Array[Float]): Double = {
     var acc = 0.0; var i = 0
     val n = math.min(a.length, b.length)
     if (ipMetric) {
@@ -69,6 +102,40 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
     acc
   }
 
+  /** Integer distance over (query ints, node codes) — pure long
+    * accumulation, no float rounding in the traversal hot path. */
+  private def distQ(a: Array[Int], b: Array[Byte]): Double = {
+    var acc = 0L; var i = 0
+    val n = math.min(a.length, b.length)
+    if (ipMetric) {
+      while (i < n) { acc -= a(i).toLong * (b(i) & 0xFF); i += 1 }
+    } else {
+      while (i < n) { val d = (a(i) - (b(i) & 0xFF)).toLong; acc += d * d; i += 1 }
+    }
+    acc.toDouble
+  }
+
+  /** A query prepared for this index's storage mode. */
+  private final class Prep(val f: Array[Float], val q: Array[Int])
+  private def prep(v: Array[Float]): Prep =
+    if (quantized) new Prep(null, encodeQuery(v)) else new Prep(v, null)
+  /** prepared-query → node distance */
+  private def dist(p: Prep, n: Int): Double =
+    if (quantized) distQ(p.q, codes(n)) else distF(p.f, vecs(n))
+  /** node → node distance */
+  private def ndist(a: Int, b: Int): Double =
+    if (quantized) distQ8(codes(a), codes(b)) else distF(vecs(a), vecs(b))
+  private def distQ8(a: Array[Byte], b: Array[Byte]): Double = {
+    var acc = 0L; var i = 0
+    val n = math.min(a.length, b.length)
+    if (ipMetric) {
+      while (i < n) { acc -= (a(i) & 0xFF).toLong * (b(i) & 0xFF); i += 1 }
+    } else {
+      while (i < n) { val d = ((a(i) & 0xFF) - (b(i) & 0xFF)).toLong; acc += d * d; i += 1 }
+    }
+    acc.toDouble
+  }
+
   private def randomLevel(id: Long): Int = {
     val rng = new java.util.Random(id * 2654435761L + 987654321L)
     val u = math.max(rng.nextDouble(), 1e-12)
@@ -77,9 +144,9 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
 
   /** Best-first search on one layer from `ep`, beam width `ef`.
     * Returns (nodeIdx, dist) ascending by dist, at most ef entries. */
-  private def searchLayer(q: Array[Float], ep: Int, ef: Int, level: Int): mutable.ArrayBuffer[(Int, Double)] = {
+  private def searchLayer(q: Prep, ep: Int, ef: Int, level: Int): mutable.ArrayBuffer[(Int, Double)] = {
     val visited = mutable.HashSet[Int](ep)
-    val epDist = dist(q, vecs(ep))
+    val epDist = dist(q, ep)
     // candidates: min-heap by dist; results: max-heap by dist (bounded by ef)
     implicit val ordAsc: Ordering[(Int, Double)] = Ordering.by[(Int, Double), Double](_._2).reverse
     val candidates = mutable.PriorityQueue[(Int, Double)]((ep, epDist))
@@ -95,7 +162,7 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
           val e = neigh(i)
           if (!visited.contains(e)) {
             visited += e
-            val d = dist(q, vecs(e))
+            val d = dist(q, e)
             if (results.size < ef || d < results.head._2) {
               candidates.enqueue((e, d))
               results.enqueue((e, d))
@@ -111,16 +178,16 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
   }
 
   /** Greedy single-step descent used on layers above the target. */
-  private def greedyStep(q: Array[Float], start: Int, level: Int): Int = {
+  private def greedyStep(q: Prep, start: Int, level: Int): Int = {
     var cur = start
-    var curDist = dist(q, vecs(cur))
+    var curDist = dist(q, cur)
     var improved = true
     while (improved) {
       improved = false
       val neigh = if (level < links(cur).length) links(cur)(level) else mutable.ArrayBuffer.empty[Int]
       var i = 0
       while (i < neigh.length) {
-        val d = dist(q, vecs(neigh(i)))
+        val d = dist(q, neigh(i))
         if (d < curDist) { curDist = d; cur = neigh(i); improved = true }
         i += 1
       }
@@ -146,7 +213,7 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
       var good = true
       var j = 0
       while (j < kept.length && good) {
-        if (dist(vecs(c), vecs(kept(j)._1)) < dC) good = false
+        if (ndist(c, kept(j)._1) < dC) good = false
         j += 1
       }
       if (good) kept += ((c, dC)) else pruned += ((c, dC))
@@ -163,16 +230,18 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
   def add(id: Long, vec: Array[Float]): Unit = {
     val node = ids.length
     val level = randomLevel(id)
-    ids += id; vecs += vec; levels += level
+    ids += id; levels += level
+    if (quantized) codes += encodeNode(vec) else vecs += vec
     links += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
     if (entryPoint < 0) { entryPoint = node; maxLevel = level; return }
 
+    val p = prep(vec)
     var ep = entryPoint
     var l = maxLevel
-    while (l > level) { ep = greedyStep(vec, ep, l); l -= 1 }
+    while (l > level) { ep = greedyStep(p, ep, l); l -= 1 }
     l = math.min(level, maxLevel)
     while (l >= 0) {
-      val found = searchLayer(vec, ep, efConstruction, l)
+      val found = searchLayer(p, ep, efConstruction, l)
       val cap = if (l == 0) maxM0 else maxM
       val selected = selectNeighborsHeuristic(found.filter(_._1 != node), m)
       links(node)(l) = selected
@@ -181,7 +250,7 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
         back += node
         if (back.length > cap) {
           // re-select n's neighbors with the same diversification heuristic
-          val withD = back.map(x => (x, dist(vecs(n), vecs(x))))
+          val withD = back.map(x => (x, ndist(n, x)))
           links(n)(l) = selectNeighborsHeuristic(withD, cap)
         }
       }
@@ -211,14 +280,15 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
   def searchFiltered(q: Array[Float], k: Int, ef0: Int,
                      allowed: Long => Boolean): Array[(Long, Double)] = {
     if (entryPoint < 0) return Array.empty
+    val p = prep(q)
     var ep = entryPoint
     var l = maxLevel
-    while (l > 0) { ep = greedyStep(q, ep, l); l -= 1 }
+    while (l > 0) { ep = greedyStep(p, ep, l); l -= 1 }
     var ef = math.max(ef0, k)
     var admitted: Array[(Long, Double)] = null
     var exhausted = false
     while (admitted == null) {
-      val found = searchLayer(q, ep, ef, 0)
+      val found = searchLayer(p, ep, ef, 0)
       val adm = found.iterator
         .map { case (n, d) => (ids(n), d) }
         .filter { case (id, _) => allowed(id) }
@@ -231,7 +301,7 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
       // the filter disconnected the graph: exact fallback over the partition
       admitted = ids.indices.iterator
         .filter(n => allowed(ids(n)))
-        .map(n => (ids(n), dist(q, vecs(n))))
+        .map(n => (ids(n), dist(p, n)))
         .toArray.sortBy(t => (t._2, t._1))
     }
     admitted.take(k)
@@ -239,9 +309,15 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
 
   /** Per-node state in insertion order, for persistence (S7/X4; the
     * reference's saveIndex serializes the same fields — links, vector,
-    * level — hnswalg.h:1224-1253). */
+    * level — hnswalg.h:1224-1253). Float-mode only. */
   def exportNodes: IndexedSeq[(Long, Array[Float], Int, Array[Array[Int]])] =
     ids.indices.map(n => (ids(n), vecs(n), levels(n), links(n).map(_.toArray)))
+
+  /** Per-node state for a QUANTIZED index: codes instead of vectors —
+    * the 4×-smaller artifact (hnswalg.h stores the uint8 arena, not
+    * floats). */
+  def exportNodesSq8: IndexedSeq[(Long, Array[Byte], Int, Array[Array[Int]])] =
+    ids.indices.map(n => (ids(n), codes(n), levels(n), links(n).map(_.toArray)))
 
   /** (entryPoint, maxLevel) — the only non-per-node state. */
   def entryState: (Int, Int) = (entryPoint, maxLevel)
@@ -258,6 +334,22 @@ object HnswIndex {
     val idx = new HnswIndex(metric = metric)
     nodes.foreach { case (id, v, lvl, lk) =>
       idx.ids += id; idx.vecs += v; idx.levels += lvl
+      idx.links += lk.map(a => mutable.ArrayBuffer.from(a))
+    }
+    idx.entryPoint = entryPoint
+    idx.maxLevel = maxLevel
+    idx
+  }
+
+  /** Rebuild a QUANTIZED index from persisted codes — same O(n) array
+    * fill; `quantParams` must be the (mins, spans) the codes were encoded
+    * with (persisted alongside the graph — [[HnswKnn.buildAndSaveSq8]]). */
+  def fromStateSq8(nodes: IndexedSeq[(Long, Array[Byte], Int, Array[Array[Int]])],
+                   entryPoint: Int, maxLevel: Int, metric: String,
+                   quantParams: (Array[Double], Array[Double])): HnswIndex = {
+    val idx = new HnswIndex(metric = metric, quant = Some(quantParams))
+    nodes.foreach { case (id, c, lvl, lk) =>
+      idx.ids += id; idx.codes += c; idx.levels += lvl
       idx.links += lk.map(a => mutable.ArrayBuffer.from(a))
     }
     idx.entryPoint = entryPoint

@@ -25,15 +25,19 @@ final class HnswResident(spark: SparkSession,
                          rdd: org.apache.spark.rdd.RDD[(HnswIndex, Map[Long, Array[Int]])]) {
 
   private def run(qs: Array[(Long, Array[Float], Array[Int])], k: Int,
-                  efSearch: Int, filtered: Boolean): DataFrame = {
+                  efSearch: Int, filtered: Boolean,
+                  tombstones: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     val bq = spark.sparkContext.broadcast(qs)
+    val bt = spark.sparkContext.broadcast(tombstones)
     val local = rdd.flatMap { case (idx, tagMap) =>
+      val dead = bt.value
       bq.value.iterator.flatMap { case (qid, qv, qt) =>
         val res =
-          if (filtered)
+          if (filtered || dead.nonEmpty)
             idx.searchFiltered(qv, k, efSearch,
-              id => qt.forall(t => tagMap(id).contains(t)))
+              id => !dead.contains(id) &&
+                qt.forall(t => tagMap(id).contains(t)))
           else idx.search(qv, k, efSearch)
         res.iterator.map { case (id, d) => (qid, id, d) }
       }
@@ -41,19 +45,28 @@ final class HnswResident(spark: SparkSession,
     TopK.aggTopK(local, "qid", "id", "dist", k)
   }
 
-  def probe(queries: DataFrame, k: Int, efSearch: Int = 64): DataFrame = {
+  /** Plain probe; `tombstones` are excluded IN-TRAVERSAL — the graph walks
+    * through deleted nodes but never admits them (the reference's
+    * DELETE_MARK semantics, filter/hnsw/hnswalg.h:1392-1425,
+    * streaming/diskann/diskann-str.py:83-99), so a persisted graph serves
+    * post-delete workloads WITHOUT rebuild. The tombstone set is bounded by
+    * the consolidation threshold (compaction rebuilds and clears it), so
+    * the broadcast stays small by construction. */
+  def probe(queries: DataFrame, k: Int, efSearch: Int = 64,
+            tombstones: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     val qs = queries.select(col("qid").cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect()
       .map { case (qid, qv) => (qid, qv, Array.empty[Int]) }
-    run(qs, k, efSearch, filtered = false)
+    run(qs, k, efSearch, filtered = false, tombstones)
   }
 
-  def probeFiltered(queries: DataFrame, k: Int, efSearch: Int = 64): DataFrame = {
+  def probeFiltered(queries: DataFrame, k: Int, efSearch: Int = 64,
+                    tombstones: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     val qs = queries.select(col("qid").cast("long"), col("qvec"), col("qtags"))
       .as[(Long, Array[Float], Array[Int])].collect()
-    run(qs, k, efSearch, filtered = true)
+    run(qs, k, efSearch, filtered = true, tombstones)
   }
 
   def unload(): Unit = rdd.unpersist()
@@ -216,22 +229,24 @@ object HnswKnn {
     * by direct array fill (no insertion), probes with the broadcast query
     * set. Results are identical to [[knn]] on the same base/partitioning. */
   def probeSaved(spark: SparkSession, path: String, queries: DataFrame,
-                 k: Int, efSearch: Int = 64): DataFrame = {
+                 k: Int, efSearch: Int = 64,
+                 tombstones: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     val qs = queries.select(col("qid").cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect()
       .map { case (qid, qv) => (qid, qv, Array.empty[Int]) }
-    probeImpl(spark, path, qs, k, efSearch, filtered = false)
+    probeImpl(spark, path, qs, k, efSearch, filtered = false, tombstones)
   }
 
   /** Probe a persisted index with conjunctive tags (the saved rows must
     * carry tags). */
   def probeSavedFiltered(spark: SparkSession, path: String, queries: DataFrame,
-                         k: Int, efSearch: Int = 64): DataFrame = {
+                         k: Int, efSearch: Int = 64,
+                         tombstones: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     val qs = queries.select(col("qid").cast("long"), col("qvec"), col("qtags"))
       .as[(Long, Array[Float], Array[Int])].collect()
-    probeImpl(spark, path, qs, k, efSearch, filtered = true)
+    probeImpl(spark, path, qs, k, efSearch, filtered = true, tombstones)
   }
 
   /** Load the persisted graphs into an executor-RESIDENT index: the rebuild
@@ -258,11 +273,130 @@ object HnswKnn {
     new HnswResident(spark, rdd)
   }
 
+  /** One persisted row of a QUANTIZED partition-local graph: uint8 codes
+    * instead of float vectors — the reference's memory model
+    * (hnswalg.h:132-136 stores the uint8 arena), making the artifact ~4×
+    * smaller. The (mins, spans) the codes were encoded with are persisted
+    * once in a `<path>.quant` sidecar. */
+  final case class HnswSq8NodeRow(part: Int, seq: Int, id: Long,
+                                  codes: Array[Byte], level: Int,
+                                  links: Array[Array[Int]],
+                                  entryPoint: Int, maxLevel: Int,
+                                  metric: String)
+
+  /** SQ8-coded graph ANN with exact re-rank: per-partition graphs store
+    * uint8 codes and traverse with INTEGER distances; each partition
+    * returns its top-`rerank` candidates by code distance, and the global
+    * dataflow re-ranks the union exactly against the float rows — the
+    * reference baseline's SQ8 + refine composition on the graph path
+    * (config.yaml:50-53 indexkey + the hnswalg uint8 arena). Only
+    * rerank·nq float rows are ever touched per query. */
+  def knnSq8(queries: DataFrame, base: DataFrame, k: Int, rerank: Int,
+             mins: Array[Double], spans: Array[Double], m: Int = 16,
+             efConstruction: Int = 100, efSearch: Int = 64,
+             numPartitions: Int = 8, metric: String = "l2"): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val spark = base.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect()
+    val bq = spark.sparkContext.broadcast(qs)
+    val cand = base.select(col("id").cast("long"), col("vec"))
+      .repartition(numPartitions, col("id"))
+      .sortWithinPartitions("id")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val idx = new HnswIndex(m, efConstruction, metric, Some((mins, spans)))
+        it.foreach { case (id, v) => idx.add(id, v) }
+        bq.value.iterator.flatMap { case (qid, qv) =>
+          idx.search(qv, rerank, math.max(efSearch, rerank))
+            .iterator.map { case (id, _) => (qid, id) }
+        }
+      }.toDF("qid", "id")
+    rerankExact(cand, queries, base, k, metric)
+  }
+
+  /** Exact re-rank of (qid, id) candidates against the float rows. */
+  private def rerankExact(cand: DataFrame, queries: DataFrame,
+                          base: DataFrame, k: Int, metric: String): DataFrame = {
+    val mkMetric = metric match {
+      case "ip" => graft.operators.Metric.Ip
+      case _    => graft.operators.Metric.L2
+    }
+    val exact = cand
+      .join(base.select(col("id").cast("long"), col("vec")), "id")
+      .join(broadcast(queries.select(col("qid").cast("long"), col("qvec"))), "qid")
+      .withColumn("dist", graft.operators.Metric.distColumn(
+        mkMetric, col("qvec"), col("vec")))
+    TopK.aggTopK(exact, "qid", "id", "dist", k)
+  }
+
+  /** Build per-partition QUANTIZED graphs and persist: code rows under
+    * `path`, the (mins, spans) sidecar under `<path>.quant`. */
+  def buildAndSaveSq8(base: DataFrame, path: String, mins: Array[Double],
+                      spans: Array[Double], m: Int = 16,
+                      efConstruction: Int = 100, numPartitions: Int = 8,
+                      metric: String = "l2"): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val nodes = base.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])]
+      .repartition(numPartitions, col("id"))
+      .sortWithinPartitions("id")
+      .mapPartitions { it =>
+        val part = TaskContext.getPartitionId()
+        val idx = new HnswIndex(m, efConstruction, metric, Some((mins, spans)))
+        it.foreach { case (id, v) => idx.add(id, v) }
+        val (ep, ml) = idx.entryState
+        idx.exportNodesSq8.iterator.zipWithIndex.map {
+          case ((id, codes, level, links), seq) =>
+            HnswSq8NodeRow(part, seq, id, codes, level, links, ep, ml, metric)
+        }
+      }
+    nodes.toDF().write.mode("overwrite").partitionBy("part").parquet(path)
+    Seq((mins, spans)).toDF("mins", "spans")
+      .write.mode("overwrite").parquet(path + ".quant")
+  }
+
+  /** Probe a persisted SQ8 graph: integer-distance candidates from the
+    * code graph, exact float re-rank against `base`. Needs the base table
+    * because the artifact intentionally carries no floats. */
+  def probeSavedSq8(spark: SparkSession, path: String, queries: DataFrame,
+                    base: DataFrame, k: Int, rerank: Int,
+                    efSearch: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val qrow = spark.read.parquet(path + ".quant").head()
+    val quantParams = (qrow.getSeq[Double](0).toArray, qrow.getSeq[Double](1).toArray)
+    val storedMetric =
+      spark.read.parquet(path).select("metric").head().getString(0)
+    val qs = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect()
+    val bq = spark.sparkContext.broadcast(qs)
+    val cand = spark.read.parquet(path).as[HnswSq8NodeRow]
+      .groupByKey(_.part)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_.seq)
+        val idx = HnswIndex.fromStateSq8(
+          rows.map(r => (r.id, r.codes, r.level, r.links)).toIndexedSeq,
+          rows.head.entryPoint, rows.head.maxLevel, rows.head.metric,
+          quantParams)
+        bq.value.iterator.flatMap { case (qid, qv) =>
+          idx.search(qv, rerank, math.max(efSearch, rerank))
+            .iterator.map { case (id, _) => (qid, id) }
+        }
+      }.toDF("qid", "id")
+    rerankExact(cand, queries, base, k, storedMetric)
+  }
+
   private def probeImpl(spark: SparkSession, path: String,
                         qs: Array[(Long, Array[Float], Array[Int])],
-                        k: Int, efSearch: Int, filtered: Boolean): DataFrame = {
+                        k: Int, efSearch: Int, filtered: Boolean,
+                        tombstones: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     val bq = spark.sparkContext.broadcast(qs)
+    val bt = spark.sparkContext.broadcast(tombstones)
     val local = spark.read.parquet(path).as[HnswNodeRow]
       .groupByKey(_.part)
       .flatMapGroups { (_, it) =>
@@ -272,9 +406,12 @@ object HnswKnn {
           rows.head.entryPoint, rows.head.maxLevel, rows.head.metric)
         val tagMap: Long => Array[Int] =
           if (filtered) rows.map(r => r.id -> r.tags).toMap else _ => Array.empty
+        val dead = bt.value
         bq.value.iterator.flatMap { case (qid, qv, qt) =>
           val res =
-            if (filtered) idx.searchFiltered(qv, k, efSearch, id => subsetOf(qt, tagMap(id)))
+            if (filtered || dead.nonEmpty)
+              idx.searchFiltered(qv, k, efSearch,
+                id => !dead.contains(id) && subsetOf(qt, tagMap(id)))
             else idx.search(qv, k, efSearch)
           res.iterator.map { case (id, d) => (qid, id, d) }
         }

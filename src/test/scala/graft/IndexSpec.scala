@@ -111,6 +111,39 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(persisted === mem)
   }
 
+  test("SQ8-coded graph: recall threshold unchanged, artifact ~4x smaller") {
+    val (mins, spans) = Sq8.train(base)
+    // same 0.95 bar as the float graph at the same beam: integer-coded
+    // traversal + exact re-rank must not cost recall
+    val got = HnswKnn.knnSq8(queries, base, 10, rerank = 40, mins, spans,
+      efSearch = 48, numPartitions = 4)
+    val r = Recall.mean(got, truth, 10)
+    assert(r >= 0.95, s"sq8 graph recall $r at efSearch=48, rerank=40")
+
+    // persisted code artifact vs float artifact: vectors shrink 4x
+    // (float32 -> uint8); assert the parquet footprint halves at least
+    // (links/ids/parquet overhead dilute the full 4x)
+    val dirF = java.nio.file.Files.createTempDirectory("graft-szf").resolve("idx").toString
+    val dirQ = java.nio.file.Files.createTempDirectory("graft-szq").resolve("idx").toString
+    HnswKnn.buildAndSave(base, dirF, numPartitions = 4)
+    HnswKnn.buildAndSaveSq8(base, dirQ, mins, spans, numPartitions = 4)
+    def duDir(p: String): Long = {
+      val d = new java.io.File(p)
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(d)
+    }
+    val (szF, szQ) = (duDir(dirF), duDir(dirQ))
+    assert(szQ * 2 < szF, s"sq8 artifact $szQ not <1/2 of float $szF")
+
+    // persisted probe matches the in-memory sq8 path
+    def rs(df: DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    val persisted = rs(HnswKnn.probeSavedSq8(spark, dirQ, queries, base, 10,
+      rerank = 40, efSearch = 48))
+    assert(persisted === rs(got))
+  }
+
   test("HNSW search is deterministic across rebuilds") {
     def run(): Set[(Long, Long, Long)] =
       HnswKnn.knn(queries, base, 10, efSearch = 64, numPartitions = 4)
@@ -240,7 +273,11 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
 
   test("per-hot-tag subindexes: membership is exact, recall matches the filtered scan") {
     val b = TagFilter.withTags(emb).cache()
-    val path = java.nio.file.Files.createTempDirectory("graft-sub").resolve("idx").toString
+    // file:-prefixed URI: the registry listing must go through the Hadoop
+    // FileSystem API (java.io.File cannot resolve scheme-qualified paths,
+    // and returns null on HDFS/S3 — a silent empty registry)
+    val path = "file:" + java.nio.file.Files.createTempDirectory("graft-sub")
+      .resolve("idx").toString
     // 500 bp catches every label tag on this data → all 10 query labels
     // get subindexes (a label under the cut would route to the posting path
     // and return no rows here — asserted below)
