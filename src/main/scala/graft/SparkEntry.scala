@@ -140,6 +140,13 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, minBp = 5000)),
+    // the 100 TB form of the all-pairs join: shingles in more than maxDf
+    // docs are dropped BEFORE the self-join (a d-doc shingle contributes d²
+    // join rows; stopword-frequency n-grams carry no dedup signal). The
+    // oracle replicates the df cap exactly, so this stays hash-checked.
+    "dedup_jaccard_capped" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, minBp = 5000,
+        maxDf = 20)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), n = 3, numSeeds = 16,
         rowsPerBand = 4, minBp = 5000)),
@@ -566,6 +573,19 @@ object SparkEntry {
          |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS i
          |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a_id, b_id, CAST((10000 * i) // (sa.nsh + sb.nsh - i) AS BIGINT) AS jaccard_bp
+         |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |WHERE (10000 * i) // (sa.nsh + sb.nsh - i) >= 5000
+         |""".stripMargin,
+    "dedup_jaccard_capped" ->
+      s"""WITH $shinglesCte,
+         |capped AS (SELECT doc_id, shingle FROM sh
+         |           WHERE shingle NOT IN (SELECT shingle FROM sh
+         |                                 GROUP BY shingle HAVING count(*) > 20)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM capped GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS i
+         |          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
          |SELECT a_id, b_id, CAST((10000 * i) // (sa.nsh + sb.nsh - i) AS BIGINT) AS jaccard_bp
          |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id

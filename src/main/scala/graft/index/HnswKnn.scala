@@ -140,7 +140,7 @@ object HnswKnn {
     * [[HnswIndex.searchFiltered]]). */
   def filteredKnn(queries: DataFrame, base: DataFrame, k: Int, m: Int = 16,
                   efConstruction: Int = 100, efSearch: Int = 64,
-                  numPartitions: Int = 8): DataFrame = {
+                  numPartitions: Int = 8, metric: String = "l2"): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     val qs = queries
@@ -152,7 +152,7 @@ object HnswKnn {
       .sortWithinPartitions("id")
       .as[(Long, Array[Float], Int)]
       .mapPartitions { it =>
-        val idx = new HnswIndex(m, efConstruction)
+        val idx = new HnswIndex(m, efConstruction, metric)
         val labels = scala.collection.mutable.HashMap.empty[Long, Int]
         it.foreach { case (id, v, lab) => labels(id) = lab; idx.add(id, v) }
         bq.value.iterator.flatMap { case (qid, qv, qlab) =>
@@ -170,7 +170,8 @@ object HnswKnn {
     * qtags); `base` = (id, vec, tags). */
   def filteredKnnTags(queries: DataFrame, base: DataFrame, k: Int,
                       m: Int = 16, efConstruction: Int = 100,
-                      efSearch: Int = 64, numPartitions: Int = 8): DataFrame = {
+                      efSearch: Int = 64, numPartitions: Int = 8,
+                      metric: String = "l2"): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     val qs = queries
@@ -182,7 +183,7 @@ object HnswKnn {
       .sortWithinPartitions("id")
       .as[(Long, Array[Float], Array[Int])]
       .mapPartitions { it =>
-        val idx = new HnswIndex(m, efConstruction)
+        val idx = new HnswIndex(m, efConstruction, metric)
         val tagMap = scala.collection.mutable.HashMap.empty[Long, Array[Int]]
         it.foreach { case (id, v, tg) => tagMap(id) = tg; idx.add(id, v) }
         bq.value.iterator.flatMap { case (qid, qv, qt) =>

@@ -48,6 +48,18 @@ class TagFilterSpec extends AnyFunSuite with SparkSuite {
     assert(sig === exact)
   }
 
+  test("served forms (prebuilt postings / signatures) equal filteredKnn exactly") {
+    val exact = ids(TagFilter.filteredKnn(queries, base, 10))
+    val post = TagFilter.postings(base).cache()
+    val vecs = base.select($"id", $"vec").cache()
+    assert(ids(TagFilter.filteredKnnServed(queries, post, vecs, 10)) === exact)
+    val sigBase = TagFilter.withSignature(base, "tags").cache()
+    val qsig = TagFilter.withSignature(queries, "qtags")
+      .withColumnRenamed("sig", "qsig").cache()
+    assert(ids(TagFilter.filteredKnnSigServed(qsig, sigBase, 10)) === exact)
+    post.unpersist(); vecs.unpersist(); sigBase.unpersist(); qsig.unpersist()
+  }
+
   test("routedFilteredKnn equals filteredKnn at every routing threshold") {
     val exact = ids(TagFilter.filteredKnn(queries, base, 10))
     // 0 → all dense, 1200 → splits label vs mod-7 tag rarity, 20001 → all
