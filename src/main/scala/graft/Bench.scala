@@ -102,7 +102,11 @@ object Bench {
       val path = java.nio.file.Files.createTempDirectory("graft-bench-hnsw")
         .resolve("idx").toString
       val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      index.HnswKnn.buildAndSave(base, path, numPartitions = cpus.toInt,
+      // 8 graph partitions, not `cpus`: partition count is the SCALE-OUT
+      // axis, but every query probes every graph, so serving wants the
+      // fewest partitions that still fill the cluster — measured 2× QPS
+      // vs 32 tiny graphs at sf0.1 (each probe batch = 2 stages either way)
+      index.HnswKnn.buildAndSave(base, path, numPartitions = 8,
         metric = metric)
       val resident = index.HnswKnn.loadResident(spark, path)
       val queries = emb.where(col("vec_id") < nq)

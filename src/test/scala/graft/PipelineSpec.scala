@@ -22,6 +22,25 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(frac.getOrElse("test", 0.0) > 0.03, s"test frac ${frac.get("test")}")
   }
 
+  test("distributed prefix-sum packing equals the single-window form exactly") {
+    // packShards composes per-partition offsets (two-pass distributed
+    // prefix sum); the single-task global window is the semantic reference
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2000L
+    val counts = graft.operators.Text.tokenStats(docs)
+      .select($"doc_id".cast("long"), $"n_tokens".cast("long"))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = counts
+      .withColumn("cum_before", sum("n_tokens").over(w) - $"n_tokens")
+      .withColumn("shard", expr(s"cum_before div $budget"))
+      .select("doc_id", "n_tokens", "shard")
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Pipeline.packShards(docs, budget)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === ref)
+  }
+
   test("shard packing: contiguous, budget-bounded up to one document") {
     val budget = 2000L
     val shards = Pipeline.packShards(docs, budget)
