@@ -352,6 +352,14 @@ object SparkEntry {
       knnResult(graft.index.HnswKnn.knn(
         embQueries(s, dir, 10), embBase(s, dir), k = 10,
         efSearch = 128, numPartitions = 8))),
+    // ef ≥ partition size degenerates the beam search to an exhaustive
+    // scan of each partition graph, so the graph PATH gets a hash-checked
+    // gate against the exact L2 oracle — the same degenerate-point
+    // technique as IVF probed at nprobe = C.
+    "ann_hnsw_exact" -> ((s, dir) =>
+      knnResult(graft.index.HnswKnn.knn(
+        embQueries(s, dir, 10), embBase(s, dir), k = 10,
+        efSearch = 1 << 20, numPartitions = 8))),
     // S7/X4: build → save → load → probe. Deterministic builds (id-sorted
     // partitions) make the persisted probe equal the in-memory path exactly
     // (asserted in IndexSpec); rows-only driver check (approximate path).
@@ -478,6 +486,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |""".stripMargin,
     "knn_l2" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // graph path at the exact-degenerate point: same oracle as knn_l2
+    "ann_hnsw_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "knn_ip" -> knnOracle(10, 10, dotSql, "DESC"),
     "filtered_knn" -> knnOracle(20, 10, l2Sql, "ASC", filterSql = "e.label = q.qlabel"),
     "knn_cos" -> knnOracle(10, 10,
