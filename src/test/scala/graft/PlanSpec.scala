@@ -67,6 +67,27 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"partial aggregate must sit below the qid exchange:\n$p")
   }
 
+  test("served signature scan: broadcast queries, partial top-k below the exchange") {
+    import graft.operators.TagFilter
+    val emb = Tables.embeddings(spark, sfDir)
+    val tagged = TagFilter.withTags(emb)
+    val sigBase = TagFilter.withSignature(tagged, "tags")
+    val qsig = TagFilter.withSignature(TagFilter.tagQueries(emb, 10), "qtags")
+      .withColumnRenamed("sig", "qsig")
+    val df = TagFilter.filteredKnnSigServed(qsig, sigBase, 10)
+    val p = plan(df)
+    // the query side must broadcast (base never shuffles for the scan)...
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast of the query side:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(id"),
+      s"base table must not shuffle:\n$p")
+    // ...and the per-partition top-k heaps combine below the qid exchange
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(qid")
+    val partialIdx = p.indexOf("ObjectHashAggregate", exchangeIdx)
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial top-k must sit below the qid exchange:\n$p")
+  }
+
   test("sparse MIPS: query side broadcasts and the score agg combines map-side") {
     val df = SparkEntry.queries("sparse_mips")(spark, sfDir)
     df.collect()
