@@ -111,7 +111,10 @@ object Bench {
       val resident = index.HnswKnn.loadResident(spark, path)
       val queries = emb.where(col("vec_id") < nq)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val v = qps(() => resident.probe(queries, k = 10, efSearch = 64))
+      // probeLocal: one-stage probe + driver merge of k·nq rows (results
+      // equal probe() row-for-row; IndexSpec asserts it) — serving returns
+      // results to the client per batch, so the exchange stage is pure cost
+      val v = qps(() => resident.probeLocal(queries, k = 10, efSearch = 64))
       resident.unload()
       v
     }

@@ -69,6 +69,30 @@ final class HnswResident(spark: SparkSession,
     run(qs, k, efSearch, filtered = true, tombstones)
   }
 
+  /** One-stage serving probe: per-partition top-k candidates come back to
+    * the driver (k·nq·P rows — driver-sized by the same argument that lets
+    * the query set broadcast) and merge in a per-query bounded sort,
+    * skipping the global top-k EXCHANGE stage entirely. Results equal
+    * [[probe]] row-for-row (same (dist, id) ordering); use when the
+    * answer is being returned to a client anyway — the reference's serving
+    * loop also materializes results client-side per batch. */
+  def probeLocal(queries: DataFrame, k: Int, efSearch: Int = 64): DataFrame = {
+    import spark.implicits._
+    val qs = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect()
+    val bq = spark.sparkContext.broadcast(qs)
+    val local = rdd.flatMap { case (idx, _) =>
+      bq.value.iterator.flatMap { case (qid, qv) =>
+        idx.search(qv, k, efSearch).iterator.map { case (id, d) => (qid, id, d) }
+      }
+    }.collect()
+    val merged = local.groupBy(_._1).iterator.flatMap { case (qid, cand) =>
+      cand.sortBy(c => (c._3, c._2)).take(k).iterator.zipWithIndex
+        .map { case ((_, id, d), i) => (qid, id, d, (i + 1).toLong) }
+    }.toSeq
+    spark.createDataFrame(merged).toDF("qid", "id", "dist", "rank")
+  }
+
   def unload(): Unit = rdd.unpersist()
 }
 

@@ -144,6 +144,18 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(persisted === rs(got))
   }
 
+  test("resident probeLocal equals the exchange-merged probe row-for-row") {
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw-pl")
+      .resolve("idx").toString
+    HnswKnn.buildAndSave(base, path, numPartitions = 4)
+    val resident = HnswKnn.loadResident(spark, path)
+    def rs(df: DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(rs(resident.probeLocal(queries, 10, 64)) ===
+      rs(resident.probe(queries, 10, 64)))
+    resident.unload()
+  }
+
   test("HNSW search is deterministic across rebuilds") {
     def run(): Set[(Long, Long, Long)] =
       HnswKnn.knn(queries, base, 10, efSearch = 64, numPartitions = 4)
