@@ -84,6 +84,30 @@ final class HnswVectorIndex(spark: SparkSession, graphPath: String,
   }
 }
 
+/** SQ8-coded partition-local HNSW: the persisted graph stores uint8 codes
+  * (4× smaller resident artifact), probes traverse with integer distances
+  * and re-rank exactly against the float base. Filtered probes route to
+  * the exact conjunctive path over the base (the code graph carries no tag
+  * sidecar — selective filters on a quantized graph would pay the
+  * expand-until-k cost twice, once on codes and once at re-rank). */
+final class HnswSq8VectorIndex(spark: SparkSession, graphPath: String,
+                               base: DataFrame, rerank: Int,
+                               efSearch: Int) extends VectorIndex {
+  def probe(queries: DataFrame, k: Int): DataFrame =
+    HnswKnn.probeSavedSq8(spark, graphPath, queries,
+      base.select("id", "vec"), k, math.max(rerank, k), efSearch)
+  def probeFiltered(queries: DataFrame, k: Int): DataFrame =
+    TagFilter.filteredKnn(queries, base, k)
+  def save(path: String): Unit = {
+    VectorIndex.writeKind(spark, path, "hnsw_sq8")
+    spark.read.parquet(graphPath).write.mode("overwrite")
+      .partitionBy("part").parquet(s"$path/graph")
+    spark.read.parquet(graphPath + ".quant").write.mode("overwrite")
+      .parquet(s"$path/graph.quant")
+    base.write.mode("overwrite").parquet(s"$path/base")
+  }
+}
+
 object VectorIndex {
 
   /** Build the requested index kind over a (id, vec[, tags]) base. */
@@ -99,15 +123,26 @@ object VectorIndex {
     new HnswVectorIndex(base.sparkSession, workPath, efSearch)
   }
 
+  def hnswSq8(base: DataFrame, workPath: String, m: Int = 16,
+              efConstruction: Int = 100, efSearch: Int = 64,
+              numPartitions: Int = 8, rerank: Int = 40): VectorIndex = {
+    val (mins, spans) = Sq8.train(base.select("id", "vec"))
+    HnswKnn.buildAndSaveSq8(base, workPath, mins, spans, m, efConstruction,
+      numPartitions)
+    new HnswSq8VectorIndex(base.sparkSession, workPath, base, rerank, efSearch)
+  }
+
   /** Load any persisted VectorIndex; dispatches on the saved kind marker
     * (the load-or-build pattern, faiss.py:196-205). */
   def load(spark: SparkSession, path: String, nprobe: Int = 8,
-           efSearch: Int = 64): VectorIndex =
+           efSearch: Int = 64, rerank: Int = 40): VectorIndex =
     readKind(spark, path) match {
       case "flat" => new FlatVectorIndex(spark.read.parquet(s"$path/base"))
       case "ivf" => new IvfVectorIndex(IvfIndex.load(spark, s"$path/ivf"),
         spark.read.parquet(s"$path/base"), nprobe)
       case "hnsw" => new HnswVectorIndex(spark, s"$path/graph", efSearch)
+      case "hnsw_sq8" => new HnswSq8VectorIndex(spark, s"$path/graph",
+        spark.read.parquet(s"$path/base"), rerank, efSearch)
       case other => throw new IllegalArgumentException(s"unknown index kind: $other")
     }
 

@@ -346,6 +346,17 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     val loaded = VectorIndex.load(spark, p, efSearch = 64)
     assert(rs(loaded.probe(queries, 10)) === rs(hnsw.probe(queries, 10)))
     assert(Recall.mean(hnsw.probe(queries, 10), truth, 10) >= 0.9)
+
+    // SQ8-coded graph kind: same surface, compact artifact, exact filtered
+    val sq8Work = dir.resolve("hnsw-sq8-work").toString
+    val sq8 = VectorIndex.hnswSq8(tagged, sq8Work, numPartitions = 4,
+      efSearch = 64, rerank = 40)
+    assert(Recall.mean(sq8.probe(queries, 10), truth, 10) >= 0.9)
+    assert(rs(sq8.probeFiltered(tq, 10)) === exactF)
+    val p8 = dir.resolve("hnsw-sq8").toString
+    sq8.save(p8)
+    val loaded8 = VectorIndex.load(spark, p8, efSearch = 64, rerank = 40)
+    assert(rs(loaded8.probe(queries, 10)) === rs(sq8.probe(queries, 10)))
   }
 
   test("in-memory HnswIndex: exact on tiny data, predicate gate respected") {
