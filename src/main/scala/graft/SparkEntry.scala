@@ -276,6 +276,15 @@ object SparkEntry {
       val idx = graft.index.IvfIndex.build(b, c = 8, iters = 3)
       knnResult(idx.probe(embQueries(s, dir, 10), b, k = 10, nprobe = 8))
     }),
+    // IVF under max-inner-product (the OOD composition): centroid routing
+    // and cluster scan both rank by negated dot; nprobe = C is exhaustive,
+    // so this is hash-checked against the exact MIPS oracle.
+    "ann_ivf_ip" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val idx = graft.index.IvfIndex.build(b, c = 8, iters = 3)
+      knnResult(idx.probe(embQueries(s, dir, 10), b, k = 10, nprobe = 8,
+        metric = Metric.Ip))
+    }),
     // save → load → exhaustive probe: persistence must not change results,
     // so this stays hash-checked against the exact oracle (S7/X4 analog).
     "ann_ivf_persisted" -> ((s, dir) => {
@@ -489,6 +498,8 @@ object SparkEntry {
     // graph path at the exact-degenerate point: same oracle as knn_l2
     "ann_hnsw_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "knn_ip" -> knnOracle(10, 10, dotSql, "DESC"),
+    // IVF probed exhaustively under ip: same oracle as knn_ip
+    "ann_ivf_ip" -> knnOracle(10, 10, dotSql, "DESC"),
     "filtered_knn" -> knnOracle(20, 10, l2Sql, "ASC", filterSql = "e.label = q.qlabel"),
     "knn_cos" -> knnOracle(10, 10,
       """sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
