@@ -119,9 +119,13 @@ final class RunbookStreamExecutor(
     source: DataFrame,
     queries: DataFrame,
     k: Int = 10,
-    consolidateAt: Long = 1000L) {
+    consolidateAt: Long = 1000L,
+    maxPts: Long = Long.MaxValue,
+    graphPath: Option[String] = None, // serve searches from persisted HNSW
+    efSearch: Int = 128) {
 
-  private val inner = new RunbookExecutor(source, queries, k, consolidateAt)
+  private val inner = new RunbookExecutor(source, queries, k, consolidateAt,
+    maxPts, graphPath, efSearch)
   private val results = scala.collection.mutable.Map.empty[Int, DataFrame]
   private val pending = scala.collection.mutable.ArrayBuffer.empty[(Int, RunbookStep)]
 

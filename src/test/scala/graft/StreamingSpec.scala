@@ -193,6 +193,40 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("foreachBatch stream in GRAPH mode equals the batch graph executor") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val steps = Seq(
+      RunbookStep("insert", 0, 200),
+      RunbookStep("search"),
+      RunbookStep("delete", 0, 80),
+      RunbookStep("search"))
+    def gp() = java.nio.file.Files.createTempDirectory("graft-rb-sg")
+      .resolve("idx").toString
+    // deterministic builds ⇒ the stream and batch graph paths return the
+    // same rows at every checkpoint, and deletes rebuild neither
+    val batchExec = new RunbookExecutor(source, queries, 5,
+      consolidateAt = 1000000, graphPath = Some(gp()))
+    val batchResults = batchExec.run(steps)
+
+    val streamExec = new RunbookStreamExecutor(source, queries, 5,
+      consolidateAt = 1000000, graphPath = Some(gp()))
+    val ops = MemoryStream[(Int, String, Long, Long)]
+    val q = ops.toDF().toDF("seq", "op", "start", "end")
+      .writeStream.foreachBatch(streamExec.processBatch _)
+      .outputMode("append").start()
+    ops.addData(steps.zipWithIndex.map { case (s, i) => (i, s.op, s.start, s.end) }: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(streamExec.checkpoints.keySet === batchResults.keySet)
+    batchResults.foreach { case (i, df) =>
+      assert(ids(streamExec.checkpoints(i)) === ids(df), s"checkpoint $i differs")
+    }
+  }
+
   test("runbook YAML parser handles the reference's format") {
     val yaml =
       """tiny-ds:
