@@ -73,22 +73,49 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
     * composition. */
   private val quantized = quant.isDefined
 
+  // ip + quantization uses SYMMETRIC (zero-offset) codes: the affine
+  // scheme's per-dim offsets add candidate-dependent cross terms to a dot
+  // product (sum beta_i*alpha_i*x_i), wrecking MIPS rank order; scale-only
+  // codes keep the quantized dot a positively-weighted dot. L2 keeps the
+  // offset scheme (offsets cancel in differences).
+  private val maxAbs: Array[Double] =
+    if (quantized && ipMetric) {
+      val (mins, spans) = quant.get
+      Array.tabulate(mins.length) { i =>
+        val m = math.max(math.abs(mins(i)), math.abs(mins(i) + spans(i)))
+        if (m > 0) m else 1.0
+      }
+    } else null
+
   private def encodeNode(v: Array[Float]): Array[Byte] = {
-    val (mins, spans) = quant.get
     val out = new Array[Byte](v.length)
     var i = 0
-    while (i < v.length) {
-      val c = math.round(255.0 * (v(i).toDouble - mins(i)) / spans(i)).toInt
-      out(i) = math.max(0, math.min(255, c)).toByte
-      i += 1
+    if (ipMetric) {
+      while (i < v.length) {
+        val c = math.round(127.0 * v(i).toDouble / maxAbs(i)).toInt
+        out(i) = math.max(-127, math.min(127, c)).toByte
+        i += 1
+      }
+    } else {
+      val (mins, spans) = quant.get
+      while (i < v.length) {
+        val c = math.round(255.0 * (v(i).toDouble - mins(i)) / spans(i)).toInt
+        out(i) = math.max(0, math.min(255, c)).toByte
+        i += 1
+      }
     }
     out
   }
 
   private def encodeQuery(v: Array[Float]): Array[Int] = {
-    val (mins, spans) = quant.get
-    Array.tabulate(v.length)(i =>
-      math.round(255.0 * (v(i).toDouble - mins(i)) / spans(i)).toInt)
+    if (ipMetric)
+      Array.tabulate(v.length)(i =>
+        math.round(127.0 * v(i).toDouble / maxAbs(i)).toInt)
+    else {
+      val (mins, spans) = quant.get
+      Array.tabulate(v.length)(i =>
+        math.round(255.0 * (v(i).toDouble - mins(i)) / spans(i)).toInt)
+    }
   }
 
   private def distF(a: Array[Float], b: Array[Float]): Double = {
@@ -108,7 +135,7 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
     var acc = 0L; var i = 0
     val n = math.min(a.length, b.length)
     if (ipMetric) {
-      while (i < n) { acc -= a(i).toLong * (b(i) & 0xFF); i += 1 }
+      while (i < n) { acc -= a(i).toLong * b(i); i += 1 } // signed codes
     } else {
       while (i < n) { val d = (a(i) - (b(i) & 0xFF)).toLong; acc += d * d; i += 1 }
     }
@@ -129,7 +156,7 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
     var acc = 0L; var i = 0
     val n = math.min(a.length, b.length)
     if (ipMetric) {
-      while (i < n) { acc -= (a(i) & 0xFF).toLong * (b(i) & 0xFF); i += 1 }
+      while (i < n) { acc -= a(i).toLong * b(i); i += 1 } // signed codes
     } else {
       while (i < n) { val d = ((a(i) & 0xFF) - (b(i) & 0xFF)).toLong; acc += d * d; i += 1 }
     }

@@ -144,6 +144,26 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(persisted === rs(got))
   }
 
+  test("SQ8-coded graph under ip recalls exact brute-force MIPS") {
+    val (mins, spans) = Sq8.train(base)
+    val ipTruth = Knn.knnJoin(queries, base, 10, Metric.Ip)
+    val got = HnswKnn.knnSq8(queries, base, 10, rerank = 40, mins, spans,
+      efSearch = 128, numPartitions = 4, metric = Metric.Ip)
+    val r = Recall.mean(got, ipTruth, 10)
+    assert(r >= 0.9, s"sq8 ip graph recall $r")
+  }
+
+  test("k larger than the corpus returns every row, exactly ranked") {
+    val small = base.where($"id" < 7)
+    val got = HnswKnn.knn(queries.limit(3), small, k = 20,
+      efSearch = 64, numPartitions = 2)
+    val t = Knn.knnJoin(queries.limit(3), small, 20, Metric.L2)
+    assert(got.count() === 3 * 7)
+    def rs(df: DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(rs(got) === rs(t))
+  }
+
   test("resident probeLocal equals the exchange-merged probe row-for-row") {
     val path = java.nio.file.Files.createTempDirectory("graft-hnsw-pl")
       .resolve("idx").toString

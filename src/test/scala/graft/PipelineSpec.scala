@@ -41,6 +41,12 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(got === ref)
   }
 
+  test("budget >= total tokens packs everything into shard 0") {
+    val got = Pipeline.packShards(docs, budget = Long.MaxValue / 4)
+      .select("shard").distinct().as[Long].collect().toSeq
+    assert(got === Seq(0L))
+  }
+
   test("shard packing: contiguous, budget-bounded up to one document") {
     val budget = 2000L
     val shards = Pipeline.packShards(docs, budget)
