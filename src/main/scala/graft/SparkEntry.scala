@@ -183,6 +183,29 @@ object SparkEntry {
     }),
     "sparse_sparsify" -> ((s, dir) =>
       Sparse.sparsify(Sparse.fromTermFreq(Tables.documents(s, dir)), 8, 10)),
+    // S1/S2 end-to-end: integer-quantized embeddings written as the
+    // reference's CSR .spmat layout (sparse/spmat/spmat.py), re-ingested by
+    // the range-split spmat reader, then pure-integer sparse MIPS — the
+    // sparse-track flagship format round-trips without conversion, gated by
+    // an exact quantization-replicating oracle (same idiom as knn_l2_u8bin).
+    "sparse_mips_spmat" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val rows = emb.select(col("vec_id").cast("long").as("id"),
+        expr("transform(embedding, (x, i) -> i)").as("indices"),
+        expr("transform(embedding, x -> cast(int(floor(cast(x as double) * 10)) + 128 as float))")
+          .as("values"))
+      val path = java.nio.file.Files.createTempDirectory("graft-spmat")
+        .resolve("m.spmat").toString
+      graft.sources.BinaryFormats.writeSpmat(rows, path, ncol = 64)
+      val back = graft.sources.BinaryFormats.readSpmat(s, path)
+      val tf = back
+        .select(col("id"), explode(arrays_zip(col("indices"), col("values"))).as("z"))
+        .select(col("id"), col("z.indices").as("dim"), col("z.values").cast("long").as("v"))
+      Sparse.mips(
+        tf.where(col("id") < 10)
+          .select(col("id").as("qid"), col("dim"), col("v").as("qv")),
+        tf, k = 10)
+    }),
     "sparse_budget" -> ((s, dir) => {
       val tf = Sparse.fromTermFreq(Tables.documents(s, dir))
       Sparse.budgetedMips(sparseQueries(tf, 10), tf, k = 10, m = 16)
@@ -500,6 +523,20 @@ object SparkEntry {
     "knn_ip" -> knnOracle(10, 10, dotSql, "DESC"),
     // IVF probed exhaustively under ip: same oracle as knn_ip
     "ann_ivf_ip" -> knnOracle(10, 10, dotSql, "DESC"),
+    // spmat round-trip: quantization replicated exactly, integer dot
+    "sparse_mips_spmat" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |pairs AS (SELECT q.qid, e.vec_id AS id,
+        |                 CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 10) AS BIGINT) + 128 AS x,
+        |                 CAST(floor(CAST(unnest(q.qv) AS DOUBLE) * 10) AS BIGINT) + 128 AS y
+        |          FROM embeddings e CROSS JOIN q),
+        |scored AS (SELECT qid, id, CAST(sum(x * y) AS BIGINT) AS score
+        |           FROM pairs GROUP BY qid, id),
+        |ranked AS (SELECT qid, id, score,
+        |                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+        |           FROM scored)
+        |SELECT qid, id, score, rank FROM ranked WHERE rank <= 10
+        |""".stripMargin,
     "filtered_knn" -> knnOracle(20, 10, l2Sql, "ASC", filterSql = "e.label = q.qlabel"),
     "knn_cos" -> knnOracle(10, 10,
       """sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
