@@ -274,24 +274,65 @@ object Dedup {
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true)
     if (edges.isEmpty) return docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
-    var labels = docs.select(col("doc_id"),
-      col("doc_id").as("cluster_id")).localCheckpoint(true)
-    var prevSum = labels.agg(sum("cluster_id")).head().getLong(0)
-    var converged = false
-    while (!converged) {
-      val neigh = edges
-        .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("nl")), "src")
-        .groupBy(col("dst").as("doc_id")).agg(min("nl").as("nmin"))
-      labels = labels.join(neigh, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
-      val nextSum = labels.agg(sum("cluster_id")).head().getLong(0)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-    }
-    labels
+    // iterate ONLY over edge-incident vertices (≤ 2·|pairs|): a doc in no
+    // near-dup pair is its own singleton cluster forever, so the corpus
+    // never enters the loop — at 100 TB the iterated frame is the near-dup
+    // SUBGRAPH (tiny by dedup's premise), not the corpus. Singletons join
+    // back once at the end, map-side.
+    //
+    // Selectivity-adaptive execution (the same two-regime split as the
+    // filter-track planner): a subgraph under `localEdgeCap` edges resolves
+    // with driver-side union-find — one job instead of 2 per propagation
+    // round; larger subgraphs take the distributed min-label loop. Both
+    // produce cluster_id = min doc_id of the component.
+    val spark = docs.sparkSession
+    val nEdges = edges.count()
+    val localEdgeCap = 1000000L
+    val labels =
+      if (nEdges <= localEdgeCap) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.select("src", "dst").collect().foreach { row =>
+          val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        }
+        val keys = parent.keySet.toSeq
+        import spark.implicits._
+        (keys ++ keys.map(find)).distinct
+          .map(v => (v, find(v))).toDF("doc_id", "cluster_id")
+      } else {
+        var l = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
+        var prevSum = l.agg(sum("cluster_id")).head().getLong(0)
+        var converged = false
+        while (!converged) {
+          val neigh = edges
+            .join(l.select(col("doc_id").as("src"), col("cluster_id").as("nl")), "src")
+            .groupBy(col("dst").as("doc_id")).agg(min("nl").as("nmin"))
+          l = l.join(neigh, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+                .as("cluster_id"))
+            .localCheckpoint(true)
+          val nextSum = l.agg(sum("cluster_id")).head().getLong(0)
+          converged = nextSum == prevSum
+          prevSum = nextSum
+        }
+        l
+      }
+    // singletons re-enter map-side; the label table is broadcastable only
+    // in the bounded local regime
+    val labelSide = if (nEdges <= localEdgeCap) broadcast(labels) else labels
+    docs.select(col("doc_id"))
+      .join(labelSide, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** Exact embedding-space dedup scan: each vector's nearest other vector by
