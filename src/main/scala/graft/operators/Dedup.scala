@@ -263,7 +263,8 @@ object Dedup {
     * have tiny diameters, so iterations stay in the single digits; each one
     * shuffles the (small) edge set plus one labels pass — no driver-side
     * graph. */
-  def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def dupClusters(docs: DataFrame, pairs: DataFrame,
+                  localEdgeCap: Long = 1000000L): DataFrame = {
     // localCheckpoint (not persist) each round: iterative joins grow the
     // lineage linearly, and re-analysis/replanning of the growing plan —
     // not the data — dominates the loop's cost. Checkpointing truncates the
@@ -287,7 +288,6 @@ object Dedup {
     // produce cluster_id = min doc_id of the component.
     val spark = docs.sparkSession
     val nEdges = edges.count()
-    val localEdgeCap = 1000000L
     val labels =
       if (nEdges <= localEdgeCap) {
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]

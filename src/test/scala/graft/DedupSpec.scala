@@ -78,6 +78,16 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got2.forall(_._2 == 1L), got2.mkString(","))
   }
 
+  test("dupClusters: local union-find and distributed loop agree") {
+    val d2 = (1L to 8L).toDF("doc_id")
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val local = Dedup.dupClusters(d2, chain).as[(Long, Long)].collect().toSet
+    // cap 0 forces the distributed min-label propagation branch
+    val dist = Dedup.dupClusters(d2, chain, localEdgeCap = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(dist === local)
+  }
+
   test("dupClusters over LSH pairs: consistent with the pair set") {
     val pairs = Dedup.minhashLsh(docs, 3, 16, 4, 5000).cache()
     val clusters = Dedup.dupClusters(docs, pairs).cache()
