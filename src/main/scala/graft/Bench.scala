@@ -98,7 +98,10 @@ object Bench {
     // ood/ann track: EXECUTOR-RESIDENT HNSW probe — build+save+load once
     // (untimed), then narrow probe-only batches: the serving operating point.
     // Measured under both metrics — L2 and the OOD track's max-inner-product.
-    def residentQps(metric: String): (Double, Double) = {
+    // efSearch = 32 is the measured operating point: recall vs exact is
+    // reported alongside QPS (the BASELINE rows are themselves @0.9 recall),
+    // so the throughput/recall pair is explicit, not implied.
+    def residentQps(metric: String): (Double, Double, Double) = {
       val path = java.nio.file.Files.createTempDirectory("graft-bench-hnsw")
         .resolve("idx").toString
       val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -114,18 +117,22 @@ object Bench {
       // probeLocal: one-stage probe + driver merge of k·nq rows (results
       // equal probe() row-for-row; IndexSpec asserts it) — serving returns
       // results to the client per batch, so the exchange stage is pure cost
-      val v = qps(() => resident.probeLocal(queries, k = 10, efSearch = 64))
+      val (v, sp) = qps(() => resident.probeLocal(queries, k = 10, efSearch = 32))
+      val truth = operators.Knn.knnJoin(queries,
+        base, 10, if (metric == "ip") operators.Metric.Ip else operators.Metric.L2)
+      val recall = operators.Recall.mean(
+        resident.probeLocal(queries, 10, 32), truth, 10)
       resident.unload()
-      v
+      (v, sp, recall)
     }
-    val (annQps, annSpread) = residentQps("l2")
-    val (annIpQps, annIpSpread) = residentQps("ip")
+    val (annQps, annSpread, annRecall) = residentQps("l2")
+    val (annIpQps, annIpSpread, annIpRecall) = residentQps("ip")
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val qpsJson =
-      s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread}}"""
+      s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qpsJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -402,6 +402,26 @@ object SparkEntry {
       knnResult(graft.index.HnswKnn.probeSaved(
         s, path, embQueries(s, dir, 10), k = 10, efSearch = 128))
     }),
+    // persisted graph probed at the exact-degenerate beam: save/load must
+    // not change the exhaustive result → hash-checked vs the L2 oracle.
+    "ann_hnsw_persisted_exact" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-hnsw-pe")
+        .resolve("idx").toString
+      graft.index.HnswKnn.buildAndSave(embBase(s, dir), path, numPartitions = 8)
+      knnResult(graft.index.HnswKnn.probeSaved(
+        s, path, embQueries(s, dir, 10), k = 10, efSearch = 1 << 20))
+    }),
+    // tombstone-aware probe at the exact beam: ids [0,5) deleted IN-
+    // TRAVERSAL; the oracle simply excludes them — the lazy-delete
+    // semantics (DELETE_MARK) get a hash gate, not just a spec.
+    "ann_hnsw_tombstone_exact" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-hnsw-te")
+        .resolve("idx").toString
+      graft.index.HnswKnn.buildAndSave(embBase(s, dir), path, numPartitions = 8)
+      knnResult(graft.index.HnswKnn.probeSaved(
+        s, path, embQueries(s, dir, 10), k = 10, efSearch = 1 << 20,
+        tombstones = (0L until 5L).toSet))
+    }),
     // J3 one-stage conjunctive-tag graph search, recall-graded against the
     // exact filtered kNN (the reference's filter-track operating point:
     // 2 tags, ~1/70 selectivity — expand-until-k keeps recall high where a
@@ -414,6 +434,16 @@ object SparkEntry {
         efSearch = 64, numPartitions = 8)
       val truth = TagFilter.filteredKnn(q, b, 10)
       Recall.perQuery(got, truth, 10)
+    }),
+    // one-stage filtered graph search at the exhaustive beam: the widened
+    // search admits every allowed candidate (or falls back to the exact
+    // partition scan when the filter starves it below k) → equals the
+    // exact conjunctive kNN, hash-checked by the same oracle.
+    "filtered_ann_hnsw_exact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      knnResult(graft.index.HnswKnn.filteredKnnTags(
+        TagFilter.tagQueries(emb, 20), TagFilter.withTags(emb), k = 10,
+        efSearch = 1 << 20, numPartitions = 8))
     }),
 
     // -- streaming track -----------------------------------------------------
@@ -520,6 +550,11 @@ object SparkEntry {
     "knn_l2" -> knnOracle(10, 10, l2Sql, "ASC"),
     // graph path at the exact-degenerate point: same oracle as knn_l2
     "ann_hnsw_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    "ann_hnsw_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // tombstoned ids simply vanish from the corpus in the oracle
+    "ann_hnsw_tombstone_exact" ->
+      knnOracle(10, 10, l2Sql, "ASC", "e.vec_id >= 5"),
+    "filtered_ann_hnsw_exact" -> conjKnnOracle,
     "knn_ip" -> knnOracle(10, 10, dotSql, "DESC"),
     // IVF probed exhaustively under ip: same oracle as knn_ip
     "ann_ivf_ip" -> knnOracle(10, 10, dotSql, "DESC"),
