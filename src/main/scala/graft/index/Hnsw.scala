@@ -308,31 +308,38 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
                      allowed: Long => Boolean): Array[(Long, Double)] = {
     if (entryPoint < 0) return Array.empty
     val p = prep(q)
+    // ef ≥ n: a graph walk can still miss nodes (links are DIRECTED; a
+    // back-link pruned by the diversification heuristic leaves its node
+    // unreachable from the entry point), so the degenerate beam is served
+    // by a true exact scan — same O(n·d) work as an n-wide beam, minus the
+    // heap, and it makes "exhaustive ef ⇒ exact" an unconditional
+    // guarantee (the *_exact driver gates and HnswPropertySpec rely on it).
+    if (math.max(ef0, k) >= size) return exactScan(p, k, allowed)
     var ep = entryPoint
     var l = maxLevel
     while (l > 0) { ep = greedyStep(p, ep, l); l -= 1 }
     var ef = math.max(ef0, k)
-    var admitted: Array[(Long, Double)] = null
-    var exhausted = false
-    while (admitted == null) {
+    while (true) {
       val found = searchLayer(p, ep, ef, 0)
       val adm = found.iterator
         .map { case (n, d) => (ids(n), d) }
         .filter { case (id, _) => allowed(id) }
         .toArray
-      exhausted = ef >= size
-      if (adm.length >= k || exhausted) admitted = adm
-      else ef = math.min(ef.toLong * 2, size.toLong).toInt
+      if (adm.length >= k) return adm.take(k)
+      // beam starved (selective filter or small partition): widen; once the
+      // beam would cover the whole graph, the exact scan answers instead
+      ef = math.min(ef.toLong * 2, size.toLong).toInt
+      if (ef >= size) return exactScan(p, k, allowed)
     }
-    if (admitted.length < k && exhausted) {
-      // the filter disconnected the graph: exact fallback over the partition
-      admitted = ids.indices.iterator
-        .filter(n => allowed(ids(n)))
-        .map(n => (ids(n), dist(p, n)))
-        .toArray.sortBy(t => (t._2, t._1))
-    }
-    admitted.take(k)
+    throw new IllegalStateException("unreachable")
   }
+
+  private def exactScan(p: Prep, k: Int,
+                        allowed: Long => Boolean): Array[(Long, Double)] =
+    ids.indices.iterator
+      .filter(n => allowed(ids(n)))
+      .map(n => (ids(n), dist(p, n)))
+      .toArray.sortBy(t => (t._2, t._1)).take(k)
 
   /** Per-node state in insertion order, for persistence (S7/X4; the
     * reference's saveIndex serializes the same fields — links, vector,
