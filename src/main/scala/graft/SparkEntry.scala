@@ -98,6 +98,17 @@ object SparkEntry {
     // reference's .u8bin layout (yfcc-10M's native dtype), re-ingested by
     // the range-split binary reader, then pure-integer L2 kNN — proves the
     // reference's flagship dataset format round-trips without conversion.
+    // S5/S6 float path: embeddings exported as .fbin (the reference's
+    // float32 dense layout), re-ingested by the range-split reader, exact
+    // L2 kNN — float32 round-trips bit-exactly, so the knn_l2 oracle gates
+    // the format end-to-end.
+    "knn_l2_fbin" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-f32")
+        .resolve("base.fbin").toString
+      graft.sources.BinaryFormats.writeDenseF32(embBase(s, dir), "id", "vec", path)
+      val base = graft.sources.BinaryFormats.readDenseF32(s, path, numPartitions = 8)
+      knnResult(Knn.knnJoin(embQueries(s, dir, 10), base, 10, Metric.L2))
+    }),
     "knn_l2_u8bin" -> ((s, dir) => {
       val u8 = "CAST(least(greatest(floor(CAST(x AS DOUBLE) * 10) + 128, 0), 255) AS SHORT)"
       val b8 = embBase(s, dir)
@@ -548,6 +559,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |""".stripMargin,
     "knn_l2" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // .fbin round-trip is bit-exact: same oracle as knn_l2
+    "knn_l2_fbin" -> knnOracle(10, 10, l2Sql, "ASC"),
     // graph path at the exact-degenerate point: same oracle as knn_l2
     "ann_hnsw_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_hnsw_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
