@@ -71,6 +71,22 @@ class HnswPropertySpec extends AnyFunSuite {
     }
   }
 
+  for (metric <- Seq("l2", "ip")) {
+    test(s"[$metric] BEAM results carry exact distances, sorted, unique, ≤ k") {
+      // ef = 8 < n exercises the graph-walk path (the earlier properties
+      // hit the exhaustive exact scan by construction)
+      check(Prop.forAll(setGen, vecGen) { (vs, q) =>
+        val idx = build(vs, metric)
+        val k = math.min(5, vs.length)
+        val got = idx.search(q, k, ef = 8).toSeq
+        got.nonEmpty && got.size <= k &&
+          got.forall { case (id, d) => d == modelDist(metric, q, vs(id.toInt)) } &&
+          got == got.sortBy(t => (t._2, t._1)) &&
+          got.map(_._1).distinct.size == got.size
+      })
+    }
+  }
+
   test("builds are insertion-order deterministic") {
     check(Prop.forAll(setGen, vecGen) { (vs, q) =>
       val a = build(vs, "l2").search(q, math.min(5, vs.length), ef = vs.length).toSeq
