@@ -321,10 +321,12 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
     var ef = math.max(ef0, k)
     while (true) {
       val found = searchLayer(p, ep, ef, 0)
+      // canonical (dist, id) order — searchLayer sorts by dist only, so a
+      // tie at the k-boundary would otherwise surface in heap order
       val adm = found.iterator
         .map { case (n, d) => (ids(n), d) }
         .filter { case (id, _) => allowed(id) }
-        .toArray
+        .toArray.sortBy(t => (t._2, t._1))
       if (adm.length >= k) return adm.take(k)
       // beam starved (selective filter or small partition): widen; once the
       // beam would cover the whole graph, the exact scan answers instead
