@@ -433,6 +433,36 @@ object SparkEntry {
         s, path, embQueries(s, dir, 10), k = 10, efSearch = 1 << 20,
         tombstones = (0L until 5L).toSet))
     }),
+    // centroid-routed graphs (IVF-of-HNSW): build → save → load → probe the
+    // nprobe nearest clusters only. Approximate → rows-only driver check;
+    // the recall/nprobe trade is asserted in IndexSpec.
+    "ann_hnsw_routed" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-hnsw-rt")
+        .resolve("idx").toString
+      graft.index.HnswRouted.buildAndSave(embBase(s, dir), path, c = 8,
+        kmIters = 3)
+      val routed = graft.index.HnswRouted.loadResident(s, path)
+      // probeLocal returns a LocalRelation (driver-side rows), so the
+      // resident graphs can unload before the result is consumed
+      val out = knnResult(routed.probeLocal(embQueries(s, dir, 10), k = 10,
+        efSearch = 64, nprobe = 2))
+      routed.unload()
+      out
+    }),
+    // routed probe at the exact-degenerate point (nprobe = C, exhaustive
+    // beam): full fan-out of exact scans = brute force → hash-checked
+    // against the same L2 oracle as knn_l2.
+    "ann_hnsw_routed_exact" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-hnsw-rte")
+        .resolve("idx").toString
+      graft.index.HnswRouted.buildAndSave(embBase(s, dir), path, c = 8,
+        kmIters = 3)
+      val routed = graft.index.HnswRouted.loadResident(s, path)
+      val out = knnResult(routed.probeLocal(embQueries(s, dir, 10), k = 10,
+        efSearch = 1 << 20, nprobe = 8))
+      routed.unload()
+      out
+    }),
     // J3 one-stage conjunctive-tag graph search, recall-graded against the
     // exact filtered kNN (the reference's filter-track operating point:
     // 2 tags, ~1/70 selectivity — expand-until-k keeps recall high where a
@@ -568,6 +598,8 @@ object SparkEntry {
     "ann_hnsw_tombstone_exact" ->
       knnOracle(10, 10, l2Sql, "ASC", "e.vec_id >= 5"),
     "filtered_ann_hnsw_exact" -> conjKnnOracle,
+    // routed graphs at nprobe = C + exhaustive beam: exact brute force
+    "ann_hnsw_routed_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "knn_ip" -> knnOracle(10, 10, dotSql, "DESC"),
     // IVF probed exhaustively under ip: same oracle as knn_ip
     "ann_ivf_ip" -> knnOracle(10, 10, dotSql, "DESC"),

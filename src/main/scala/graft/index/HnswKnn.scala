@@ -69,28 +69,48 @@ final class HnswResident(spark: SparkSession,
     run(qs, k, efSearch, filtered = true, tombstones)
   }
 
-  /** One-stage serving probe: per-partition top-k candidates come back to
-    * the driver (k·nq·P rows — driver-sized by the same argument that lets
-    * the query set broadcast) and merge in a per-query bounded sort,
-    * skipping the global top-k EXCHANGE stage entirely. Results equal
-    * [[probe]] row-for-row (same (dist, id) ordering); use when the
-    * answer is being returned to a client anyway — the reference's serving
-    * loop also materializes results client-side per batch. */
+  /** Serving-form batch probe: the query batch arrives as an in-memory
+    * array and the ranked answers return as one — the unit of work a vector
+    * server's QPS loop actually measures (the reference's harness feeds a
+    * resident index from a preloaded array and collects results client-side
+    * per batch, faiss.py:196-205 + the bench loop). One broadcast + ONE
+    * narrow job per batch: per-partition top-k candidates come back to the
+    * driver (k·nq·P rows — driver-sized by the same argument that lets the
+    * query set broadcast) and merge in a per-query bounded sort, skipping
+    * the global top-k exchange stage entirely. Output rows are (qid, id,
+    * dist, rank), sorted by (qid, rank). */
+  def probeBatch(qs: Array[(Long, Array[Float])], k: Int, efSearch: Int = 64,
+                 tombstones: Set[Long] = Set.empty): Array[(Long, Long, Double, Long)] = {
+    val bq = spark.sparkContext.broadcast(qs)
+    val bt = spark.sparkContext.broadcast(tombstones)
+    val local = rdd.flatMap { case (idx, _) =>
+      val dead = bt.value
+      bq.value.iterator.flatMap { case (qid, qv) =>
+        val res =
+          if (dead.nonEmpty)
+            idx.searchFiltered(qv, k, efSearch, id => !dead.contains(id))
+          else idx.search(qv, k, efSearch)
+        res.iterator.map { case (id, d) => (qid, id, d) }
+      }
+    }.collect()
+    // a serving loop issues many batches against one resident index: drop
+    // the per-batch broadcasts eagerly or the driver accumulates them
+    bq.destroy(); bt.destroy()
+    local.groupBy(_._1).iterator.flatMap { case (qid, cand) =>
+      cand.sortBy(c => (c._3, c._2)).take(k).iterator.zipWithIndex
+        .map { case ((_, id, d), i) => (qid, id, d, (i + 1).toLong) }
+    }.toArray.sortBy(r => (r._1, r._4))
+  }
+
+  /** [[probeBatch]] with DataFrame plumbing on both ends. Results equal
+    * [[probe]] row-for-row (same (dist, id) ordering; IndexSpec asserts
+    * it). */
   def probeLocal(queries: DataFrame, k: Int, efSearch: Int = 64): DataFrame = {
     import spark.implicits._
     val qs = queries.select(col("qid").cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect()
-    val bq = spark.sparkContext.broadcast(qs)
-    val local = rdd.flatMap { case (idx, _) =>
-      bq.value.iterator.flatMap { case (qid, qv) =>
-        idx.search(qv, k, efSearch).iterator.map { case (id, d) => (qid, id, d) }
-      }
-    }.collect()
-    val merged = local.groupBy(_._1).iterator.flatMap { case (qid, cand) =>
-      cand.sortBy(c => (c._3, c._2)).take(k).iterator.zipWithIndex
-        .map { case ((_, id, d), i) => (qid, id, d, (i + 1).toLong) }
-    }.toSeq
-    spark.createDataFrame(merged).toDF("qid", "id", "dist", "rank")
+    spark.createDataFrame(probeBatch(qs, k, efSearch).toSeq)
+      .toDF("qid", "id", "dist", "rank")
   }
 
   def unload(): Unit = rdd.unpersist()

@@ -1,0 +1,144 @@
+package graft.index
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Centroid-ROUTED executor-resident graph index (IVF-of-HNSW): the corpus
+  * is partitioned by nearest coarse centroid (not by id hash), one HNSW
+  * graph per cluster, and each query probes only its `nprobe` nearest
+  * clusters' graphs instead of fanning out to every partition.
+  *
+  * This is the composition the reference's faiss baseline runs as
+  * IVF16384 + graph refinement (filter/faiss/config.yaml:50-53) and the
+  * shape sharded ANN serving needs at scale: with 1000 shards a query
+  * touches nprobe of them, so per-query work is independent of shard count
+  * — the id-hash layout ([[HnswKnn]]) pays P beams per query, this pays
+  * nprobe. The routing table is C centroid vectors (driver/client-side,
+  * tiny); cluster sizes are bounded by k-means balance, skewed clusters by
+  * the histogram stats ([[ClusterHistogram]]).
+  *
+  * nprobe = C degenerates to the full fan-out, so with an exhaustive beam
+  * the probe is EXACT — the same degenerate-point hash gate as IVF at
+  * nprobe = C and the id-hash graphs at ef ≥ n. */
+final class HnswRouted(spark: SparkSession,
+                       rdd: RDD[(Int, HnswIndex)],
+                       val centroids: Array[(Int, Array[Float])],
+                       ipMetric: Boolean) {
+
+  /** Route one query: the `nprobe` cluster ids nearest by the index metric
+    * (L2, or negated dot under ip — MIPS routes to the centroids of max
+    * inner product, the IVF-MIPS convention). Ties break to the lower cid. */
+  private def route(qv: Array[Float], nprobe: Int): Array[Int] =
+    centroids.map { case (cid, c) =>
+      var acc = 0.0; var i = 0
+      val n = math.min(qv.length, c.length)
+      if (ipMetric) { while (i < n) { acc -= qv(i).toDouble * c(i).toDouble; i += 1 } }
+      else { while (i < n) { val d = qv(i).toDouble - c(i).toDouble; acc += d * d; i += 1 } }
+      (acc, cid)
+    }.sortBy(identity).take(nprobe).map(_._2)
+
+  /** Serving-form batch probe: query array in, (qid, id, dist, rank) out,
+    * sorted by (qid, rank). One broadcast + one narrow job per batch; a
+    * graph only evaluates the queries routed to it. */
+  def probeBatch(qs: Array[(Long, Array[Float])], k: Int, efSearch: Int = 64,
+                 nprobe: Int = 2): Array[(Long, Long, Double, Long)] = {
+    val byPart = scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+    qs.iterator.zipWithIndex.foreach { case ((_, qv), qi) =>
+      route(qv, nprobe).foreach { cid =>
+        byPart.getOrElseUpdate(cid, scala.collection.mutable.ArrayBuffer.empty) += qi
+      }
+    }
+    val routesByPart: Map[Int, Array[Int]] =
+      byPart.iterator.map { case (cid, qis) => cid -> qis.toArray }.toMap
+    val bq = spark.sparkContext.broadcast(qs)
+    val br = spark.sparkContext.broadcast(routesByPart)
+    val local = rdd.flatMap { case (part, idx) =>
+      val queries = bq.value
+      br.value.get(part) match {
+        case None => Iterator.empty
+        case Some(qis) => qis.iterator.flatMap { qi =>
+          val (qid, qv) = queries(qi)
+          idx.search(qv, k, efSearch).iterator.map { case (id, d) => (qid, id, d) }
+        }
+      }
+    }.collect()
+    bq.destroy(); br.destroy()
+    local.groupBy(_._1).iterator.flatMap { case (qid, cand) =>
+      cand.sortBy(c => (c._3, c._2)).take(k).iterator.zipWithIndex
+        .map { case ((_, id, d), i) => (qid, id, d, (i + 1).toLong) }
+    }.toArray.sortBy(t => (t._1, t._4))
+  }
+
+  /** [[probeBatch]] with DataFrame plumbing on both ends. */
+  def probeLocal(queries: DataFrame, k: Int, efSearch: Int = 64,
+                 nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val qs = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect()
+    spark.createDataFrame(probeBatch(qs, k, efSearch, nprobe).toSeq)
+      .toDF("qid", "id", "dist", "rank")
+  }
+
+  def unload(): Unit = rdd.unpersist()
+}
+
+object HnswRouted {
+
+  /** Build: k-means coarse centroids (on the base or a sample), one HNSW
+    * graph per cluster, persisted in the [[HnswNodeRow]] parquet layout with
+    * `part` = cluster id; centroids in a `<path>.centroids` sidecar. At
+    * 100 TB the assignment pass is the only full scan, the per-cluster
+    * builds run as C independent groups, and the artifact's partition-by-
+    * part layout prunes loads to the probed clusters. */
+  def buildAndSave(base: DataFrame, path: String, c: Int, kmIters: Int = 3,
+                   m: Int = 16, efConstruction: Int = 100,
+                   metric: String = "l2"): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val vecs = base.select(col("id").cast("long"), col("vec"))
+    val centroids = KMeans.fit(vecs, c, kmIters)
+    val nodes = KMeans.assignCarry(vecs, centroids)
+      .select(col("cid").cast("int"), col("id"), col("vec"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cid, it) =>
+        val rows = it.toArray.sortBy(_._2) // deterministic insertion order
+        val idx = new HnswIndex(m, efConstruction, metric)
+        rows.foreach { case (_, id, v) => idx.add(id, v) }
+        val (ep, ml) = idx.entryState
+        idx.exportNodes.iterator.zipWithIndex.map {
+          case ((id, vec, level, links), seq) =>
+            HnswNodeRow(cid, seq, id, vec, Array.empty[Int], level, links,
+              ep, ml, metric)
+        }
+      }
+    nodes.toDF().write.mode("overwrite").partitionBy("part").parquet(path)
+    centroids.select(col("cid").cast("int"), col("cvec"))
+      .write.mode("overwrite").parquet(path + ".centroids")
+  }
+
+  /** Load the routed graphs executor-resident and the routing table (C
+    * centroid vectors) driver-side. */
+  def loadResident(spark: SparkSession, path: String): HnswRouted = {
+    import spark.implicits._
+    val metric =
+      spark.read.parquet(path).select("metric").head().getString(0)
+    val rdd = spark.read.parquet(path).as[HnswNodeRow].rdd
+      .groupBy(_.part)
+      .map { case (part, rows) =>
+        val arr = rows.toArray.sortBy(_.seq)
+        val idx = HnswIndex.fromState(
+          arr.map(r => (r.id, r.vec, r.level, r.links)).toIndexedSeq,
+          arr.head.entryPoint, arr.head.maxLevel, arr.head.metric)
+        (part, idx)
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // materialize the graphs before the first probe
+    val centroids = spark.read.parquet(path + ".centroids")
+      .select(col("cid").cast("int"), col("cvec"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    new HnswRouted(spark, rdd, centroids, metric == "ip")
+  }
+}

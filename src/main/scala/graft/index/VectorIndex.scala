@@ -108,6 +108,29 @@ final class HnswSq8VectorIndex(spark: SparkSession, graphPath: String,
   }
 }
 
+/** Centroid-routed per-cluster HNSW ([[HnswRouted]]): probes touch only the
+  * nprobe nearest clusters' graphs. The resident graphs pin lazily on first
+  * probe and stay pinned (build-once/probe-many). Filtered probes route to
+  * the exact conjunctive path over the base — the routed artifact carries
+  * no tag sidecar, same reasoning as the SQ8 graph. */
+final class HnswRoutedVectorIndex(spark: SparkSession, graphPath: String,
+                                  base: DataFrame, nprobe: Int,
+                                  efSearch: Int) extends VectorIndex {
+  private lazy val resident = HnswRouted.loadResident(spark, graphPath)
+  def probe(queries: DataFrame, k: Int): DataFrame =
+    resident.probeLocal(queries, k, efSearch, nprobe)
+  def probeFiltered(queries: DataFrame, k: Int): DataFrame =
+    TagFilter.filteredKnn(queries, base, k)
+  def save(path: String): Unit = {
+    VectorIndex.writeKind(spark, path, "hnsw_routed")
+    spark.read.parquet(graphPath).write.mode("overwrite")
+      .partitionBy("part").parquet(s"$path/graph")
+    spark.read.parquet(graphPath + ".centroids").write.mode("overwrite")
+      .parquet(s"$path/graph.centroids")
+    base.write.mode("overwrite").parquet(s"$path/base")
+  }
+}
+
 object VectorIndex {
 
   /** Build the requested index kind over a (id, vec[, tags]) base. */
@@ -132,6 +155,15 @@ object VectorIndex {
     new HnswSq8VectorIndex(base.sparkSession, workPath, base, rerank, efSearch)
   }
 
+  def hnswRouted(base: DataFrame, workPath: String, c: Int = 8,
+                 kmIters: Int = 3, m: Int = 16, efConstruction: Int = 100,
+                 efSearch: Int = 64, nprobe: Int = 2): VectorIndex = {
+    HnswRouted.buildAndSave(base.select("id", "vec"), workPath, c, kmIters,
+      m, efConstruction)
+    new HnswRoutedVectorIndex(base.sparkSession, workPath, base, nprobe,
+      efSearch)
+  }
+
   /** Load any persisted VectorIndex; dispatches on the saved kind marker
     * (the load-or-build pattern, faiss.py:196-205). */
   def load(spark: SparkSession, path: String, nprobe: Int = 8,
@@ -143,6 +175,8 @@ object VectorIndex {
       case "hnsw" => new HnswVectorIndex(spark, s"$path/graph", efSearch)
       case "hnsw_sq8" => new HnswSq8VectorIndex(spark, s"$path/graph",
         spark.read.parquet(s"$path/base"), rerank, efSearch)
+      case "hnsw_routed" => new HnswRoutedVectorIndex(spark, s"$path/graph",
+        spark.read.parquet(s"$path/base"), nprobe, efSearch)
       case other => throw new IllegalArgumentException(s"unknown index kind: $other")
     }
 

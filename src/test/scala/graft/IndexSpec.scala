@@ -173,7 +173,71 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
       df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
     assert(rs(resident.probeLocal(queries, 10, 64)) ===
       rs(resident.probe(queries, 10, 64)))
+    // the serving-form batch API honors tombstones identically to probe()
+    val dead = (0L until 3L).toSet
+    val qs = queries.select($"qid", $"qvec")
+      .as[(Long, Array[Float])].collect()
+    val batch = resident.probeBatch(qs, 10, 64, tombstones = dead)
+      .map(t => (t._1, t._2, t._4)).toSet
+    assert(batch === rs(resident.probe(queries, 10, 64, tombstones = dead)))
+    assert(batch.forall { case (_, id, _) => !dead.contains(id) })
     resident.unload()
+  }
+
+  test("resident signature scan equals the exact filtered kNN dataflow") {
+    val tagged = TagFilter.withTags(emb)
+    val q = TagFilter.tagQueries(emb, 10)
+    val served = ResidentScan.load(tagged, numPartitions = 4)
+    val qsig = TagFilter.withSignature(q, "qtags").withColumnRenamed("sig", "qsig")
+    def rs(df: DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(rs(served.probeLocal(qsig, 10)) ===
+      rs(TagFilter.filteredKnn(q, tagged, 10)))
+    served.unload()
+  }
+
+  test("resident scan under ip equals the exact filtered MIPS dataflow") {
+    val tagged = TagFilter.withTags(emb)
+    val q = TagFilter.tagQueries(emb, 10)
+    val served = ResidentScan.load(tagged, numPartitions = 4, metric = Metric.Ip)
+    val qsig = TagFilter.withSignature(q, "qtags").withColumnRenamed("sig", "qsig")
+    def rs(df: DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(rs(served.probeLocal(qsig, 10)) ===
+      rs(TagFilter.filteredKnn(q, tagged, 10, Metric.Ip)))
+    served.unload()
+  }
+
+  test("routed graphs: exact at the degenerate point, recall monotone in nprobe") {
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw-rt")
+      .resolve("idx").toString
+    HnswRouted.buildAndSave(base, path, c = 8, kmIters = 2)
+    val routed = HnswRouted.loadResident(spark, path)
+    // nprobe = C + exhaustive beam: full fan-out of exact scans = brute force
+    val got = routed.probeLocal(queries, 10, efSearch = 1 << 20, nprobe = 8)
+      .select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    val t = truth.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(got === t)
+    // partial routing prunes clusters: recall trades like IVF's nprobe knob
+    def r(np: Int) = Recall.mean(
+      routed.probeLocal(queries, 10, efSearch = 64, nprobe = np), truth, 10)
+    val (r2, r4) = (r(2), r(4))
+    assert(r2 > 0.3, s"nprobe=2 recall $r2")
+    assert(r4 >= r2, s"recall must not decrease with nprobe: $r2 -> $r4")
+    routed.unload()
+  }
+
+  test("routed graphs under ip route by max inner product and stay exact at the degenerate point") {
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw-rtip")
+      .resolve("idx").toString
+    HnswRouted.buildAndSave(base, path, c = 4, kmIters = 2, metric = Metric.Ip)
+    val routed = HnswRouted.loadResident(spark, path)
+    val ipTruth = Knn.knnJoin(queries, base, 10, Metric.Ip)
+    val got = routed.probeLocal(queries, 10, efSearch = 1 << 20, nprobe = 4)
+      .select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    val t = ipTruth.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(got === t)
+    routed.unload()
   }
 
   test("HNSW search is deterministic across rebuilds") {
@@ -377,6 +441,17 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     sq8.save(p8)
     val loaded8 = VectorIndex.load(spark, p8, efSearch = 64, rerank = 40)
     assert(rs(loaded8.probe(queries, 10)) === rs(sq8.probe(queries, 10)))
+
+    // centroid-routed kind: exhaustive nprobe agrees with flat; round-trips
+    val rtWork = dir.resolve("hnsw-rt-work").toString
+    val rt = VectorIndex.hnswRouted(tagged, rtWork, c = 4, nprobe = 4,
+      efSearch = 1 << 20)
+    assert(rs(rt.probe(queries, 10)) === rs(flat.probe(queries, 10)))
+    assert(rs(rt.probeFiltered(tq, 10)) === exactF)
+    val prt = dir.resolve("hnsw-rt").toString
+    rt.save(prt)
+    val loadedRt = VectorIndex.load(spark, prt, nprobe = 4, efSearch = 1 << 20)
+    assert(rs(loadedRt.probe(queries, 10)) === rs(rt.probe(queries, 10)))
   }
 
   test("in-memory HnswIndex: exact on tiny data, predicate gate respected") {
