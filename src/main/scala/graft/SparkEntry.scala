@@ -161,6 +161,15 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), n = 3, numSeeds = 16,
         rowsPerBand = 4, minBp = 5000)),
+    // benchmark decontamination: every 20th doc plays the eval set, the
+    // rest are the training corpus; flag corpus docs sharing any 3-gram
+    // with the eval side (broadcast probe — the corpus never self-joins).
+    "dedup_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0), n = 3)
+    }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 2)),
@@ -358,6 +367,39 @@ object SparkEntry {
         nprobe = 4, rerank = 40)
       val truth = Knn.knnJoin(q, b, 10, Metric.L2)
       Recall.perQuery(got, truth, 10)
+    }),
+    // PQ-ADC at its exact-degenerate point (lossless codebook: every
+    // distinct subvector a centroid → zero quantization error, ADC = exact
+    // squared L2) — hash-checked against the brute-force oracle, gating the
+    // encode → LUT → gather-scan → exact-re-rank dataflow end to end. Same
+    // technique as nprobe = C and ef ≥ partition size.
+    "ann_pq_exact" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val cb = graft.index.Pq.trainLossless(b, m = 4)
+      knnResult(graft.index.Pq.adcKnn(
+        embQueries(s, dir, 10), b, cb, k = 10, rerank = 20))
+    }),
+    // PQ at a real operating point (m=8 × ksub=32 codebooks, 3 Lloyd
+    // iters, exact re-rank of 100) — recall-graded rows-only; the threshold
+    // is asserted in PqSpec. These near-uniform synthetic embeddings are
+    // PQ's worst case (no cluster structure to quantize onto), so the
+    // re-rank pool carries more of the recall than it would on a real
+    // embedding corpus — same caveat as the routed-graph bench row.
+    "recall_pq" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val q = embQueries(s, dir, 10)
+      val cb = graft.index.Pq.train(b, m = 8, ksub = 32, iters = 3)
+      val got = graft.index.Pq.adcKnn(q, b, cb, k = 10, rerank = 100)
+      Recall.perQuery(got, Knn.knnJoin(q, b, 10, Metric.L2), 10)
+    }),
+    // faiss's IVFx,PQy composition: coarse route bounds scan volume, PQ
+    // codes bound scan width, exact re-rank restores recall from both.
+    "recall_ivfpq" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val q = embQueries(s, dir, 10)
+      val got = graft.index.IvfPq.knn(q, b, k = 10, c = 8, iters = 3,
+        nprobe = 6, m = 8, ksub = 32, rerank = 100)
+      Recall.perQuery(got, Knn.knnJoin(q, b, 10, Metric.L2), 10)
     }),
     "recall_hnsw" -> ((s, dir) => {
       val b = embBase(s, dir)
@@ -600,6 +642,8 @@ object SparkEntry {
     "filtered_ann_hnsw_exact" -> conjKnnOracle,
     // routed graphs at nprobe = C + exhaustive beam: exact brute force
     "ann_hnsw_routed_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // PQ-ADC with a lossless codebook: exact → same oracle as knn_l2
+    "ann_pq_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "knn_ip" -> knnOracle(10, 10, dotSql, "DESC"),
     // IVF probed exhaustively under ip: same oracle as knn_ip
     "ann_ivf_ip" -> knnOracle(10, 10, dotSql, "DESC"),
@@ -728,6 +772,19 @@ object SparkEntry {
          |SELECT a_id, b_id, CAST((10000 * i) // (sa.nsh + sb.nsh - i) AS BIGINT) AS jaccard_bp
          |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
          |WHERE (10000 * i) // (sa.nsh + sb.nsh - i) >= 5000
+         |""".stripMargin,
+    "dedup_decontam" ->
+      s"""WITH $shinglesCte,
+         |bg AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+         |hits AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |         FROM sh JOIN bg USING (shingle)
+         |         WHERE sh.doc_id % 20 <> 0
+         |         GROUP BY sh.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE d.doc_id % 20 <> 0
          |""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesCte,

@@ -165,6 +165,62 @@ case class VecL2SqInt(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization ADC (asymmetric distance computation) kernel:
+  * `left` is a per-QUERY lookup table flattened to ARRAY<DOUBLE> of size
+  * m·ksub (entry j·ksub+c = the query's partial distance to centroid c of
+  * subspace j), `right` is a row's PQ codes ARRAY<SHORT>; result =
+  * Σ_j lut[j·ksub + codes[j]]. This is the table-gather loop every PQ
+  * scanner runs per candidate (the faiss IVFPQ scan shape the reference's
+  * baseline config builds on, /root/reference/filter/faiss/config.yaml:50-53
+  * picks SQ8, PQ is its sibling); O(m) per pair instead of O(d), inside
+  * whole-stage codegen. The LUT is computed once per query (narrow
+  * projection), so scan cost is independent of vector dimension. */
+case class PqAdcDist(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def prettyName: String = "pq_adc_dist"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ShortType, _)) if ksub > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (ARRAY<DOUBLE> lut, ARRAY<SHORT> codes) and ksub > 0, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}, ksub=$ksub")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val lut = l.asInstanceOf[ArrayData]
+    val codes = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += lut.getDouble(j * ksub + codes.getShort(j))
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $m = $codes.numElements();
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $acc += $lut.getDouble($j * $ksub + $codes.getShort($j));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API for the vector kernels. */
 object vectors {
   private def toCol(e: Expression): Column = GraftBridge.column(e)
@@ -188,4 +244,9 @@ object vectors {
     * (filter/hnsw/bindings.cpp:1114-1121); we compute it directly. */
   def vecCosine(a: Column, b: Column): Column =
     vecDot(a, b) / sqrt(vecNorm2(a) * vecNorm2(b))
+
+  /** PQ ADC distance: per-query flattened LUT (ARRAY<DOUBLE>, stride ksub)
+    * gathered by a row's codes (ARRAY<SHORT>) — O(m) per candidate. */
+  def pqAdcDist(lut: Column, codes: Column, ksub: Int): Column =
+    toCol(PqAdcDist(toExpr(lut), toExpr(codes), ksub))
 }

@@ -1,0 +1,221 @@
+package graft.index
+
+import graft.functions.vectors._
+import graft.operators.{Metric, TopK}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the other classic faiss compression next to
+  * the reference baseline's SQ8 (`indexkey=IVF16384,SQ8`,
+  * /root/reference/filter/faiss/config.yaml:50-53): split each vector into
+  * `m` subspaces of `dsub = d/m` dims, k-means each subspace to `ksub`
+  * centroids, store each row as `m` small codes. Memory per row drops from
+  * 4·d bytes to m·log2(ksub) bits — at 100 TB this is the difference
+  * between "embeddings fit executor memory" and "they don't".
+  *
+  * Query-side scoring is ADC (asymmetric distance computation): compute a
+  * per-query lookup table of partial distances to every subspace centroid
+  * ONCE (m·ksub entries, a narrow projection over the tiny query set), then
+  * score every candidate with an O(m) table gather — the
+  * [[graft.functions.PqAdcDist]] codegen kernel — instead of an O(d) float
+  * loop. Exact float re-rank of the `rerank` best restores recall, the same
+  * candidates-first-verify-later shape as [[Sq8.knnSq8]].
+  *
+  * Degenerate point (how the driver hash-gates an approximate structure):
+  * with a codebook holding EVERY distinct subvector ([[trainLossless]]),
+  * quantization error is zero, ADC equals exact distance, and the top-k
+  * matches the brute-force oracle row for row — the same technique as IVF
+  * probed at nprobe = C and HNSW searched at ef ≥ partition size.
+  *
+  * Spark shape: training is m small k-means fits over sliced vectors (train
+  * on a sample at scale — same note as [[KMeans]]); encoding is a map-side
+  * projection; the scan is codes ⨯ broadcast(query LUTs) with map-side
+  * partial top-k below the exchange. The corpus never shuffles.
+  */
+object Pq {
+
+  /** Trained codebook: `books(j)(c)` = centroid c of subspace j. `stride`
+    * is the LUT row width (≥ every books(j).length); codes are SHORT so
+    * ksub up to 32k works — the lossless degenerate point needs more than
+    * the classic 256. */
+  final case class Codebook(dsub: Int, books: Array[Array[Array[Float]]]) {
+    def m: Int = books.length
+    def stride: Int = books.map(_.length).max
+  }
+
+  private def dim(base: DataFrame): Int =
+    base.select(size(col("vec"))).head().getInt(0)
+
+  private def subCol(j: Int, dsub: Int): Column =
+    slice(col("vec"), j * dsub + 1, dsub)
+
+  /** Train per-subspace codebooks with [[KMeans.fit]] (deterministic
+    * lowest-id init). `m` must divide the dimension. */
+  def train(base: DataFrame, m: Int, ksub: Int, iters: Int): Codebook = {
+    val d = dim(base)
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    val books = Array.tabulate(m) { j =>
+      val sub = base.select(col("id"), subCol(j, dsub).as("vec"))
+      KMeans.fit(sub, ksub, iters)
+        .select(col("cid").cast("long"), col("cvec"))
+        .collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).toArray)
+    }
+    Codebook(dsub, books)
+  }
+
+  /** Lossless codebook: every distinct subvector becomes a centroid
+    * (deterministic lexicographic order), so encoding round-trips exactly.
+    * This is the hash-gate/test path — at scale you'd train [[train]] on a
+    * sample instead. */
+  def trainLossless(base: DataFrame, m: Int): Codebook = {
+    val d = dim(base)
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    val books = Array.tabulate(m) { j =>
+      val distinct = base.select(subCol(j, dsub).as("sub")).distinct()
+        .collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(distinct.length <= Short.MaxValue,
+        s"subspace $j has ${distinct.length} distinct subvectors — too many for SHORT codes")
+      distinct.sortWith { (a, b) =>
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n && a(i) == b(i)) i += 1
+        if (i < n) a(i) < b(i) else a.length < b.length
+      }
+    }
+    Codebook(dsub, books)
+  }
+
+  /** Map-side encoder: (…, vec) → (…, codes ARRAY<SHORT>), argmin centroid
+    * per subspace (ties to the lowest code — deterministic). The codebook
+    * travels in the closure (m·ksub·dsub floats — small by construction). */
+  def encode(df: DataFrame, cb: Codebook): DataFrame = {
+    val books = cb.books
+    val dsub = cb.dsub
+    val enc = udf { (vec: Seq[Float]) =>
+      val v = vec.toArray
+      Array.tabulate(books.length) { j =>
+        val off = j * dsub
+        val bk = books(j)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < bk.length) {
+          val cent = bk(c)
+          var d = 0.0
+          var i = 0
+          while (i < dsub) {
+            val t = v(off + i).toDouble - cent(i).toDouble
+            d += t * t
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best.toShort
+      }
+    }
+    df.withColumn("codes", enc(col("vec")))
+  }
+
+  /** Per-query flattened ADC LUT (ARRAY<DOUBLE>, stride [[Codebook.stride]]):
+    * entry j·stride+c = partial squared-L2 (or negated partial dot for ip)
+    * between the query's subspace-j slice and centroid c. Unused tail slots
+    * of ragged books hold MaxValue so an out-of-book code loses loudly
+    * rather than silently ranking well. */
+  def lutCol(qvecCol: Column, cb: Codebook, metric: String): Column = {
+    val books = cb.books
+    val dsub = cb.dsub
+    val stride = cb.stride
+    val ip = metric == Metric.Ip
+    val mk = udf { (qvec: Seq[Float]) =>
+      val q = qvec.toArray
+      val lut = Array.fill(books.length * stride)(Double.MaxValue)
+      var j = 0
+      while (j < books.length) {
+        val off = j * dsub
+        val bk = books(j)
+        var c = 0
+        while (c < bk.length) {
+          val cent = bk(c)
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) {
+            if (ip) acc -= q(off + i).toDouble * cent(i).toDouble
+            else {
+              val t = q(off + i).toDouble - cent(i).toDouble
+              acc += t * t
+            }
+            i += 1
+          }
+          lut(j * stride + c) = acc
+          c += 1
+        }
+        j += 1
+      }
+      lut
+    }
+    mk(qvecCol)
+  }
+
+  /** PQ-ADC kNN with exact re-rank: gather-score all codes per query (O(m)
+    * per pair via [[graft.functions.PqAdcDist]]), keep `rerank` candidates,
+    * re-rank those with the exact float kernel. rerank ≥ k; with a lossless
+    * codebook the result equals brute force exactly. */
+  def adcKnn(queries: DataFrame, base: DataFrame, cb: Codebook, k: Int,
+             rerank: Int, metric: String = Metric.L2): DataFrame = {
+    val codes = encode(base, cb).select("id", "codes")
+    val q = queries.select(col("qid"), lutCol(col("qvec"), cb, metric).as("lut"))
+    val scored = codes.crossJoin(broadcast(q))
+      .withColumn("dist", pqAdcDist(col("lut"), col("codes"), cb.stride))
+    val cand = TopK.aggTopK(scored, "qid", "id", "dist", rerank).select("qid", "id")
+    val exact = cand
+      .join(base.select("id", "vec"), "id")
+      .join(broadcast(queries.select("qid", "qvec")), "qid")
+      .withColumn("dist", Metric.distColumn(metric, col("qvec"), col("vec")))
+    TopK.aggTopK(exact, "qid", "id", "dist", k)
+  }
+}
+
+/** IVF coarse routing over PQ-coded lists — faiss's classic `IVFx,PQy`
+  * composition (sibling of the reference baseline's IVF+SQ8): cluster
+  * pruning bounds scan VOLUME, PQ bounds scan WIDTH (m bytes/row instead of
+  * 4·d), exact re-rank restores recall from the union of both errors.
+  * nprobe = C with a lossless codebook and rerank = n degenerates to exact
+  * brute force (asserted in PqSpec). */
+object IvfPq {
+
+  def knn(queries: DataFrame, base: DataFrame, k: Int, c: Int, iters: Int,
+          nprobe: Int, m: Int, ksub: Int, rerank: Int): DataFrame = {
+    val ivf = IvfIndex.build(base, c, iters)
+    val cb = Pq.train(base, m, ksub, iters)
+    knnWith(ivf, cb, queries, base, k, nprobe, rerank)
+  }
+
+  def knnWith(ivf: IvfIndex, cb: Pq.Codebook, queries: DataFrame,
+              base: DataFrame, k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val routes = TopK.aggTopK(
+      queries.select("qid", "qvec").crossJoin(broadcast(ivf.centroids))
+        .withColumn("dist", Metric.distColumn(Metric.L2, col("qvec"), col("cvec"))),
+      "qid", "cid", "dist", nprobe)
+      .select("qid", "cid")
+    val cand = routes.join(ivf.assigned, "cid").select("qid", "id")
+    val codes = Pq.encode(base, cb).select("id", "codes")
+    val q = queries.select(col("qid"), Pq.lutCol(col("qvec"), cb, Metric.L2).as("lut"))
+    val scored = cand
+      .join(codes, "id")
+      .join(broadcast(q), "qid")
+      .withColumn("dist", pqAdcDist(col("lut"), col("codes"), cb.stride))
+    val survivors = TopK.aggTopK(scored, "qid", "id", "dist", rerank)
+      .select("qid", "id")
+    val exact = survivors
+      .join(base.select("id", "vec"), "id")
+      .join(broadcast(queries.select("qid", "qvec")), "qid")
+      .withColumn("dist", Metric.distColumn(Metric.L2, col("qvec"), col("vec")))
+    TopK.aggTopK(exact, "qid", "id", "dist", k)
+  }
+}

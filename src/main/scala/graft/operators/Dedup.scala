@@ -48,6 +48,31 @@ object Dedup {
       .otherwise(array().cast("array<string>")))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with an evaluation/benchmark set — the standard pre-training
+    * hygiene pass ("drop training docs with n-gram overlap against the
+    * test set"). Returns EVERY corpus doc: (doc_id, n_hits = distinct
+    * overlapping grams, contaminated 0/1).
+    *
+    * Scale shape: the benchmark side is small by definition, so its
+    * distinct grams BROADCAST and the corpus-side probe is map-side — the
+    * only shuffle is the per-doc groupBy of hits; the corpus never joins
+    * itself (contrast [[jaccardPairs]]). At 100 TB hash grams to longs
+    * (xxhash64) to shrink the broadcast and verify the few hits exactly;
+    * here grams join as strings so the driver oracle replicates the
+    * comparison byte-for-byte. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, n: Int): DataFrame = {
+    // shingles() is per-doc distinct, so count(*) counts distinct overlaps
+    val hits = shingles(corpus, n)
+      .join(broadcast(shingles(bench, n).select("shingle").distinct()), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    corpus.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
   /** All-pairs n-gram Jaccard similarity join: pairs (a_id < b_id) with
     * Jaccard ≥ minBp basis points. Shuffle is keyed on shingle; a shingle
     * appearing in d docs contributes d² join rows, so at scale drop

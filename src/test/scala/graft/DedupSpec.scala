@@ -29,6 +29,29 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(bad === 0)
   }
 
+  test("decontaminate: one row per corpus doc; hits iff a shared shingle exists") {
+    val bench = docs.where($"doc_id" % 20 === 0)
+    val corpus = docs.where($"doc_id" % 20 =!= 0)
+    val d = Dedup.decontaminate(corpus, bench, 3).cache()
+    assert(d.count() === corpus.count())
+    // flag is exactly (n_hits > 0)
+    assert(d.where(($"n_hits" > 0) =!= ($"contaminated" === 1)).count() === 0)
+    // independent reconstruction: corpus docs sharing any bench shingle
+    val expected = Dedup.shingles(corpus, 3)
+      .join(Dedup.shingles(bench, 3).select("shingle").distinct(), "shingle")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val got = d.where($"contaminated" === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // a benchmark doc duplicated into the corpus must always be flagged
+    // (exact dups share every shingle) — sanity that the op catches the
+    // textbook leak when one exists
+    val leakIds = corpus.as("c").join(bench.as("b"), $"c.text" === $"b.text")
+      .select($"c.doc_id").collect().map(_.getLong(0)).toSet
+    assert(leakIds.subsetOf(got))
+    d.unpersist()
+  }
+
   test("minhashLsh candidates are a subset of all-pairs jaccard at the same threshold") {
     val lsh = Dedup.minhashLsh(docs, 3, 16, 4, 5000)
     val full = Dedup.jaccardPairs(docs, 3, 5000)

@@ -1,0 +1,85 @@
+package graft
+
+import graft.index.{IvfIndex, IvfPq, Pq}
+import graft.operators.{Knn, Metric, Recall}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PqSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  lazy val base: DataFrame = Tables.embeddings(spark, sfDir)
+    .select(col("vec_id").as("id"), col("embedding").as("vec")).cache()
+  lazy val queries: DataFrame = Tables.embeddings(spark, sfDir)
+    .where(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec")).cache()
+
+  private def ids(df: DataFrame): Set[(Long, Long, Int)] =
+    df.select(col("qid").cast("long"), col("id").cast("long"), col("rank").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("lossless codebook reconstructs every vector exactly") {
+    val cb = Pq.trainLossless(base, m = 4)
+    val books = cb.books
+    val dsub = cb.dsub
+    val decode = udf { (codes: Seq[Short]) =>
+      codes.toArray.zipWithIndex.flatMap { case (c, j) => books(j)(c.toInt) }
+    }
+    val bad = Pq.encode(base, cb)
+      .withColumn("rec", decode(col("codes")))
+      .where(expr("exists(zip_with(vec, rec, (a, b) -> a <> b), x -> x)"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("ADC with a lossless codebook equals exact brute-force kNN (L2)") {
+    val cb = Pq.trainLossless(base, m = 4)
+    val got = Pq.adcKnn(queries, base, cb, k = 10, rerank = 20)
+    val truth = Knn.knnJoin(queries, base, 10, Metric.L2)
+    assert(ids(got) === ids(truth))
+  }
+
+  test("ADC with a lossless codebook equals exact brute-force kNN (ip/MIPS)") {
+    val cb = Pq.trainLossless(base, m = 4)
+    val got = Pq.adcKnn(queries, base, cb, k = 10, rerank = 20, metric = Metric.Ip)
+    val truth = Knn.knnJoin(queries, base, 10, Metric.Ip)
+    assert(ids(got) === ids(truth))
+  }
+
+  test("trained PQ (m=8, ksub=32) with exact re-rank clears recall 0.9") {
+    val cb = Pq.train(base, m = 8, ksub = 32, iters = 3)
+    val got = Pq.adcKnn(queries, base, cb, k = 10, rerank = 100)
+    val truth = Knn.knnJoin(queries, base, 10, Metric.L2)
+    val r = Recall.mean(got, truth, 10)
+    assert(r >= 0.9, s"recall $r below 0.9")
+  }
+
+  test("IVF-PQ at nprobe=C with lossless codebook and rerank=n is exact") {
+    val n = base.count().toInt
+    val ivf = IvfIndex.build(base, c = 8, iters = 2)
+    val cb = Pq.trainLossless(base, m = 4)
+    val got = IvfPq.knnWith(ivf, cb, queries, base, k = 10, nprobe = 8, rerank = n)
+    val truth = Knn.knnJoin(queries, base, 10, Metric.L2)
+    assert(ids(got) === ids(truth))
+  }
+
+  test("IVF-PQ at a real operating point clears recall 0.85") {
+    val got = IvfPq.knn(queries, base, k = 10, c = 8, iters = 3,
+      nprobe = 6, m = 8, ksub = 32, rerank = 100)
+    val truth = Knn.knnJoin(queries, base, 10, Metric.L2)
+    val r = Recall.mean(got, truth, 10)
+    assert(r >= 0.85, s"recall $r below 0.85")
+  }
+
+  test("codes stay within each subspace's book and stride bounds") {
+    val cb = Pq.train(base, m = 8, ksub = 16, iters = 1)
+    val sizes = cb.books.map(_.length)
+    val maxPerSub = udf { (codes: Seq[Short]) =>
+      codes.toArray.zipWithIndex.forall { case (c, j) => c >= 0 && c < sizes(j) }
+    }
+    val bad = Pq.encode(base, cb).where(!maxPerSub(col("codes"))).count()
+    assert(bad === 0)
+    assert(cb.stride === sizes.max)
+  }
+}
