@@ -144,6 +144,10 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => Text.qualityScore(Tables.documents(s, dir))
       .select("doc_id", "n_tokens", "stop_bp", "uniq_bp", "quality_flag")),
     "text_langid" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
+    // repetitiousness filter: share of a doc's bigram occurrences taken by
+    // its single most repeated bigram, in basis points.
+    "text_repetition" -> ((s, dir) =>
+      Text.repetition(Tables.documents(s, dir), n = 2)),
     "text_fingerprint" -> ((s, dir) => Text.fingerprint(Tables.documents(s, dir))),
     "text_tokens_bpe" -> ((s, dir) => Text.bpeishCounts(Tables.documents(s, dir))),
 
@@ -378,6 +382,20 @@ object SparkEntry {
       val cb = graft.index.Pq.trainLossless(b, m = 4)
       knnResult(graft.index.Pq.adcKnn(
         embQueries(s, dir, 10), b, cb, k = 10, rerank = 20))
+    }),
+    // save → load → probe through the VectorIndex registry with the
+    // lossless codebook: persistence must not change the exact result
+    // (S7/X4 parity, same contract as ann_ivf_persisted).
+    "ann_pq_persisted_exact" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val cb = graft.index.Pq.trainLossless(b, m = 4)
+      val idx = new graft.index.PqVectorIndex(s, cb,
+        graft.index.Pq.encode(b, cb).select("id", "codes"), b, rerank = 20)
+      val path = java.nio.file.Files.createTempDirectory("graft-pq")
+        .resolve("idx").toString
+      idx.save(path)
+      knnResult(graft.index.VectorIndex.load(s, path, rerank = 20)
+        .probe(embQueries(s, dir, 10), 10))
     }),
     // PQ at a real operating point (m=8 × ksub=32 codebooks, 3 Lloyd
     // iters, exact re-rank of 100) — recall-graded rows-only; the threshold
@@ -644,6 +662,7 @@ object SparkEntry {
     "ann_hnsw_routed_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     // PQ-ADC with a lossless codebook: exact → same oracle as knn_l2
     "ann_pq_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    "ann_pq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "knn_ip" -> knnOracle(10, 10, dotSql, "DESC"),
     // IVF probed exhaustively under ip: same oracle as knn_ip
     "ann_ivf_ip" -> knnOracle(10, 10, dotSql, "DESC"),
@@ -730,6 +749,19 @@ object SparkEntry {
          |       max_hits
          |FROM mx
          |""".stripMargin,
+    "text_repetition" ->
+      """WITH g AS (SELECT doc_id,
+        |           unnest(list_transform(range(1, len(l)),
+        |                  i -> array_to_string(l[i:i+1], ' '))) AS gram
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+        |c AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf
+        |      FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(sum(tf) AS BIGINT) AS n_grams,
+        |       CAST(max(tf) AS BIGINT) AS top_tf,
+        |       CAST((10000 * max(tf)) // sum(tf) AS BIGINT) AS rep_bp
+        |FROM c GROUP BY doc_id
+        |""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, CAST(length(text) AS BIGINT) AS text_len
         |FROM documents

@@ -49,20 +49,65 @@ object Pq {
   private def subCol(j: Int, dsub: Int): Column =
     slice(col("vec"), j * dsub + 1, dsub)
 
-  /** Train per-subspace codebooks with [[KMeans.fit]] (deterministic
-    * lowest-id init). `m` must divide the dimension. */
+  /** Train all m codebooks in ONE multi-subspace Lloyd's loop
+    * (deterministic lowest-id init, same as [[KMeans.fit]]): the base
+    * explodes once into (subspace, subvector) rows, every iteration is one
+    * map-side argmin against the full codebook closure plus one grouped
+    * mean — iters+1 corpus passes TOTAL, independent of m (m separate
+    * [[KMeans.fit]] calls would pay m·iters passes — the difference between
+    * 4 and 24 scans at 100 TB). Train on a sample at scale, as with
+    * [[KMeans]]. */
   def train(base: DataFrame, m: Int, ksub: Int, iters: Int): Codebook = {
     val d = dim(base)
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val dsub = d / m
-    val books = Array.tabulate(m) { j =>
-      val sub = base.select(col("id"), subCol(j, dsub).as("vec"))
-      KMeans.fit(sub, ksub, iters)
-        .select(col("cid").cast("long"), col("cvec"))
-        .collect()
-        .sortBy(_.getLong(0))
-        .map(_.getSeq[Float](1).toArray)
+    val subs = base.select(col("id"), posexplode(
+      expr(s"transform(sequence(0, ${m - 1}), j -> slice(vec, j * $dsub + 1, $dsub))"))
+      .as(Seq("sub", "svec")))
+      .persist()
+    // init: subvectors of the ksub lowest-id rows, every subspace at once
+    var books: Array[Array[Array[Float]]] = {
+      val init = base.orderBy("id").limit(ksub).select("vec").collect()
+        .map(_.getSeq[Float](0).toArray)
+      Array.tabulate(m)(j => init.map(_.slice(j * dsub, (j + 1) * dsub)))
     }
+    for (_ <- 0 until iters) {
+      val cur = books
+      val assignU = udf { (sub: Int, svec: Seq[Float]) =>
+        val v = svec.toArray
+        val bk = cur(sub)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < bk.length) {
+          val cent = bk(c)
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) {
+            val t = v(i).toDouble - cent(i).toDouble
+            acc += t * t
+            i += 1
+          }
+          if (acc < bestD) { bestD = acc; best = c }
+          c += 1
+        }
+        best
+      }
+      val next = subs
+        .withColumn("cid", assignU(col("sub"), col("svec")))
+        .groupBy("sub", "cid")
+        .agg(graft.functions.VectorAggs.vecMean(col("svec")).as("cvec"))
+        .collect()
+      // empty clusters vanish from the groupBy; compact each book in cid
+      // order (codes are positions in the compacted book — [[encode]]
+      // argmins over whatever survives, so the mapping stays consistent)
+      books = Array.tabulate(m) { j =>
+        next.filter(_.getInt(0) == j)
+          .sortBy(_.getInt(1))
+          .map(_.getSeq[Float](2).toArray)
+      }
+    }
+    subs.unpersist()
     Codebook(dsub, books)
   }
 
@@ -167,8 +212,16 @@ object Pq {
     * re-rank those with the exact float kernel. rerank ≥ k; with a lossless
     * codebook the result equals brute force exactly. */
   def adcKnn(queries: DataFrame, base: DataFrame, cb: Codebook, k: Int,
-             rerank: Int, metric: String = Metric.L2): DataFrame = {
-    val codes = encode(base, cb).select("id", "codes")
+             rerank: Int, metric: String = Metric.L2): DataFrame =
+    adcKnnCodes(queries, encode(base, cb).select("id", "codes"), base, cb,
+      k, rerank, metric)
+
+  /** [[adcKnn]] over PRE-ENCODED codes (the persisted-index probe path —
+    * encoding happened at build time; probes only read the compact codes
+    * table plus, for the re-rank rows only, the float vectors). */
+  def adcKnnCodes(queries: DataFrame, codes: DataFrame, base: DataFrame,
+                  cb: Codebook, k: Int, rerank: Int,
+                  metric: String = Metric.L2): DataFrame = {
     val q = queries.select(col("qid"), lutCol(col("qvec"), cb, metric).as("lut"))
     val scored = codes.crossJoin(broadcast(q))
       .withColumn("dist", pqAdcDist(col("lut"), col("codes"), cb.stride))
@@ -178,6 +231,40 @@ object Pq {
       .join(broadcast(queries.select("qid", "qvec")), "qid")
       .withColumn("dist", Metric.distColumn(metric, col("qvec"), col("vec")))
     TopK.aggTopK(exact, "qid", "id", "dist", k)
+  }
+
+  /** Persist the index as parquet artifacts (S7/X4 analog, like
+    * [[IvfIndex.save]]): the codebook as one tiny (sub, cid, cvec) table,
+    * the codes as a columnar table m·2 bytes wide per row — the artifact a
+    * 100 TB corpus actually serves from (floats are only read by the
+    * re-rank, directly from the base table). */
+  def save(base: DataFrame, cb: Codebook, path: String): Unit =
+    saveArtifacts(base.sparkSession, cb,
+      encode(base, cb).select("id", "codes"), path)
+
+  /** [[save]] with codes already encoded (build-once callers). */
+  def saveArtifacts(spark: org.apache.spark.sql.SparkSession, cb: Codebook,
+                    codes: DataFrame, path: String): Unit = {
+    import spark.implicits._
+    cb.books.zipWithIndex.flatMap { case (bk, j) =>
+      bk.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "cid", "cvec")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load a persisted index: (codebook, codes). Probe with
+    * [[adcKnnCodes]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): (Codebook, DataFrame) = {
+    val rows = spark.read.parquet(s"$path/codebook")
+      .select(col("sub"), col("cid"), col("cvec")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val books = Array.tabulate(m) { j =>
+      rows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
+        .map(_.getSeq[Float](2).toArray)
+    }
+    (Codebook(books.head.head.length, books),
+      spark.read.parquet(s"$path/codes"))
   }
 }
 

@@ -108,6 +108,26 @@ final class HnswSq8VectorIndex(spark: SparkSession, graphPath: String,
   }
 }
 
+/** PQ-coded flat index: candidate generation gather-scans m-byte codes via
+  * the ADC kernel (scan width independent of dimension), exact float
+  * re-rank restores recall. Filtered probes route to the exact conjunctive
+  * path over the base (codes carry no tag sidecar — same reasoning as the
+  * SQ8 graph). With a lossless codebook probes are exact. */
+final class PqVectorIndex(spark: SparkSession, cb: Pq.Codebook,
+                          codes: DataFrame, base: DataFrame,
+                          rerank: Int) extends VectorIndex {
+  def probe(queries: DataFrame, k: Int): DataFrame =
+    Pq.adcKnnCodes(queries.select("qid", "qvec"), codes,
+      base.select("id", "vec"), cb, k, math.max(rerank, k))
+  def probeFiltered(queries: DataFrame, k: Int): DataFrame =
+    TagFilter.filteredKnn(queries, base, k)
+  def save(path: String): Unit = {
+    VectorIndex.writeKind(spark, path, "pq")
+    Pq.saveArtifacts(spark, cb, codes, s"$path/pq")
+    base.write.mode("overwrite").parquet(s"$path/base")
+  }
+}
+
 /** Centroid-routed per-cluster HNSW ([[HnswRouted]]): probes touch only the
   * nprobe nearest clusters' graphs. The resident graphs pin lazily on first
   * probe and stay pinned (build-once/probe-many). Filtered probes route to
@@ -155,6 +175,14 @@ object VectorIndex {
     new HnswSq8VectorIndex(base.sparkSession, workPath, base, rerank, efSearch)
   }
 
+  def pq(base: DataFrame, m: Int = 8, ksub: Int = 32, iters: Int = 3,
+         rerank: Int = 100): VectorIndex = {
+    val cb = Pq.train(base.select("id", "vec"), m, ksub, iters)
+    new PqVectorIndex(base.sparkSession, cb,
+      Pq.encode(base.select("id", "vec"), cb).select("id", "codes"),
+      base, rerank)
+  }
+
   def hnswRouted(base: DataFrame, workPath: String, c: Int = 8,
                  kmIters: Int = 3, m: Int = 16, efConstruction: Int = 100,
                  efSearch: Int = 64, nprobe: Int = 2): VectorIndex = {
@@ -177,6 +205,10 @@ object VectorIndex {
         spark.read.parquet(s"$path/base"), rerank, efSearch)
       case "hnsw_routed" => new HnswRoutedVectorIndex(spark, s"$path/graph",
         spark.read.parquet(s"$path/base"), nprobe, efSearch)
+      case "pq" =>
+        val (cb, codes) = Pq.load(spark, s"$path/pq")
+        new PqVectorIndex(spark, cb, codes,
+          spark.read.parquet(s"$path/base"), rerank)
       case other => throw new IllegalArgumentException(s"unknown index kind: $other")
     }
 

@@ -51,6 +51,27 @@ object Text {
         sum(length(col("term"))).as("char_sum"))
       .withColumn("centi_avg_len", expr("(100 * char_sum) div n_tokens"))
 
+  /** Repetition scoring: how much of a document is its single most
+    * repeated word n-gram (basis points of all n-gram occurrences) — the
+    * classic repetitiousness filter (Gopher/C4-style "drop docs whose top
+    * n-gram covers too much of the text"). Unlike [[graft.operators.Dedup
+    * .shingles]] this keeps DUPLICATE grams — repetition is the signal.
+    * Two keyed aggregations, both map-side combining; docs shorter than n
+    * tokens have no n-grams and drop out (callers treat absent as
+    * not-repetitious). Returns (doc_id, n_grams, top_tf, rep_bp). */
+  def repetition(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = docs.select(col("doc_id"),
+      explode(when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - n + 1),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_grams"), max("tf").as("top_tf"))
+      .withColumn("rep_bp", expr("(10000 * top_tf) div n_grams"))
+  }
+
   /** Stopword list shared with the oracle SQL. */
   val StopWords: Seq[String] = Seq("the", "a")
 

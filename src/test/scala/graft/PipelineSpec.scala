@@ -22,6 +22,28 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(frac.getOrElse("test", 0.0) > 0.03, s"test frac ${frac.get("test")}")
   }
 
+  test("repetition: handcrafted scores and corpus invariants") {
+    val tiny = Seq((1L, "x y x y x y"), (2L, "a a a a"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Text.repetition(tiny, 2)
+      .select($"doc_id", $"n_grams", $"top_tf", $"rep_bp")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // "x y x y x y": grams xy,yx,xy,yx,xy → 5 grams, top 3 → 6000 bp
+    assert(r(1L) === ((1L, 5L, 3L, 6000L)))
+    // "a a a a": aa×3 → fully repetitious
+    assert(r(2L) === ((2L, 3L, 3L, 10000L)))
+    // all-distinct grams → 3 grams, top 1
+    assert(r(3L) === ((3L, 3L, 1L, 3333L)))
+    // corpus invariants: top_tf ≤ n_grams, rep_bp ∈ (0, 10000],
+    // n_grams = n_tokens − 1 for every doc with ≥ 2 tokens
+    val rep = graft.operators.Text.repetition(docs, 2).cache()
+    assert(rep.where($"top_tf" > $"n_grams" || $"rep_bp" <= 0 || $"rep_bp" > 10000)
+      .count() === 0)
+    val joined = rep.join(graft.operators.Text.tokenStats(docs), "doc_id")
+    assert(joined.where($"n_grams" =!= $"n_tokens" - 1).count() === 0)
+    rep.unpersist()
+  }
+
   test("distributed prefix-sum packing equals the single-window form exactly") {
     // packShards composes per-partition offsets (two-pass distributed
     // prefix sum); the single-task global window is the semantic reference

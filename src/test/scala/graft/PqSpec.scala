@@ -72,6 +72,29 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(r >= 0.85, s"recall $r below 0.85")
   }
 
+  test("save → load round-trips the codebook and codes; persisted probe is exact") {
+    val cb = Pq.trainLossless(base, m = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft-pq-spec")
+      .resolve("idx").toString
+    Pq.save(base, cb, path)
+    val (cb2, codes2) = Pq.load(spark, path)
+    assert(cb2.dsub === cb.dsub)
+    assert(cb2.books.map(_.length).toSeq === cb.books.map(_.length).toSeq)
+    assert(cb2.books.flatten.flatten.toSeq === cb.books.flatten.flatten.toSeq)
+    val got = Pq.adcKnnCodes(queries, codes2, base, cb2, k = 10, rerank = 20)
+    assert(ids(got) === ids(Knn.knnJoin(queries, base, 10, Metric.L2)))
+  }
+
+  test("VectorIndex registry dispatches the pq kind; loaded probe matches built") {
+    val idx = graft.index.VectorIndex.pq(base, m = 8, ksub = 32, iters = 2,
+      rerank = 100)
+    val path = java.nio.file.Files.createTempDirectory("graft-pq-vi")
+      .resolve("idx").toString
+    idx.save(path)
+    val loaded = graft.index.VectorIndex.load(spark, path, rerank = 100)
+    assert(ids(loaded.probe(queries, 10)) === ids(idx.probe(queries, 10)))
+  }
+
   test("codes stay within each subspace's book and stride bounds") {
     val cb = Pq.train(base, m = 8, ksub = 16, iters = 1)
     val sizes = cb.books.map(_.length)
