@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{VecDot, VecL2Sq, VecL2SqInt}
+import graft.functions.{PqAdcDist, VecDot, VecL2Sq, VecL2SqInt}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -36,6 +36,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "vec_dot(a, b) - dot product of two ARRAY<FLOAT> vectors"))
     ext.injectFunction(binary("vec_l2sq_int", VecL2SqInt.apply, classOf[VecL2SqInt],
       "vec_l2sq_int(a, b) - integer squared L2 between two ARRAY<SHORT> vectors"))
+    // PQ ADC gather: third argument is the LUT stride and must be a
+    // literal (it is baked into the generated code)
+    ext.injectFunction((FunctionIdentifier("pq_adc_dist"),
+      info(classOf[PqAdcDist], "pq_adc_dist",
+        "pq_adc_dist(lut, codes, ksub) - PQ ADC distance: per-query ARRAY<DOUBLE> lookup table (stride ksub) gathered by ARRAY<SHORT> codes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"pq_adc_dist expects 3 arguments, got ${args.length}")
+        require(args(2).foldable, "pq_adc_dist ksub must be a literal")
+        val ksub = args(2).eval() match {
+          case i: Int  => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"pq_adc_dist ksub must be an integer literal, got $other")
+        }
+        PqAdcDist(args(0), args(1), ksub)
+      }))
   }
 }
 

@@ -199,6 +199,19 @@ object SparkEntry {
         trainPct = 80, valPct = 10).select("doc_id", "bucket", "split")),
     "pipeline_shards" -> ((s, dir) =>
       Pipeline.packShards(Tables.documents(s, dir), budget = 2000)),
+    // mixture sampling: per-source keep rates derived from the source's
+    // numeric suffix (2000 + 500·(n mod 9) bp) so the oracle can compute
+    // the identical weight table in SQL; keep is a pure function of
+    // (doc_id, source) — deterministic across engines and reruns.
+    "pipeline_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val weights = docs.select("source").distinct().collect()
+        .map(_.getString(0))
+        .map(src => src -> (2000L + 500L * (src.stripPrefix("src").toLong % 9)))
+        .toMap
+      Pipeline.sampleBySource(docs, "doc_id", "source", weights)
+        .select("doc_id", "source", "sample_bucket", "weight_bp", "keep")
+    }),
 
     // -- sparse track: MIPS over long-form (id, dim, v) ----------------------
     "sparse_mips" -> ((s, dir) => {
@@ -371,6 +384,24 @@ object SparkEntry {
         nprobe = 4, rerank = 40)
       val truth = Knn.knnJoin(q, b, 10, Metric.L2)
       Recall.perQuery(got, truth, 10)
+    }),
+    // X8 per-tag subindexes at the exact-degenerate beam: every tag is hot
+    // (minFreqBp below every tag's frequency), each query routes to its
+    // label's dedicated graph, and ef ≥ partition size makes the probe an
+    // exhaustive scan of that tag's rows — hash-checked against the
+    // single-tag filtered oracle. Gates the hot-tag route end to end:
+    // stats → build-per-tag → registry listing → routed probe.
+    "filtered_knn_subindex_exact" -> ((s, dir) => {
+      val base = TagFilter.withTags(Tables.embeddings(s, dir))
+      val path = java.nio.file.Files.createTempDirectory("graft-subidx")
+        .resolve("reg").toString
+      graft.index.TagSubindexes.build(base, path, minFreqBp = 500,
+        numPartitions = 2)
+      val q = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qtag"))
+      knnResult(graft.index.TagSubindexes.probe(s, path, q, k = 10,
+        efSearch = 1 << 20))
     }),
     // PQ-ADC at its exact-degenerate point (lossless codebook: every
     // distinct subvector a centroid → zero quantization error, ADC = exact
@@ -658,6 +689,9 @@ object SparkEntry {
     "ann_hnsw_tombstone_exact" ->
       knnOracle(10, 10, l2Sql, "ASC", "e.vec_id >= 5"),
     "filtered_ann_hnsw_exact" -> conjKnnOracle,
+    // hot-tag subindex probed exhaustively: exact kNN among the tag's docs
+    "filtered_knn_subindex_exact" ->
+      knnOracle(10, 10, l2Sql, "ASC", filterSql = "e.label = q.qlabel"),
     // routed graphs at nprobe = C + exhaustive beam: exact brute force
     "ann_hnsw_routed_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     // PQ-ADC with a lossless codebook: exact → same oracle as knn_l2
@@ -921,6 +955,15 @@ object SparkEntry {
         |            WHEN bucket < 90 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM b
+        |""".stripMargin,
+    "pipeline_sample" ->
+      """WITH w AS (SELECT doc_id, source,
+        |           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 15))::BIGINT % 10000 AS sample_bucket,
+        |           CAST(2000 + 500 * (CAST(substr(source, 4) AS BIGINT) % 9) AS BIGINT) AS weight_bp
+        |    FROM documents)
+        |SELECT doc_id, source, sample_bucket, weight_bp,
+        |       CAST(CASE WHEN sample_bucket < weight_bp THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM w
         |""".stripMargin,
     "pipeline_shards" ->
       s"""WITH $tokensCte,

@@ -28,6 +28,32 @@ object Pipeline {
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
 
+  /** Sampling bucket in [0, 10000): md5 of the salted id — same
+    * engine-portable construction as [[splitBucket]], salted so mixture
+    * sampling is independent of the train/val/test assignment. */
+  def sampleBucket10k(idCol: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("long"), lit(10000L))
+
+  /** Per-source mixture sampling — the data-mixing pass that turns raw
+    * per-source corpora into a training mixture with configured weights:
+    * keep a doc iff its sampling bucket falls below its source's weight
+    * (basis points), so each source is independently downsampled to
+    * weight_bp/10000 of its rows, deterministically (reruns, retries, and
+    * engines agree — no `rand()`). The weight table is tiny → broadcast;
+    * the pass is map-side, no shuffle of the corpus. Returns the input
+    * plus (weight_bp, sample_bucket, keep). */
+  def sampleBySource(df: DataFrame, idCol: String, sourceCol: String,
+                     weightsBp: Map[String, Long],
+                     salt: String = ":sample"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weightsBp.toSeq.toDF(sourceCol, "weight_bp")
+    df.join(broadcast(w), sourceCol)
+      .withColumn("sample_bucket", sampleBucket10k(col(idCol), salt))
+      .withColumn("keep", (col("sample_bucket") < col("weight_bp")).cast("int"))
+  }
+
   /** Contiguous token-budget shard packing: docs in ascending id order are
     * packed greedily into shards of ≤ `budget` tokens by the cumulative
     * count — shard = floor(cum_before / budget), the deterministic

@@ -16,6 +16,23 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getLong(2) === 200L * 200 + 255L * 255)
   }
 
+  test("pq_adc_dist resolves from SQL with a literal stride and gathers correctly") {
+    // lut stride 2: subspace 0 → [10.0, 20.0], subspace 1 → [1.0, 2.0];
+    // codes [1, 0] pick 20.0 + 1.0
+    val r = spark.sql(
+      """SELECT pq_adc_dist(array(10.0d, 20.0d, 1.0d, 2.0d),
+        |                   array(CAST(1 AS SHORT), CAST(0 AS SHORT)), 2) AS d
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 21.0)
+    // non-literal stride is rejected at resolution
+    val err = intercept[Exception] {
+      spark.sql(
+        """SELECT pq_adc_dist(array(1.0d), array(CAST(0 AS SHORT)), id)
+          |FROM range(1)""".stripMargin).head()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("whole-vector aggregates resolve from SQL and match the DataFrame path") {
     import spark.implicits._
     GraftFunctions.register(spark)

@@ -22,6 +22,29 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(frac.getOrElse("test", 0.0) > 0.03, s"test frac ${frac.get("test")}")
   }
 
+  test("sampleBySource: deterministic, keep = bucket < weight, rates track weights") {
+    val weights = docs.select("source").distinct().collect().map(_.getString(0))
+      .map(s => s -> (2000L + 500L * (s.stripPrefix("src").toLong % 9))).toMap
+    val s1 = Pipeline.sampleBySource(docs, "doc_id", "source", weights).cache()
+    // keep is exactly the bucket test
+    assert(s1.where(($"sample_bucket" < $"weight_bp") =!= ($"keep" === 1)).count() === 0)
+    // every input row appears once (the weight join drops nothing)
+    assert(s1.count() === docs.count())
+    // determinism across invocations
+    val s2 = Pipeline.sampleBySource(docs, "doc_id", "source", weights)
+    assert(s1.select("doc_id", "keep").except(s2.select("doc_id", "keep")).count() === 0)
+    // aggregate keep rate lands near the mean weight (hash uniformity;
+    // loose bound — per-source counts are small at this SF)
+    val meanW = weights.values.sum.toDouble / weights.size / 10000
+    val rate = s1.where($"keep" === 1).count().toDouble / s1.count()
+    assert(math.abs(rate - meanW) < 0.1, s"rate $rate vs mean weight $meanW")
+    // salt decouples sampling from the split bucket: changing it changes
+    // the kept set (overwhelmingly likely on 500 docs)
+    val s3 = Pipeline.sampleBySource(docs, "doc_id", "source", weights, salt = ":other")
+    assert(s1.select("doc_id", "keep").except(s3.select("doc_id", "keep")).count() > 0)
+    s1.unpersist()
+  }
+
   test("repetition: handcrafted scores and corpus invariants") {
     val tiny = Seq((1L, "x y x y x y"), (2L, "a a a a"), (3L, "p q r s"))
       .toDF("doc_id", "text")

@@ -140,6 +140,34 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"shingle sets must not be collected and shuffled for verification:\n$p")
   }
 
+  test("decontamination probes via broadcast — the corpus never self-joins") {
+    val p = plan(SparkEntry.queries("dedup_decontam")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench-gram side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs shape allowed:\n$p")
+  }
+
+  test("mixture sampling is map-side: only the weight table joins, broadcast") {
+    val p = plan(SparkEntry.queries("pipeline_sample")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight table must broadcast:\n$p")
+    // no exchange at all: keep decisions are per-row functions of
+    // (doc_id, source) — a shuffle here would be a 100 TB regression
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sampling must not shuffle the corpus:\n$p")
+  }
+
+  test("PQ ADC scan: codes never shuffle; the gather kernel stays in codegen") {
+    val df = SparkEntry.queries("ann_pq_exact")(spark, sfDir)
+    df.collect() // AQE finalizes codegen spans
+    val p = plan(df)
+    val adcLine = p.linesIterator.find(_.contains("pq_adc_dist"))
+    assert(adcLine.isDefined, s"ADC kernel missing:\n$p")
+    assert(adcLine.get.contains("*("),
+      s"pq_adc_dist fell out of whole-stage codegen:\n${adcLine.get}\n$p")
+  }
+
   test("broadcast kNN join does not shuffle the base table") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.where(col("vec_id") < 10)
