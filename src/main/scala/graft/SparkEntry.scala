@@ -213,6 +213,19 @@ object SparkEntry {
         .select("doc_id", "source", "sample_bucket", "weight_bp", "keep")
     }),
 
+    // the full cleaning funnel as one plan: quality × exact-dedup ×
+    // decontamination × mixture sampling, per-doc stage flags + final kept.
+    "pipeline_funnel" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val weights = docs.select("source").distinct().collect()
+        .map(_.getString(0))
+        .map(src => src -> (2000L + 500L * (src.stripPrefix("src").toLong % 9)))
+        .toMap
+      Pipeline.cleanFunnel(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0), weights, n = 3)
+    }),
+
     // -- sparse track: MIPS over long-form (id, dim, v) ----------------------
     "sparse_mips" -> ((s, dir) => {
       val tf = Sparse.fromTermFreq(Tables.documents(s, dir))
@@ -439,6 +452,26 @@ object SparkEntry {
       val q = embQueries(s, dir, 10)
       val cb = graft.index.Pq.train(b, m = 8, ksub = 32, iters = 3)
       val got = graft.index.Pq.adcKnn(q, b, cb, k = 10, rerank = 100)
+      Recall.perQuery(got, Knn.knnJoin(q, b, 10, Metric.L2), 10)
+    }),
+    // residual-encoded IVF-PQ (faiss's true IVFPQ: codes quantize the
+    // residual against the routed centroid) probed exhaustively with a
+    // lossless residual codebook — ‖(q−c)−(x−c)‖ = ‖q−x‖, so this is
+    // hash-checked against the exact L2 oracle; gates the per-route LUT /
+    // cid-joined scan dataflow end to end.
+    "ann_ivfpq_residual_exact" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val n = b.count().toInt
+      knnResult(graft.index.IvfPq.knnResidual(embQueries(s, dir, 10), b,
+        k = 10, c = 8, iters = 2, nprobe = 8, m = 4, ksub = 0, rerank = n,
+        lossless = true))
+    }),
+    // residual IVF-PQ at a real operating point — recall-graded rows-only.
+    "recall_ivfpq_residual" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val q = embQueries(s, dir, 10)
+      val got = graft.index.IvfPq.knnResidual(q, b, k = 10, c = 8,
+        iters = 3, nprobe = 6, m = 8, ksub = 32, rerank = 100)
       Recall.perQuery(got, Knn.knnJoin(q, b, 10, Metric.L2), 10)
     }),
     // faiss's IVFx,PQy composition: coarse route bounds scan volume, PQ
@@ -697,6 +730,7 @@ object SparkEntry {
     // PQ-ADC with a lossless codebook: exact → same oracle as knn_l2
     "ann_pq_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_pq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    "ann_ivfpq_residual_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "knn_ip" -> knnOracle(10, 10, dotSql, "DESC"),
     // IVF probed exhaustively under ip: same oracle as knn_ip
     "ann_ivf_ip" -> knnOracle(10, 10, dotSql, "DESC"),
@@ -965,6 +999,39 @@ object SparkEntry {
         |       CAST(CASE WHEN sample_bucket < weight_bp THEN 1 ELSE 0 END AS INT) AS keep
         |FROM w
         |""".stripMargin,
+    "pipeline_funnel" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+         |ctok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus),
+         |q AS (SELECT doc_id,
+         |      CAST(CASE WHEN count(*) BETWEEN 20 AND 90
+         |            AND (10000 * sum(CASE WHEN term IN ('the', 'a') THEN 1 ELSE 0 END)) // count(*) < 2500
+         |           THEN 1 ELSE 0 END AS INT) AS quality_flag
+         |      FROM ctok GROUP BY doc_id),
+         |fp AS (SELECT doc_id, md5(text) AS fp FROM corpus),
+         |dd AS (SELECT f.doc_id, CAST(f.doc_id != m.min_id AS INT) AS is_dup
+         |       FROM fp f JOIN (SELECT fp, min(doc_id) AS min_id FROM fp GROUP BY fp) m
+         |         ON f.fp = m.fp),
+         |$shinglesCte,
+         |bg AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+         |hits AS (SELECT sh.doc_id, count(*) AS n_hits
+         |         FROM sh JOIN bg USING (shingle)
+         |         WHERE sh.doc_id % 20 <> 0 GROUP BY sh.doc_id),
+         |smp AS (SELECT doc_id,
+         |        CAST(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 15))::BIGINT % 10000
+         |              < 2000 + 500 * (CAST(substr(source, 4) AS BIGINT) % 9)
+         |             THEN 1 ELSE 0 END AS INT) AS sample_keep
+         |        FROM corpus)
+         |SELECT c.doc_id, q.quality_flag, dd.is_dup,
+         |       CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated,
+         |       smp.sample_keep,
+         |       CAST(CASE WHEN q.quality_flag = 1 AND dd.is_dup = 0
+         |                  AND coalesce(h.n_hits, 0) = 0 AND smp.sample_keep = 1
+         |            THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM corpus c
+         |JOIN q USING (doc_id) JOIN dd USING (doc_id)
+         |LEFT JOIN hits h ON h.doc_id = c.doc_id
+         |JOIN smp USING (doc_id)
+         |""".stripMargin,
     "pipeline_shards" ->
       s"""WITH $tokensCte,
          |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id),

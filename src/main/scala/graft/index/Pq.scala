@@ -283,6 +283,53 @@ object IvfPq {
     knnWith(ivf, cb, queries, base, k, nprobe, rerank)
   }
 
+  /** Residual-encoded IVF-PQ — faiss's actual IVFPQ construction: each row
+    * is PQ-coded as its RESIDUAL against its cluster's centroid (residuals
+    * concentrate near zero, so a given codebook budget quantizes them much
+    * finer than raw vectors), and at query time the LUT is built per
+    * (query, routed cluster) from the query's residual against THAT
+    * centroid. ‖(q−c) − (x−c)‖ = ‖q−x‖, so with a lossless residual
+    * codebook the scan is exact (PqSpec-gated). Per-route LUTs cost
+    * nq·nprobe·m·ksub — still a broadcast-sized table; codes join on cid,
+    * so the scan stays cluster-pruned. */
+  def knnResidual(queries: DataFrame, base: DataFrame, k: Int, c: Int,
+                  iters: Int, nprobe: Int, m: Int, ksub: Int, rerank: Int,
+                  lossless: Boolean = false): DataFrame = {
+    val ivf = IvfIndex.build(base, c, iters)
+    val cents: Map[Long, Array[Float]] = ivf.centroids
+      .select(col("cid").cast("long"), col("cvec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val resU = udf { (vec: Seq[Float], cid: Long) =>
+      val cvec = cents(cid)
+      Array.tabulate(vec.length)(i => vec(i) - cvec(i))
+    }
+    val resBase = ivf.assigned.join(base.select("id", "vec"), "id")
+      .select(col("id"), col("cid"), resU(col("vec"), col("cid")).as("vec"))
+    val cb =
+      if (lossless) Pq.trainLossless(resBase, m)
+      else Pq.train(resBase, m, ksub, iters)
+    val codes = Pq.encode(resBase, cb).select("id", "cid", "codes")
+    val routes = TopK.aggTopK(
+      queries.select("qid", "qvec").crossJoin(broadcast(ivf.centroids))
+        .withColumn("dist", Metric.distColumn(Metric.L2, col("qvec"), col("cvec"))),
+      "qid", "cid", "dist", nprobe)
+      .select("qid", "cid")
+    val qluts = routes
+      .join(broadcast(queries.select("qid", "qvec")), "qid")
+      .select(col("qid"), col("cid"),
+        Pq.lutCol(resU(col("qvec"), col("cid")), cb, Metric.L2).as("lut"))
+    val scored = codes
+      .join(broadcast(qluts), Seq("cid"))
+      .withColumn("dist", pqAdcDist(col("lut"), col("codes"), cb.stride))
+    val survivors = TopK.aggTopK(scored, "qid", "id", "dist", rerank)
+      .select("qid", "id")
+    val exact = survivors
+      .join(base.select("id", "vec"), "id")
+      .join(broadcast(queries.select("qid", "qvec")), "qid")
+      .withColumn("dist", Metric.distColumn(Metric.L2, col("qvec"), col("vec")))
+    TopK.aggTopK(exact, "qid", "id", "dist", k)
+  }
+
   def knnWith(ivf: IvfIndex, cb: Pq.Codebook, queries: DataFrame,
               base: DataFrame, k: Int, nprobe: Int, rerank: Int): DataFrame = {
     val routes = TopK.aggTopK(

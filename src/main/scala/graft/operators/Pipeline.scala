@@ -54,6 +54,29 @@ object Pipeline {
       .withColumn("keep", (col("sample_bucket") < col("weight_bp")).cast("int"))
   }
 
+  /** The composed corpus-cleaning funnel — the dataflow a training-data
+    * pipeline actually runs, as ONE plan: quality filter × exact dedup ×
+    * benchmark decontamination × mixture sampling, with every stage's flag
+    * carried per doc and `kept` = all four passing. Four independent
+    * branches over the corpus join on doc_id; each branch keeps its own
+    * scale shape (map-side quality agg, fp-keyed dedup groupBy, broadcast
+    * decontam probe, map-side sampling), so the funnel inherits the worst
+    * single stage's cost, not a multiplied one. Returns (doc_id,
+    * quality_flag, is_dup, contaminated, sample_keep, kept). */
+  def cleanFunnel(corpus: DataFrame, bench: DataFrame,
+                  weightsBp: Map[String, Long], n: Int): DataFrame = {
+    val q = Text.qualityScore(corpus).select("doc_id", "quality_flag")
+    val d = Dedup.exactDedup(corpus).select("doc_id", "is_dup")
+    val c = Dedup.decontaminate(corpus, bench, n).select("doc_id", "contaminated")
+    val s = sampleBySource(corpus, "doc_id", "source", weightsBp)
+      .select(col("doc_id"), col("keep").as("sample_keep"))
+    corpus.select("doc_id")
+      .join(q, "doc_id").join(d, "doc_id").join(c, "doc_id").join(s, "doc_id")
+      .withColumn("kept",
+        (col("quality_flag") === 1 && col("is_dup") === 0 &&
+          col("contaminated") === 0 && col("sample_keep") === 1).cast("int"))
+  }
+
   /** Contiguous token-budget shard packing: docs in ascending id order are
     * packed greedily into shards of ≤ `budget` tokens by the cumulative
     * count — shard = floor(cum_before / budget), the deterministic

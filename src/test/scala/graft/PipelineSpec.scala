@@ -45,6 +45,32 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     s1.unpersist()
   }
 
+  test("cleanFunnel flags equal the standalone operators; kept is their conjunction") {
+    val bench = docs.where($"doc_id" % 20 === 0)
+    val corpus = docs.where($"doc_id" % 20 =!= 0)
+    val weights = docs.select("source").distinct().collect().map(_.getString(0))
+      .map(s => s -> (2000L + 500L * (s.stripPrefix("src").toLong % 9))).toMap
+    val f = Pipeline.cleanFunnel(corpus, bench, weights, 3).cache()
+    assert(f.count() === corpus.count())
+    // kept is exactly the conjunction of the four stage flags
+    assert(f.where(($"kept" === 1) =!= ($"quality_flag" === 1 && $"is_dup" === 0 &&
+      $"contaminated" === 0 && $"sample_keep" === 1)).count() === 0)
+    // the funnel is selective but not degenerate at this SF
+    val nKept = f.where($"kept" === 1).count()
+    assert(nKept > 0 && nKept < corpus.count())
+    // each flag equals its standalone operator
+    assert(f.select("doc_id", "quality_flag").except(
+      graft.operators.Text.qualityScore(corpus).select("doc_id", "quality_flag"))
+      .count() === 0)
+    assert(f.select("doc_id", "is_dup").except(
+      graft.operators.Dedup.exactDedup(corpus).select("doc_id", "is_dup"))
+      .count() === 0)
+    assert(f.select("doc_id", "contaminated").except(
+      graft.operators.Dedup.decontaminate(corpus, bench, 3)
+        .select("doc_id", "contaminated")).count() === 0)
+    f.unpersist()
+  }
+
   test("repetition: handcrafted scores and corpus invariants") {
     val tiny = Seq((1L, "x y x y x y"), (2L, "a a a a"), (3L, "p q r s"))
       .toDF("doc_id", "text")

@@ -95,6 +95,21 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(ids(loaded.probe(queries, 10)) === ids(idx.probe(queries, 10)))
   }
 
+  test("residual IVF-PQ at nprobe=C with lossless residual codebook is exact") {
+    val n = base.count().toInt
+    val got = IvfPq.knnResidual(queries, base, k = 10, c = 8, iters = 2,
+      nprobe = 8, m = 4, ksub = 0, rerank = n, lossless = true)
+    assert(ids(got) === ids(Knn.knnJoin(queries, base, 10, Metric.L2)))
+  }
+
+  test("residual IVF-PQ at a real operating point clears recall 0.85") {
+    val got = IvfPq.knnResidual(queries, base, k = 10, c = 8, iters = 3,
+      nprobe = 6, m = 8, ksub = 32, rerank = 100)
+    val truth = Knn.knnJoin(queries, base, 10, Metric.L2)
+    val r = Recall.mean(got, truth, 10)
+    assert(r >= 0.85, s"recall $r below 0.85")
+  }
+
   test("codes stay within each subspace's book and stride bounds") {
     val cb = Pq.train(base, m = 8, ksub = 16, iters = 1)
     val sizes = cb.books.map(_.length)

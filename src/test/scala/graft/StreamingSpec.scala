@@ -227,6 +227,44 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("streaming exact dedup equals the batch canonical set across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", md5($"text").as("fp"))
+      .as[StreamingDedup.DocIn].collect().sortBy(_.doc_id)
+    val in = MemoryStream[StreamingDedup.DocIn]
+    val kept = scala.collection.mutable.Set[(Long, String)]()
+    val q = StreamingDedup.firstOccurrenceStream(in.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingDedup.DocKept], _: Long) =>
+        kept ++= b.collect().map(d => (d.doc_id, d.fp)); ()
+      }
+      .start()
+    // three micro-batches in id order, with copies of batch-1 docs
+    // re-arriving under fresh ids in batch 3 — a duplicate arriving in a
+    // LATER batch than its canonical must be dropped by state, not
+    // batch-local grouping
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val lateDups = b1.take(20).map(d => d.copy(doc_id = d.doc_id + 10000))
+    Seq(b1, b2, b3 ++ lateDups).foreach { b =>
+      in.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    // ground truth: the batch operator over the SAME union (original +
+    // late copies); min-id canonical = the original docs
+    val union = docs ++ lateDups
+    val expected = graft.operators.Dedup.exactDedup(
+      union.toSeq.toDF("doc_id", "fp").withColumnRenamed("fp", "text"))
+      .where($"is_dup" === 0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept.map(_._1).toSet === expected)
+    // every late copy was dropped, nothing original was
+    assert(kept.size === docs.length)
+    assert(lateDups.forall(d => !kept.exists(_._1 == d.doc_id)))
+  }
+
   test("runbook YAML parser handles the reference's format") {
     val yaml =
       """tiny-ds:
