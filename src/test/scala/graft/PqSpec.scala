@@ -110,6 +110,35 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(r >= 0.85, s"recall $r below 0.85")
   }
 
+  test("ADC invariant: distance equals exact distance to the PQ reconstruction") {
+    // the property that DEFINES ADC: for any query and any coded row,
+    // gathering the LUT by the row's codes must equal the true distance
+    // between the query and the row's decoded (reconstructed) vector —
+    // under both metrics, on random data (seeded), ragged books included
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 4f - 2f)))
+    val rdf = rows.toDF("id", "vec")
+    val cb = Pq.train(rdf, m = 4, ksub = 8, iters = 2)
+    val books = cb.books
+    val dsub = cb.dsub
+    val decode = udf { (codes: Seq[Short]) =>
+      codes.toArray.zipWithIndex.flatMap { case (c, j) => books(j)(c.toInt) }
+    }
+    val coded = Pq.encode(rdf, cb).withColumn("rec", decode(col("codes")))
+    val qs = Seq.tabulate(5)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 4f - 2f))).toDF("qid", "qvec")
+    for (metric <- Seq(Metric.L2, Metric.Ip)) {
+      val q = qs.withColumn("lut", Pq.lutCol(col("qvec"), cb, metric))
+      val both = coded.crossJoin(q)
+        .withColumn("adc", graft.functions.vectors.pqAdcDist(col("lut"), col("codes"), cb.stride))
+        .withColumn("truth", graft.operators.Metric.distColumn(metric, col("qvec"), col("rec")))
+      val worst = both.agg(max(abs(col("adc") - col("truth")))).head().getDouble(0)
+      assert(worst < 1e-9, s"ADC deviates from reconstruction distance under $metric: $worst")
+    }
+  }
+
   test("codes stay within each subspace's book and stride bounds") {
     val cb = Pq.train(base, m = 8, ksub = 16, iters = 1)
     val sizes = cb.books.map(_.length)
