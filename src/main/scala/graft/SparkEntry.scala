@@ -427,6 +427,23 @@ object SparkEntry {
       knnResult(graft.index.Pq.adcKnn(
         embQueries(s, dir, 10), b, cb, k = 10, rerank = 20))
     }),
+    // X8's second half — hot tag-PAIR subindexes (faiss.py:268-337 builds
+    // pair indexes too): every co-occurring pair gets a graph over docs
+    // holding BOTH tags; 2-tag queries route to their pair's graph and at
+    // the exhaustive beam the probe is exact conjunctive kNN — same oracle
+    // family as filtered_ann_hnsw_exact.
+    "filtered_knn_pair_subindex_exact" -> ((s, dir) => {
+      val base = TagFilter.withTags(Tables.embeddings(s, dir))
+      val path = java.nio.file.Files.createTempDirectory("graft-pairidx")
+        .resolve("reg").toString
+      graft.index.TagSubindexes.buildPairs(base, path, minPairCount = 1,
+        numPartitions = 2)
+      val q = TagFilter.tagQueries(Tables.embeddings(s, dir), 10)
+        .select(col("qid"), col("qvec"),
+          col("qtags").getItem(0).as("qtag1"), col("qtags").getItem(1).as("qtag2"))
+      knnResult(graft.index.TagSubindexes.probePairs(s, path, q, k = 10,
+        efSearch = 1 << 20))
+    }),
     // save → load → probe through the VectorIndex registry with the
     // lossless codebook: persistence must not change the exact result
     // (S7/X4 parity, same contract as ann_ivf_persisted).
@@ -725,6 +742,10 @@ object SparkEntry {
     // hot-tag subindex probed exhaustively: exact kNN among the tag's docs
     "filtered_knn_subindex_exact" ->
       knnOracle(10, 10, l2Sql, "ASC", filterSql = "e.label = q.qlabel"),
+    // pair subindex probed exhaustively: exact conjunctive 2-tag kNN
+    "filtered_knn_pair_subindex_exact" ->
+      knnOracle(10, 10, l2Sql, "ASC",
+        filterSql = "e.label = q.qlabel AND e.vec_id % 7 = (q.qid * 3 + 1) % 7"),
     // routed graphs at nprobe = C + exhaustive beam: exact brute force
     "ann_hnsw_routed_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     // PQ-ADC with a lossless codebook: exact → same oracle as knn_l2

@@ -52,6 +52,78 @@ object TagSubindexes {
     hot
   }
 
+  /** Hot tag-PAIR subindexes — the second half of the reference's strategy
+    * (faiss.py:268-337 builds indexes for frequent tag pairs as well): for
+    * every unordered pair co-occurring in ≥ `minPairCount` docs, persist a
+    * graph over the docs containing BOTH tags under `path/pair=<a>_<b>`
+    * (a < b). A 2-tag query on a built pair probes a purpose-built graph
+    * with NO filtering at all — pair membership is the index. Pair
+    * discovery is one self-join of the postings on doc id (t1 < t2 halves
+    * it); builds submit concurrently like [[build]]. */
+  def buildPairs(base: DataFrame, path: String, minPairCount: Long,
+                 m: Int = 16, efConstruction: Int = 100,
+                 numPartitions: Int = 2,
+                 buildParallelism: Int = 8): Seq[(Int, Int)] = {
+    val post = TagFilter.postings(base)
+    val hot = post.as("a")
+      .join(post.as("b"),
+        col("a.id") === col("b.id") && col("a.tag") < col("b.tag"))
+      .groupBy(col("a.tag").as("t1"), col("b.tag").as("t2"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minPairCount)
+      .select("t1", "t2").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sortBy(identity).toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(buildParallelism, hot.size.max(1))))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val builds = hot.map { case (t1, t2) =>
+        scala.concurrent.Future {
+          HnswKnn.buildAndSave(
+            base.where(array_contains(col("tags"), t1) &&
+              array_contains(col("tags"), t2)).select("id", "vec"),
+            s"$path/pair=${t1}_$t2", m, efConstruction, numPartitions)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(builds),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+    hot
+  }
+
+  private[index] def builtPairs(spark: SparkSession, path: String): Set[(Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .collect { case s if s.startsWith("pair=") =>
+        val Array(a, b) = s.stripPrefix("pair=").split("_")
+        (a.toInt, b.toInt)
+      }.toSet
+  }
+
+  /** Probe 2-tag queries (qid, qvec, qtag1, qtag2) against their pair's
+    * subindex; pairs without one yield no rows (caller falls back to the
+    * posting-intersection path). Tags normalize to (min, max) order. */
+  def probePairs(spark: SparkSession, path: String, queries: DataFrame,
+                 k: Int, efSearch: Int = 64): DataFrame = {
+    import spark.implicits._
+    val byPair = queries.select(col("qid").cast("long"), col("qvec"),
+      col("qtag1").cast("int"), col("qtag2").cast("int"))
+      .as[(Long, Array[Float], Int, Int)].collect()
+      .groupBy { case (_, _, t1, t2) => (math.min(t1, t2), math.max(t1, t2)) }
+    val built = builtPairs(spark, path)
+    val parts = byPair.toSeq.sortBy(_._1).collect {
+      case (pair, qs) if built(pair) =>
+        val qdf = qs.map { case (qid, qv, _, _) => (qid, qv) }.toSeq.toDF("qid", "qvec")
+        HnswKnn.probeSaved(spark, s"$path/pair=${pair._1}_${pair._2}", qdf, k, efSearch)
+    }
+    parts.reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rank"))
+  }
+
   /** List the tags with a persisted subindex under `path`, via the Hadoop
     * FileSystem API — `java.io.File` would return null on HDFS/S3 paths and
     * silently disable every hot-tag route. A missing registry directory is

@@ -401,6 +401,28 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(r >= 0.9, s"subindex recall $r")
   }
 
+  test("pair subindexes: exhaustive probe equals exact conjunctive kNN; unbuilt pairs yield no rows") {
+    val b = TagFilter.withTags(emb).cache()
+    val path = java.nio.file.Files.createTempDirectory("graft-pairspec")
+      .resolve("reg").toString
+    val pairs = TagSubindexes.buildPairs(b, path, minPairCount = 1, numPartitions = 2)
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (t1, t2) => t1 < t2 })
+    val q = TagFilter.tagQueries(emb, 10)
+      .select($"qid", $"qvec",
+        $"qtags".getItem(0).as("qtag1"), $"qtags".getItem(1).as("qtag2"))
+    val got = TagSubindexes.probePairs(spark, path, q, k = 10, efSearch = 1 << 20)
+    val truth = TagFilter.filteredKnn(TagFilter.tagQueries(emb, 10), b, 10)
+    def rs(df: DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(rs(got) === rs(truth))
+    // a pair no doc holds was never built; probing it is empty, not an error
+    val none = TagSubindexes.probePairs(spark, path,
+      emb.where($"vec_id" < 2).select($"vec_id".as("qid"),
+        $"embedding".as("qvec"), lit(9998).as("qtag1"), lit(9999).as("qtag2")), 10)
+    assert(none.count() === 0)
+  }
+
   test("VectorIndex: flat and exhaustive IVF agree exactly; save/load dispatches by kind") {
     val tagged = TagFilter.withTags(emb).cache()
     val tq = TagFilter.tagQueries(emb, 10).cache()
