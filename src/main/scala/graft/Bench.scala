@@ -181,12 +181,34 @@ object Bench {
     val (annQps, annSpread, annRecall) = residentQps("l2")
     val (annIpQps, annIpSpread, annIpRecall) = residentQps("ip")
     val (rtQps, rtSpread, rtRecall) = routedQps()
+    // streaming track (BASELINE row 4's unit — checkpoint recall + wall
+    // time, not QPS): replay the reference's own delete_runbook scaled
+    // into this SF's id space and grade every search checkpoint against
+    // the exact live-set kNN.
+    val (streamRecall, streamSec) = {
+      try {
+        val yaml = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(
+            "/root/reference/streaming/delete_runbook.yaml")))
+        val rb = streaming.Runbook.scaled(
+          streaming.Runbook.parseYaml(yaml).head, n)
+        val src = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val sq = emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val t0 = System.nanoTime()
+        val graded = streaming.RunbookReplay.graded(src, sq, rb, k = 10,
+          efSearch = 128)
+        val r = graded.agg(avg(col("recall_bp"))).head().getDouble(0) / 10000.0
+        (r, (System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => (0.0, 0.0) }
+      finally spark.sqlContext.clearCache()
+    }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val qpsJson =
-      s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall}}"""
+      s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall},"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qpsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
