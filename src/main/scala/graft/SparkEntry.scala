@@ -483,6 +483,19 @@ object SparkEntry {
         k = 10, c = 8, iters = 2, nprobe = 8, m = 4, ksub = 0, rerank = n,
         lossless = true))
     }),
+    // the residual composition persisted and reloaded through the registry
+    // (S7 parity for IVFPQ): persistence must not change the exact result.
+    "ann_ivfpq_persisted_exact" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val n = b.count().toInt
+      val idx = graft.index.IvfPq.buildResidual(b, c = 8, iters = 2, m = 4,
+        ksub = 0, lossless = true)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+        .resolve("idx").toString
+      new graft.index.IvfPqVectorIndex(idx, b, nprobe = 8, rerank = n).save(path)
+      knnResult(graft.index.VectorIndex.load(s, path, nprobe = 8, rerank = n)
+        .probe(embQueries(s, dir, 10), 10))
+    }),
     // residual IVF-PQ at a real operating point — recall-graded rows-only.
     "recall_ivfpq_residual" -> ((s, dir) => {
       val b = embBase(s, dir)
@@ -752,6 +765,7 @@ object SparkEntry {
     "ann_pq_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_pq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_ivfpq_residual_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    "ann_ivfpq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "knn_ip" -> knnOracle(10, 10, dotSql, "DESC"),
     // IVF probed exhaustively under ip: same oracle as knn_ip
     "ann_ivf_ip" -> knnOracle(10, 10, dotSql, "DESC"),

@@ -294,8 +294,28 @@ object IvfPq {
     * so the scan stays cluster-pruned. */
   def knnResidual(queries: DataFrame, base: DataFrame, k: Int, c: Int,
                   iters: Int, nprobe: Int, m: Int, ksub: Int, rerank: Int,
-                  lossless: Boolean = false): DataFrame = {
+                  lossless: Boolean = false): DataFrame =
+    buildResidual(base, c, iters, m, ksub, lossless)
+      .probe(queries, base, k, nprobe, rerank)
+
+  /** Build the residual index pieces once (build-once/probe-many and the
+    * persistence path). */
+  def buildResidual(base: DataFrame, c: Int, iters: Int, m: Int, ksub: Int,
+                    lossless: Boolean = false): IvfPqIndex = {
     val ivf = IvfIndex.build(base, c, iters)
+    val resBase = ivf.assigned.join(base.select("id", "vec"), "id")
+      .select(col("id"), col("cid"),
+        residualCol(ivf, col("vec"), col("cid")).as("vec"))
+    val cb =
+      if (lossless) Pq.trainLossless(resBase, m)
+      else Pq.train(resBase, m, ksub, iters)
+    IvfPqIndex(ivf, cb, Pq.encode(resBase, cb).select("id", "cid", "codes"))
+  }
+
+  /** vec − centroid(cid), the centroid map in the closure (tiny). */
+  private[index] def residualCol(ivf: IvfIndex,
+                                 vecCol: org.apache.spark.sql.Column,
+                                 cidCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val cents: Map[Long, Array[Float]] = ivf.centroids
       .select(col("cid").cast("long"), col("cvec")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
@@ -303,31 +323,47 @@ object IvfPq {
       val cvec = cents(cid)
       Array.tabulate(vec.length)(i => vec(i) - cvec(i))
     }
-    val resBase = ivf.assigned.join(base.select("id", "vec"), "id")
-      .select(col("id"), col("cid"), resU(col("vec"), col("cid")).as("vec"))
-    val cb =
-      if (lossless) Pq.trainLossless(resBase, m)
-      else Pq.train(resBase, m, ksub, iters)
-    val codes = Pq.encode(resBase, cb).select("id", "cid", "codes")
-    val routes = TopK.aggTopK(
-      queries.select("qid", "qvec").crossJoin(broadcast(ivf.centroids))
-        .withColumn("dist", Metric.distColumn(Metric.L2, col("qvec"), col("cvec"))),
-      "qid", "cid", "dist", nprobe)
-      .select("qid", "cid")
-    val qluts = routes
-      .join(broadcast(queries.select("qid", "qvec")), "qid")
-      .select(col("qid"), col("cid"),
-        Pq.lutCol(resU(col("qvec"), col("cid")), cb, Metric.L2).as("lut"))
-    val scored = codes
-      .join(broadcast(qluts), Seq("cid"))
-      .withColumn("dist", pqAdcDist(col("lut"), col("codes"), cb.stride))
-    val survivors = TopK.aggTopK(scored, "qid", "id", "dist", rerank)
-      .select("qid", "id")
-    val exact = survivors
-      .join(base.select("id", "vec"), "id")
-      .join(broadcast(queries.select("qid", "qvec")), "qid")
-      .withColumn("dist", Metric.distColumn(Metric.L2, col("qvec"), col("vec")))
-    TopK.aggTopK(exact, "qid", "id", "dist", k)
+    resU(vecCol, cidCol)
+  }
+
+  /** The residual index as persistable pieces: coarse quantizer, residual
+    * codebook, (id, cid, codes) table. `probe` routes, builds per-(query,
+    * routed-cluster) residual LUTs, gather-scans codes cluster-pruned via
+    * the cid join, and re-ranks exactly against the float base. */
+  final case class IvfPqIndex(ivf: IvfIndex, cb: Pq.Codebook, codes: DataFrame) {
+
+    def probe(queries: DataFrame, base: DataFrame, k: Int, nprobe: Int,
+              rerank: Int): DataFrame = {
+      val routes = TopK.aggTopK(
+        queries.select("qid", "qvec").crossJoin(broadcast(ivf.centroids))
+          .withColumn("dist", Metric.distColumn(Metric.L2, col("qvec"), col("cvec"))),
+        "qid", "cid", "dist", nprobe)
+        .select("qid", "cid")
+      val qluts = routes
+        .join(broadcast(queries.select("qid", "qvec")), "qid")
+        .select(col("qid"), col("cid"),
+          Pq.lutCol(residualCol(ivf, col("qvec"), col("cid")), cb, Metric.L2).as("lut"))
+      val scored = codes
+        .join(broadcast(qluts), Seq("cid"))
+        .withColumn("dist", pqAdcDist(col("lut"), col("codes"), cb.stride))
+      val survivors = TopK.aggTopK(scored, "qid", "id", "dist", rerank)
+        .select("qid", "id")
+      val exact = survivors
+        .join(base.select("id", "vec"), "id")
+        .join(broadcast(queries.select("qid", "qvec")), "qid")
+        .withColumn("dist", Metric.distColumn(Metric.L2, col("qvec"), col("vec")))
+      TopK.aggTopK(exact, "qid", "id", "dist", k)
+    }
+
+    def save(path: String): Unit = {
+      IvfIndex.save(ivf, s"$path/ivf")
+      Pq.saveArtifacts(codes.sparkSession, cb, codes, s"$path/pq")
+    }
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    val (cb, codes) = Pq.load(spark, s"$path/pq")
+    IvfPqIndex(IvfIndex.load(spark, s"$path/ivf"), cb, codes)
   }
 
   def knnWith(ivf: IvfIndex, cb: Pq.Codebook, queries: DataFrame,

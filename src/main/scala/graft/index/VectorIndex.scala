@@ -128,6 +128,23 @@ final class PqVectorIndex(spark: SparkSession, cb: Pq.Codebook,
   }
 }
 
+/** Residual IVF-PQ (faiss's IVFx,PQy): coarse routing over residual-coded
+  * lists, per-route ADC LUTs, exact re-rank. Filtered probes route to the
+  * exact conjunctive path over the base, as with the other coded kinds. */
+final class IvfPqVectorIndex(idx: IvfPq.IvfPqIndex, base: DataFrame,
+                             nprobe: Int, rerank: Int) extends VectorIndex {
+  def probe(queries: DataFrame, k: Int): DataFrame =
+    idx.probe(queries.select("qid", "qvec"), base.select("id", "vec"), k,
+      nprobe, math.max(rerank, k))
+  def probeFiltered(queries: DataFrame, k: Int): DataFrame =
+    TagFilter.filteredKnn(queries, base, k)
+  def save(path: String): Unit = {
+    VectorIndex.writeKind(base.sparkSession, path, "ivfpq")
+    idx.save(s"$path/ivfpq")
+    base.write.mode("overwrite").parquet(s"$path/base")
+  }
+}
+
 /** Centroid-routed per-cluster HNSW ([[HnswRouted]]): probes touch only the
   * nprobe nearest clusters' graphs. The resident graphs pin lazily on first
   * probe and stay pinned (build-once/probe-many). Filtered probes route to
@@ -183,6 +200,12 @@ object VectorIndex {
       base, rerank)
   }
 
+  def ivfPq(base: DataFrame, c: Int = 8, iters: Int = 3, m: Int = 8,
+            ksub: Int = 32, nprobe: Int = 4, rerank: Int = 100): VectorIndex =
+    new IvfPqVectorIndex(
+      IvfPq.buildResidual(base.select("id", "vec"), c, iters, m, ksub),
+      base, nprobe, rerank)
+
   def hnswRouted(base: DataFrame, workPath: String, c: Int = 8,
                  kmIters: Int = 3, m: Int = 16, efConstruction: Int = 100,
                  efSearch: Int = 64, nprobe: Int = 2): VectorIndex = {
@@ -209,6 +232,9 @@ object VectorIndex {
         val (cb, codes) = Pq.load(spark, s"$path/pq")
         new PqVectorIndex(spark, cb, codes,
           spark.read.parquet(s"$path/base"), rerank)
+      case "ivfpq" =>
+        new IvfPqVectorIndex(IvfPq.load(spark, s"$path/ivfpq"),
+          spark.read.parquet(s"$path/base"), nprobe, rerank)
       case other => throw new IllegalArgumentException(s"unknown index kind: $other")
     }
 

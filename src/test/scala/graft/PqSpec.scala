@@ -102,6 +102,18 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(ids(got) === ids(Knn.knnJoin(queries, base, 10, Metric.L2)))
   }
 
+  test("residual IVF-PQ persists: save → registry load → exhaustive probe is exact") {
+    val n = base.count().toInt
+    val idx = IvfPq.buildResidual(base, c = 8, iters = 2, m = 4, ksub = 0,
+      lossless = true)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-vi")
+      .resolve("idx").toString
+    new graft.index.IvfPqVectorIndex(idx, base, nprobe = 8, rerank = n).save(path)
+    val loaded = graft.index.VectorIndex.load(spark, path, nprobe = 8, rerank = n)
+    assert(ids(loaded.probe(queries, 10)) ===
+      ids(Knn.knnJoin(queries, base, 10, Metric.L2)))
+  }
+
   test("residual IVF-PQ at a real operating point clears recall 0.85") {
     val got = IvfPq.knnResidual(queries, base, k = 10, c = 8, iters = 3,
       nprobe = 6, m = 8, ksub = 32, rerank = 100)
