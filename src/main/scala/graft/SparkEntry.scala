@@ -667,6 +667,11 @@ object SparkEntry {
     "events_sliding" -> ((s, dir) =>
       graft.streaming.StreamingOps.eventsSliding(Tables.events(s, dir),
         "2 hours", "1 hour")),
+    // ordered view → click → purchase conversion funnel, earliest-chain
+    // semantics; one reached_<step> flag per user per step.
+    "events_funnel" -> ((s, dir) =>
+      graft.streaming.StreamingOps.funnel(Tables.events(s, dir),
+        Seq("view", "click", "purchase"))),
 
     // -- multimodal binary columns (stubbed decode, real plumbing) -----------
     "mm_assets" -> ((s, dir) =>
@@ -1186,6 +1191,23 @@ object SparkEntry {
         |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM ids GROUP BY user_id, session_id
+        |""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s0 AS (SELECT user_id, min(t) AS t0 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(e.t) AS t1 FROM e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'click' AND e.t >= s0.t0 GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND e.t >= s1.t1 GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |       CAST(CASE WHEN s0.user_id IS NULL THEN 0 ELSE 1 END AS INT) AS reached_view,
+        |       CAST(CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END AS INT) AS reached_click,
+        |       CAST(CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END AS INT) AS reached_purchase
+        |FROM u
+        |LEFT JOIN s0 ON u.user_id = s0.user_id
+        |LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
         |""".stripMargin,
     // floor() in the oracle mirrors Spark's truncating double→long cast
     "events_tumbling" ->

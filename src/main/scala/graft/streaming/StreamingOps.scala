@@ -38,6 +38,40 @@ object StreamingOps {
       .select(col("w.start").as("ws"), col("w.end").as("we"),
         col("event_type"), col("n_events"), col("value_cents"))
 
+  /** Ordered conversion funnel over the event log: a user reaches step i
+    * when they have a `steps(i)` event at-or-after their FIRST qualifying
+    * step-(i−1) time (earliest-chain semantics — the standard funnel
+    * definition; ties count, `>=`). Returns one row per user with an
+    * integer reached_<step> flag per step. Each step is one filtered
+    * aggregate joined to the previous step's reach — per-user state never
+    * materializes event lists, so the plan is |steps| keyed aggregations
+    * over filtered slices, all map-side combining; timestamps compare as
+    * integer microseconds (no float, oracle-stable). */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("t"))
+    val reaches = steps.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, (step, i)) =>
+        val r =
+          if (i == 0)
+            e.where(col("event_type") === step)
+              .groupBy("user_id").agg(min("t").as(s"t$i"))
+          else
+            e.where(col("event_type") === step)
+              .join(acc.head.select(col("user_id"), col(s"t${i - 1}")), "user_id")
+              .where(col("t") >= col(s"t${i - 1}"))
+              .groupBy("user_id").agg(min("t").as(s"t$i"))
+        r :: acc
+    }.reverse
+    steps.zip(reaches).foldLeft(e.select("user_id").distinct()) {
+      case (df, (step, r)) =>
+        df.join(r.select(col("user_id"), lit(1).as(s"reached_$step")),
+          Seq("user_id"), "left")
+          .withColumn(s"reached_$step", coalesce(col(s"reached_$step"), lit(0)))
+    }
+  }
+
   /** Streaming form of [[eventsTumbling]]: file source → watermark →
     * windowed agg. Late data beyond the watermark is dropped; state for
     * closed windows is evicted — the properties that let this run forever

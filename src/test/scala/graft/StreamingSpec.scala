@@ -227,6 +227,31 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("funnel: earliest-chain semantics on handcrafted users; flags monotone on the corpus") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val hand = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      (2L, "click", ts(1)), (2L, "view", ts(2)), (2L, "purchase", ts(3)),
+      (3L, "view", ts(1)),
+      (4L, "purchase", ts(1))).toDF("user_id", "event_type", "ts")
+    val f = StreamingOps.funnel(hand, Seq("view", "click", "purchase"))
+      .select("user_id", "reached_view", "reached_click", "reached_purchase")
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(f(1L) === ((1L, 1, 1, 1)))
+    // user 2's only click precedes their first view → chain broken, even
+    // though a purchase follows both
+    assert(f(2L) === ((2L, 1, 0, 0)))
+    assert(f(3L) === ((3L, 1, 0, 0)))
+    assert(f(4L) === ((4L, 0, 0, 0)))
+    // corpus invariant: a reached step implies every earlier step
+    val c = StreamingOps.funnel(Tables.events(spark, sfDir),
+      Seq("view", "click", "purchase")).cache()
+    assert(c.where($"reached_click" === 1 && $"reached_view" === 0).count() === 0)
+    assert(c.where($"reached_purchase" === 1 && $"reached_click" === 0).count() === 0)
+    assert(c.select("user_id").distinct().count() === c.count())
+    c.unpersist()
+  }
+
   test("streaming exact dedup equals the batch canonical set across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
