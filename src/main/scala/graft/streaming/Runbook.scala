@@ -209,6 +209,7 @@ final class RunbookExecutor(
     var nTombstones = 0L
     var graphFresh = false // graph artifact covers the current live∪tomb set
     var graphTomb = Set.empty[Long] // ids deleted since the last graph build
+    var cachedGen: Option[DataFrame] = None // consolidate's cached live set
     val checkpoints = Map.newBuilder[Int, DataFrame]
 
     // an id is live iff its most recent op is an insert
@@ -224,8 +225,12 @@ final class RunbookExecutor(
     // (if any) is compacted away with them — next search rebuilds it over
     // the consolidated live set (consolidate_delete semantics)
     def consolidate(seq: Long): Unit = {
-      inserted = liveIds.withColumn("seq", lit(seq)).cache()
+      val prev = cachedGen // the previous consolidation's cached base (if any)
+      cachedGen = Some(liveIds.withColumn("seq", lit(seq)).cache())
+      inserted = cachedGen.get
       insertedLogRows = inserted.count()
+      prev.foreach(_.unpersist()) // new gen is materialized; drop the old one
+
       tombstones = Seq.empty[(Long, Long)].toDF("id", "seq")
       nTombstones = 0L
       graphFresh = false
