@@ -115,6 +115,23 @@ object Bench {
       }
       (v * sparseNq / math.max(nq, 1), sp) // qps() normalizes by nq; rescale
     }
+    // sparse track, SERVING form: executor-resident truncated postings —
+    // linscan's in-memory inverted index (linscan.py:19-56), query batch
+    // in / ranked answers out; equals the budgetedMips dataflow row-for-row
+    // (SparseSpec-asserted), so its recall is the dataflow's by identity.
+    val (sparseServedQps, sparseServedSpread) = {
+      import spark.implicits._
+      val served = index.ResidentPostings.load(tf, m = 16, numPartitions = 8)
+      val sqs = tf.where(col("id") < sparseNq)
+        .select(col("id").cast("long"), col("dim").cast("string"),
+          col("v").cast("long"))
+        .as[(Long, String, Long)].collect()
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map { case (qid, rows) => (qid, rows.map(_._2), rows.map(_._3)) }
+      val (v, sp) = qpsBatch(() => served.probeBatch(sqs, k = 10).length)
+      served.unload()
+      (v * sparseNq / math.max(nq, 1), sp) // qpsBatch normalizes by nq
+    }
     // ood/ann track: EXECUTOR-RESIDENT HNSW probe — build+save+load once
     // (untimed), then narrow probe-only batches: the serving operating point.
     // Measured under both metrics — L2 and the OOD track's max-inner-product.
@@ -208,7 +225,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val qpsJson =
-      s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall},"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
+      s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"sparse_budget_served":$sparseServedQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"sparse_budget_served":$sparseServedSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall},"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qpsJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -58,4 +58,39 @@ class SparseSpec extends AnyFunSuite with SparkSuite {
     val minKept = t.groupBy("dim").agg(min("v").as("minKept"))
     assert(minKept.join(dropped, "dim").where($"minKept" < $"maxDropped").count() === 0)
   }
+
+  test("resident postings serving equals the budgetedMips dataflow row-for-row") {
+    val (k, m) = (10, 16)
+    val served = graft.index.ResidentPostings.load(tf, m, numPartitions = 4)
+    try {
+      val got = served.probeLocal(queries(20), k)
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4))
+      val want = Sparse.budgetedMips(queries(20), tf, k, m)
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4))
+      assert(got.length === want.length)
+      got.zip(want).foreach { case (g, w) => assert(g === w) }
+    } finally served.unload()
+  }
+
+  test("resident postings: shard count does not change results") {
+    val (k, m) = (5, 8)
+    val one = graft.index.ResidentPostings.load(tf, m, numPartitions = 1)
+    val many = graft.index.ResidentPostings.load(tf, m, numPartitions = 7)
+    try {
+      val a = one.probeLocal(queries(10), k)
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4))
+      val b = many.probeLocal(queries(10), k)
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4))
+      assert(a.toSeq === b.toSeq)
+    } finally { one.unload(); many.unload() }
+  }
+
+  test("resident postings: query with no surviving dims yields no rows") {
+    val served = graft.index.ResidentPostings.load(tf, 4, numPartitions = 2)
+    try {
+      val got = served.probeBatch(
+        Array((99L, Array("no-such-term-xyzzy"), Array(3L))), 5)
+      assert(got.isEmpty)
+    } finally served.unload()
+  }
 }
