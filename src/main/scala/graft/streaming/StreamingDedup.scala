@@ -41,4 +41,49 @@ object StreamingDedup {
           }
       }
   }
+
+  /** One LSH band row: the doc's minhash band key, as produced map-side by
+    * [[graft.operators.Dedup.lshBands]] — the streaming source computes
+    * bands per micro-batch exactly like the batch pipeline does. */
+  case class BandIn(doc_id: Long, band: Int, bkey: String)
+
+  /** An unordered candidate near-dup pair, a_id < b_id. */
+  case class CandPair(a_id: Long, b_id: Long)
+
+  /** Streaming MinHash-LSH CANDIDATE generation — the ingest-time form of
+    * the band-bucket self-join inside [[graft.operators.Dedup.minhashLsh]]:
+    * as band rows arrive, each (band, bkey) bucket's state is its member
+    * doc ids, and a new member emits one candidate pair against every
+    * existing member. Across any batch arrival order, the DISTINCT emitted
+    * pair set equals the batch self-join's candidate set exactly (asserted
+    * in StreamingSpec) — a pair sharing several buckets may be emitted once
+    * per bucket, as the batch join also produces it once per bucket before
+    * its `distinct()`.
+    *
+    * VERIFICATION stays a batch concern by design: exact-Jaccard
+    * confirmation needs the two docs' shingle sets, which would bloat
+    * per-bucket state from O(ids) to O(corpus text). The streaming job
+    * emits candidates continuously; a periodic batch join verifies them
+    * (candidate-first, like minhashLsh's verify stage). State per bucket is
+    * the member id list — bounded by bucket size, which the banding scheme
+    * itself keeps small on non-pathological corpora; pathological buckets
+    * (boilerplate bands shared by everything) are the same hot keys the
+    * batch path caps with maxDf, and a `maxBucket` cap here would mirror it. */
+  def lshCandidateStream(bands: Dataset[BandIn]): Dataset[CandPair] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(b => (b.band, b.bkey))
+      .flatMapGroupsWithState[Seq[Long], CandPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, String), batch: Iterator[BandIn], state: GroupState[Seq[Long]]) =>
+          val existing = state.getOption.getOrElse(Seq.empty)
+          val arriving = batch.map(_.doc_id).toSeq.distinct.sorted
+            .filterNot(existing.contains)
+          if (arriving.nonEmpty) state.update(existing ++ arriving)
+          arriving.iterator.zipWithIndex.flatMap { case (nid, i) =>
+            (existing.iterator ++ arriving.iterator.take(i)).map { other =>
+              CandPair(math.min(nid, other), math.max(nid, other))
+            }
+          }
+      }
+  }
 }

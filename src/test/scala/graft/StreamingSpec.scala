@@ -290,6 +290,39 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(lateDups.forall(d => !kept.exists(_._1 == d.doc_id)))
   }
 
+  test("streaming LSH candidate generation matches the batch band self-join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).limit(120)
+    val mh = graft.operators.Dedup.minhash(docs, n = 3, numSeeds = 8)
+    val bands = graft.operators.Dedup.lshBands(mh, rowsPerBand = 2)
+      .select($"doc_id".cast("long"), $"band".cast("int"), $"bkey")
+      .as[(Long, Int, String)].collect()
+      .map { case (d, b, k) => StreamingDedup.BandIn(d, b, k) }
+    // batch truth: the distinct co-bucket pair set (what minhashLsh's
+    // band self-join produces before verification)
+    val expected = bands.groupBy(b => (b.band, b.bkey)).values.flatMap { ms =>
+      val ids = ms.map(_.doc_id).distinct.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    assert(expected.nonEmpty) // sf0.001 documents contain near-dups
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val in = MemoryStream[StreamingDedup.BandIn]
+    val q = StreamingDedup.lshCandidateStream(in.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingDedup.CandPair], _: Long) =>
+        got ++= b.collect().map(p => (p.a_id, p.b_id)); ()
+      }
+      .start()
+    // split ACROSS micro-batches so cross-batch pairs must come from state,
+    // not batch-local grouping
+    val (b1, b2) = bands.splitAt(bands.length / 2)
+    Seq(b1, b2).foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    assert(got.toSet === expected)
+  }
+
   test("runbook YAML parser handles the reference's format") {
     val yaml =
       """tiny-ds:
