@@ -260,6 +260,14 @@ object SparkEntry {
       val tf = Sparse.fromTermFreq(Tables.documents(s, dir))
       Sparse.budgetedMips(sparseQueries(tf, 10), tf, k = 10, m = 16)
     }),
+    // J7 serving form, driver-hash-gated: the resident inverted index is
+    // exact vs the budgeted dataflow, so it shares sparse_budget's oracle.
+    "sparse_budget_served" -> ((s, dir) => {
+      val tf = Sparse.fromTermFreq(Tables.documents(s, dir))
+      val served = graft.index.ResidentPostings.load(tf, m = 16, numPartitions = 4)
+      try served.probeLocal(sparseQueries(tf, 10), 10)
+      finally served.unload()
+    }),
 
     // -- filter track: conjunctive tags, postings, signatures, routing -------
     "tag_postings" -> ((s, dir) =>
@@ -275,6 +283,20 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       knnResult(TagFilter.filteredKnnSig(
         TagFilter.tagQueries(emb, 20), TagFilter.withTags(emb), k = 10))
+    }),
+    // Filter-track serving form, driver-hash-gated: the resident signature
+    // scan is exact (lossless bloom-skip + exact conjunctive gate + the
+    // same double kernels), so it shares filtered_knn2's oracle.
+    "filtered_knn_served" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val served = graft.index.ResidentScan.load(
+        TagFilter.withTags(emb), numPartitions = 4)
+      try {
+        val qs = TagFilter
+          .withSignature(TagFilter.tagQueries(emb, 20), "qtags")
+          .select(col("qid"), col("qvec"), col("qtags"), col("sig").as("qsig"))
+        knnResult(served.probeLocal(qs, 10))
+      } finally served.unload()
     }),
     "filtered_knn_routed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1099,20 +1121,9 @@ object SparkEntry {
          |      FROM tf)
          |SELECT id, dim, v FROM w WHERE cum_before * 10 < total * 8
          |""".stripMargin,
-    "sparse_budget" ->
-      s"""WITH $tokensCte, $sparseTfCte,
-         |p AS (SELECT id, dim, v,
-         |             row_number() OVER (PARTITION BY dim ORDER BY v DESC, id) AS rn
-         |      FROM tf),
-         |tp AS (SELECT id, dim, v FROM p WHERE rn <= 16),
-         |q AS (SELECT id AS qid, dim, v AS qv FROM tf WHERE id < 10),
-         |s AS (SELECT qid, tp.id AS id, CAST(sum(qv * v) AS BIGINT) AS score
-         |      FROM tp JOIN q USING (dim) GROUP BY 1, 2),
-         |r AS (SELECT qid, id, score,
-         |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
-         |      FROM s)
-         |SELECT qid, id, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
-         |""".stripMargin,
+    "sparse_budget" -> sparseBudgetOracle,
+    // resident posting serving is exact vs the budgeted dataflow: same oracle
+    "sparse_budget_served" -> sparseBudgetOracle,
 
     "tag_postings" ->
       """SELECT CAST(label AS INT) AS tag, vec_id AS id FROM embeddings
@@ -1157,6 +1168,8 @@ object SparkEntry {
     // signature prefilter and selectivity routing are lossless plan rewrites:
     // identical results to the exact conjunctive-filter kNN
     "filtered_knn_sig" -> conjKnnOracle,
+    // resident signature-scan serving is exact: same oracle
+    "filtered_knn_served" -> conjKnnOracle,
     "filtered_knn_routed" -> conjKnnOracle,
     // bucketed layout is a physical rewrite; same logical result
     "filtered_knn_bucketed" -> conjKnnOracle,
@@ -1310,4 +1323,21 @@ object SparkEntry {
   private def conjKnnOracle: String =
     knnOracle(20, 10, l2Sql, "ASC",
       filterSql = "e.label = q.qlabel AND e.vec_id % 7 = (q.qid * 3 + 1) % 7")
+
+  /** Budgeted sparse MIPS oracle — shared by the dataflow query and its
+    * (exact, row-for-row equal) resident-postings serving form. */
+  private def sparseBudgetOracle: String =
+    s"""WITH $tokensCte, $sparseTfCte,
+       |p AS (SELECT id, dim, v,
+       |             row_number() OVER (PARTITION BY dim ORDER BY v DESC, id) AS rn
+       |      FROM tf),
+       |tp AS (SELECT id, dim, v FROM p WHERE rn <= 16),
+       |q AS (SELECT id AS qid, dim, v AS qv FROM tf WHERE id < 10),
+       |s AS (SELECT qid, tp.id AS id, CAST(sum(qv * v) AS BIGINT) AS score
+       |      FROM tp JOIN q USING (dim) GROUP BY 1, 2),
+       |r AS (SELECT qid, id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |      FROM s)
+       |SELECT qid, id, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+       |""".stripMargin
 }

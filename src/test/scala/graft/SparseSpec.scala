@@ -85,6 +85,50 @@ class SparseSpec extends AnyFunSuite with SparkSuite {
     } finally { one.unload(); many.unload() }
   }
 
+  test("resident postings match a scala brute-force oracle on random corpora") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 4) {
+      val nDocs = 30 + rnd.nextInt(40)
+      val dims = Vector.tabulate(12)(i => s"t$i")
+      val drawn = for {
+        id <- 0 until nDocs
+        d <- dims if rnd.nextInt(3) == 0
+      } yield (id.toLong, d, 1L + rnd.nextInt(9).toLong)
+      // every doc needs at least one posting (so the query side is total)
+      val rows = drawn ++ (0 until nDocs)
+        .filterNot(i => drawn.exists(_._1 == i.toLong))
+        .map(i => (i.toLong, dims(rnd.nextInt(dims.length)), 1L + rnd.nextInt(9).toLong))
+      val m = 1 + rnd.nextInt(6)
+      val k = 1 + rnd.nextInt(8)
+      val nq = 5
+      // plain-scala oracle: global per-dim truncation by (v desc, id asc),
+      // then per-query scores over shared dims, top-k by (score desc, id asc)
+      val trunc = rows.groupBy(_._2).values.flatMap(ps =>
+        ps.sortBy(p => (-p._3, p._1)).take(m)).toSeq
+      val qdocs = rows.groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+      val tdocs = trunc.groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+      val expected = (0 until nq).flatMap { q =>
+        val qv = qdocs(q.toLong)
+        tdocs.toSeq.flatMap { case (id, dv) =>
+          val common = qv.keySet.intersect(dv.keySet)
+          if (common.isEmpty) None
+          else Some((id, common.toSeq.map(dk => qv(dk) * dv(dk)).sum))
+        }.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+          .map { case ((id, s), i) => (q.toLong, id, s, (i + 1).toLong) }
+      }
+      val served = graft.index.ResidentPostings.load(
+        rows.toDF("id", "dim", "v"), m, numPartitions = 3)
+      val got = try {
+        val qs = (0 until nq).map { q =>
+          val qv = qdocs(q.toLong).toSeq.sortBy(_._1)
+          (q.toLong, qv.map(_._1).toArray, qv.map(_._2).toArray)
+        }.toArray
+        served.probeBatch(qs, k)
+      } finally served.unload()
+      assert(got.toSeq === expected, s"m=$m k=$k nDocs=$nDocs")
+    }
+  }
+
   test("resident postings: query with no surviving dims yields no rows") {
     val served = graft.index.ResidentPostings.load(tf, 4, numPartitions = 2)
     try {
