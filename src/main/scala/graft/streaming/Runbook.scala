@@ -210,6 +210,14 @@ final class RunbookExecutor(
     var graphFresh = false // graph artifact covers the current live∪tomb set
     var graphTomb = Set.empty[Long] // ids deleted since the last graph build
     var cachedGen: Option[DataFrame] = None // consolidate's cached live set
+    // executor-RESIDENT current graph generation: loaded once per build and
+    // probed as narrow jobs (no parquet re-read per search) — the serving
+    // economics of the reference's in-process index between checkpoints
+    var resident: Option[graft.index.HnswResident] = None
+    var residentGen = -1
+    lazy val qsArr = queries
+      .select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect()
     val checkpoints = Map.newBuilder[Int, DataFrame]
 
     // an id is live iff its most recent op is an insert
@@ -267,17 +275,27 @@ final class RunbookExecutor(
           graphPath match {
             case Some(gp) =>
               if (!graphFresh) {
-                // each rebuild gets its own immutable build=N directory:
-                // checkpoint DataFrames are lazy, and overwriting one path
-                // would yank files out from under earlier checkpoints'
-                // scans (index generations, not in-place mutation)
+                // each rebuild gets its own immutable build=N directory
+                // (index generations, not in-place mutation): the resident
+                // load of generation N must never race a writer recycling
+                // generation N-1's path
                 val liveVecs = liveIds.join(source, "id").select("id", "vec")
                 graphBuilds += 1
                 graft.index.HnswKnn.buildAndSave(liveVecs, s"$gp/build=$graphBuilds")
                 graphTomb = Set.empty; graphFresh = true
               }
-              checkpoints += i -> graft.index.HnswKnn.probeSaved(
-                spark, s"$gp/build=$graphBuilds", queries, k, efSearch, graphTomb)
+              if (residentGen != graphBuilds) {
+                resident.foreach(_.unload()) // superseded generation
+                resident = Some(graft.index.HnswKnn.loadResident(
+                  spark, s"$gp/build=$graphBuilds"))
+                residentGen = graphBuilds
+              }
+              // eager checkpoint: the rows come back with the probe batch,
+              // so the checkpoint survives later unloads/rebuilds by value,
+              // not by lineage
+              checkpoints += i -> spark.createDataFrame(
+                resident.get.probeBatch(qsArr, k, efSearch, graphTomb).toSeq)
+                .toDF("qid", "id", "dist", "rank")
             case None =>
               val liveVecs = liveIds.join(source, "id")
               checkpoints += i -> Knn.knnJoin(queries, liveVecs, k, Metric.L2)
@@ -286,6 +304,7 @@ final class RunbookExecutor(
           throw new IllegalArgumentException(s"unknown runbook op: $other")
       }
     }
+    resident.foreach(_.unload()) // checkpoints are by-value; safe to free
     checkpoints.result()
   }
 }
