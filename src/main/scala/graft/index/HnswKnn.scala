@@ -302,6 +302,54 @@ object HnswKnn {
     * (fine for occasional batches), resident probing amortizes load across
     * a query stream the way the reference keeps its index in RAM between
     * queries (faiss.py:196-205 load-or-build, then query-only). */
+  /** Build per-partition graphs ONCE, pin them executor-resident, and write
+    * the persisted artifact FROM the resident graphs — [[buildAndSave]]
+    * followed by [[loadResident]] without the parquet round-trip in
+    * between (one build pass instead of build + export + re-read +
+    * refill). Same deterministic partitioning and insertion order, so the
+    * graphs are identical to what loadResident would reconstruct; the
+    * artifact stays on disk for later [[probeSaved]]/[[loadResident]]
+    * callers. This is the rebuild path a streaming runbook takes on every
+    * insert-then-search step, where the doubled build cost actually
+    * dominates wall time. */
+  def buildResidentAndSave(base: DataFrame, path: String, m: Int = 16,
+                           efConstruction: Int = 100, numPartitions: Int = 8,
+                           metric: String = "l2"): HnswResident = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val withTags =
+      if (base.columns.contains("tags"))
+        base.select(col("id").cast("long"), col("vec"), col("tags"))
+      else
+        base.select(col("id").cast("long"), col("vec"),
+          array().cast("array<int>").as("tags"))
+    val built = withTags.as[(Long, Array[Float], Array[Int])]
+      .repartition(numPartitions, col("id"))
+      .sortWithinPartitions("id") // deterministic insertion order
+      .rdd
+      .mapPartitions { it =>
+        val idx = new HnswIndex(m, efConstruction, metric)
+        val tagMap = Map.newBuilder[Long, Array[Int]]
+        it.foreach { case (id, v, tg) => tagMap += id -> tg; idx.add(id, v) }
+        Iterator.single((idx, tagMap.result()))
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    built.count() // materialize the graphs before exporting the artifact
+    val nodes = built.mapPartitionsWithIndex { case (part, it) =>
+      it.flatMap { case (idx, tagMap) =>
+        val (ep, ml) = idx.entryState
+        idx.exportNodes.iterator.zipWithIndex.map {
+          case ((id, vec, level, links), seq) =>
+            HnswNodeRow(part, seq, id, vec, tagMap(id), level, links, ep, ml,
+              metric)
+        }
+      }
+    }
+    spark.createDataset(nodes).toDF()
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+    new HnswResident(spark, built)
+  }
+
   def loadResident(spark: SparkSession, path: String): HnswResident = {
     import spark.implicits._
     val rdd = spark.read.parquet(path).as[HnswNodeRow].rdd

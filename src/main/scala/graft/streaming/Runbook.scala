@@ -214,7 +214,6 @@ final class RunbookExecutor(
     // probed as narrow jobs (no parquet re-read per search) — the serving
     // economics of the reference's in-process index between checkpoints
     var resident: Option[graft.index.HnswResident] = None
-    var residentGen = -1
     lazy val qsArr = queries
       .select(col("qid").cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect()
@@ -281,14 +280,10 @@ final class RunbookExecutor(
                 // generation N-1's path
                 val liveVecs = liveIds.join(source, "id").select("id", "vec")
                 graphBuilds += 1
-                graft.index.HnswKnn.buildAndSave(liveVecs, s"$gp/build=$graphBuilds")
-                graphTomb = Set.empty; graphFresh = true
-              }
-              if (residentGen != graphBuilds) {
                 resident.foreach(_.unload()) // superseded generation
-                resident = Some(graft.index.HnswKnn.loadResident(
-                  spark, s"$gp/build=$graphBuilds"))
-                residentGen = graphBuilds
+                resident = Some(graft.index.HnswKnn.buildResidentAndSave(
+                  liveVecs, s"$gp/build=$graphBuilds"))
+                graphTomb = Set.empty; graphFresh = true
               }
               // eager checkpoint: the rows come back with the probe batch,
               // so the checkpoint survives later unloads/rebuilds by value,

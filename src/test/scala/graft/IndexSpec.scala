@@ -164,6 +164,28 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(rs(got) === rs(t))
   }
 
+  test("buildResidentAndSave: direct resident and its artifact probe identically") {
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw-bras")
+      .resolve("idx").toString
+    val direct = HnswKnn.buildResidentAndSave(base, path, numPartitions = 4)
+    val loaded = HnswKnn.loadResident(spark, path)
+    try {
+      val qs = queries.select($"qid", $"qvec")
+        .as[(Long, Array[Float])].collect()
+      // exhaustive beam ⇒ both sides are exact, so equality is total, not
+      // merely recall-close; also exercises the tombstone path on both
+      val dead = (0L until 2L).toSet
+      assert(direct.probeBatch(qs, 10, 1 << 20).toSeq ===
+        loaded.probeBatch(qs, 10, 1 << 20).toSeq)
+      assert(direct.probeBatch(qs, 10, 1 << 20, dead).toSeq ===
+        loaded.probeBatch(qs, 10, 1 << 20, dead).toSeq)
+      // and at a working beam the graphs behave identically too (same
+      // deterministic build on both sides)
+      assert(direct.probeBatch(qs, 10, 64).toSeq ===
+        loaded.probeBatch(qs, 10, 64).toSeq)
+    } finally { direct.unload(); loaded.unload() }
+  }
+
   test("resident probeLocal equals the exchange-merged probe row-for-row") {
     val path = java.nio.file.Files.createTempDirectory("graft-hnsw-pl")
       .resolve("idx").toString
