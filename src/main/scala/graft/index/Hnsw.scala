@@ -118,6 +118,12 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
     }
   }
 
+  /** This index's metric as a plain pair distance — the SAME accumulation
+    * [[search]] ranks by, exposed so an out-of-graph candidate (a delta
+    * buffer entry) can be scored bit-identically to graph candidates and
+    * merged without rank ambiguity. */
+  def pairDist(a: Array[Float], b: Array[Float]): Double = distF(a, b)
+
   private def distF(a: Array[Float], b: Array[Float]): Double = {
     var acc = 0.0; var i = 0
     val n = math.min(a.length, b.length)

@@ -80,24 +80,53 @@ final class HnswResident(spark: SparkSession,
     * the global top-k exchange stage entirely. Output rows are (qid, id,
     * dist, rank), sorted by (qid, rank). */
   def probeBatch(qs: Array[(Long, Array[Float])], k: Int, efSearch: Int = 64,
-                 tombstones: Set[Long] = Set.empty): Array[(Long, Long, Double, Long)] = {
+                 tombstones: Set[Long] = Set.empty,
+                 delta: Array[(Long, Array[Float])] = Array.empty): Array[(Long, Long, Double, Long)] = {
     val bq = spark.sparkContext.broadcast(qs)
     val bt = spark.sparkContext.broadcast(tombstones)
+    // delta buffer: rows inserted since the resident generation was built,
+    // served by exact scan and merged with the graph candidates (the
+    // FreshDiskANN shape: immutable built index + small mutable delta).
+    // Striped across partitions so the scan parallelizes with the probe;
+    // the caller bounds its size, so the broadcast is small by construction.
+    val bd = spark.sparkContext.broadcast(delta)
+    val nParts = math.max(rdd.getNumPartitions, 1)
     val local = rdd.flatMap { case (idx, _) =>
       val dead = bt.value
+      val part = TaskContext.getPartitionId()
+      // this partition's stripe of the delta buffer
+      val slice = Array.newBuilder[(Long, Array[Float])]
+      var di = part
+      val dArr = bd.value
+      while (di < dArr.length) { slice += dArr(di); di += nParts }
+      val mySlice = slice.result()
       bq.value.iterator.flatMap { case (qid, qv) =>
         val res =
           if (dead.nonEmpty)
             idx.searchFiltered(qv, k, efSearch, id => !dead.contains(id))
           else idx.search(qv, k, efSearch)
-        res.iterator.map { case (id, d) => (qid, id, d) }
+        val extra = mySlice.iterator
+          .filterNot { case (id, _) => dead.contains(id) }
+          .map { case (id, v) => (id, idx.pairDist(qv, v)) }
+        // keep the contract: k DISTINCT candidate rows per (query,
+        // partition) — a re-inserted graph-resident id shows up in both
+        // sources with bit-identical distance, and counting it twice here
+        // could evict a genuine k-th candidate
+        val dup = scala.collection.mutable.HashSet.empty[Long]
+        (res.iterator ++ extra).toArray.sortBy { case (id, d) => (d, id) }
+          .iterator.filter { case (id, _) => dup.add(id) }
+          .take(k).map { case (id, d) => (qid, id, d) }
       }
     }.collect()
     // a serving loop issues many batches against one resident index: drop
     // the per-batch broadcasts eagerly or the driver accumulates them
-    bq.destroy(); bt.destroy()
+    bq.destroy(); bt.destroy(); bd.destroy()
     local.groupBy(_._1).iterator.flatMap { case (qid, cand) =>
-      cand.sortBy(c => (c._3, c._2)).take(k).iterator.zipWithIndex
+      // an id can arrive from both the graph and the delta (re-insert of a
+      // graph-resident id) with bit-identical distance — keep one
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      cand.sortBy(c => (c._3, c._2)).iterator
+        .filter(c => seen.add(c._2)).take(k).zipWithIndex
         .map { case ((_, id, d), i) => (qid, id, d, (i + 1).toLong) }
     }.toArray.sortBy(r => (r._1, r._4))
   }

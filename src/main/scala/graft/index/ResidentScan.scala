@@ -95,6 +95,68 @@ final class ResidentScan(spark: SparkSession, rdd: RDD[ScanShard],
     }.toArray.sortBy(t => (t._1, t._4))
   }
 
+  /** Exact top-k over the rows whose id falls in one of `ranges` (disjoint,
+    * sorted by start) — the serving form of a runbook checkpoint: the live
+    * set travels as an O(#ops) range mask, the corpus stays pinned. Tags
+    * and signatures are ignored; ranking is (dist asc, id asc), identical
+    * to [[graft.operators.Knn.knnJoin]]. */
+  def probeBatchRanges(qs: Array[(Long, Array[Float])], k: Int,
+                       ranges: Array[(Long, Long)]): Array[(Long, Long, Double, Long)] = {
+    val bq = spark.sparkContext.broadcast(qs)
+    val br = spark.sparkContext.broadcast(ranges)
+    val ip = ipMetric
+    val local = rdd.flatMap { shard =>
+      val mask = br.value
+      val starts = mask.map(_._1)
+      def liveId(id: Long): Boolean = {
+        var p = java.util.Arrays.binarySearch(starts, id)
+        if (p < 0) p = -p - 2 // last range starting at or before id
+        p >= 0 && id < mask(p)._2
+      }
+      val n = shard.ids.length
+      bq.value.iterator.flatMap { case (qid, qv) =>
+        val bd = new Array[Double](k)
+        val bi = new Array[Long](k)
+        var filled = 0
+        var r = 0
+        while (r < n) {
+          val id = shard.ids(r)
+          if (liveId(id)) {
+            val v = shard.vecs(r)
+            val d0 = math.min(qv.length, v.length)
+            var acc = 0.0
+            var i = 0
+            if (ip) {
+              while (i < d0) { acc += qv(i).toDouble * v(i).toDouble; i += 1 }
+              acc = -acc
+            } else {
+              while (i < d0) {
+                val d = qv(i).toDouble - v(i).toDouble; acc += d * d; i += 1
+              }
+            }
+            if (filled < k || acc < bd(filled - 1) ||
+                (acc == bd(filled - 1) && id < bi(filled - 1))) {
+              var pos = math.min(filled, k - 1)
+              while (pos > 0 && (bd(pos - 1) > acc ||
+                     (bd(pos - 1) == acc && bi(pos - 1) > id))) {
+                bd(pos) = bd(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
+              }
+              bd(pos) = acc; bi(pos) = id
+              if (filled < k) filled += 1
+            }
+          }
+          r += 1
+        }
+        (0 until filled).iterator.map(i => (qid, bi(i), bd(i)))
+      }
+    }.collect()
+    bq.destroy(); br.destroy()
+    local.groupBy(_._1).iterator.flatMap { case (qid, cand) =>
+      cand.sortBy(c => (c._3, c._2)).take(k).iterator.zipWithIndex
+        .map { case ((_, id, d), i) => (qid, id, d, (i + 1).toLong) }
+    }.toArray.sortBy(t => (t._1, t._4))
+  }
+
   /** [[probeBatch]] with DataFrame plumbing on both ends; results equal
     * [[graft.operators.TagFilter.filteredKnn]] row-for-row. `queries`
     * needs (qid, qvec, qtags, qsig). */

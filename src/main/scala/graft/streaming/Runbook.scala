@@ -60,6 +60,41 @@ object Runbook {
     books.result()
   }
 
+  /** The live set as DISJOINT SORTED id ranges, from a sequence-ordered
+    * insert/delete op prefix: an id is live iff the latest op covering it
+    * is an insert. Because ops are RANGES, the live set compresses to at
+    * most 2·|ops| boundary segments regardless of corpus size — an O(#ops)
+    * driver computation and a broadcast-sized mask even when the live set
+    * itself is billions of rows. This is what lets an exact executor serve
+    * checkpoints from resident shards: the mask travels, the corpus
+    * doesn't. */
+  def liveRanges(ops: Seq[RunbookStep]): Array[(Long, Long)] = {
+    val ranged = ops.filter(s => s.op == "insert" || s.op == "delete")
+    val bounds = ranged.flatMap(s => Seq(s.start, s.end)).distinct.sorted
+    val live = Array.newBuilder[(Long, Long)]
+    var curStart = -1L
+    var curEnd = -1L
+    var bi = 0
+    while (bi + 1 < bounds.length) {
+      val lo = bounds(bi); val hi = bounds(bi + 1)
+      // adjacent boundaries ⇒ every op either fully covers [lo,hi) or
+      // misses it; the LAST covering op in sequence order decides liveness
+      val isLive = ranged.reverseIterator
+        .find(s => s.start <= lo && s.end >= hi)
+        .exists(_.op == "insert")
+      if (isLive) {
+        if (curEnd == lo) curEnd = hi // extend the open segment
+        else {
+          if (curStart >= 0) live += ((curStart, curEnd))
+          curStart = lo; curEnd = hi
+        }
+      }
+      bi += 1
+    }
+    if (curStart >= 0) live += ((curStart, curEnd))
+    live.result()
+  }
+
   /** Rescale a runbook's id ranges into [0, n): every boundary maps to
     * floor(b · n / maxEnd). The reference's runbooks address dataset-sized
     * id spaces (random-xs ~8k, msturing 10M); replaying them against a
@@ -87,13 +122,13 @@ object RunbookReplay {
   /** Returns one row per search checkpoint: (checkpoint, recall_bp). */
   def graded(source: DataFrame, queries: DataFrame, rb: Runbook,
              k: Int = 10, efSearch: Int = 128,
-             consolidateAt: Long = 1000L): DataFrame = {
+             consolidateAt: Long = 1000L, deltaCap: Long = 512L): DataFrame = {
     val spark = source.sparkSession
     import spark.implicits._
     val gp = java.nio.file.Files.createTempDirectory("graft-replay")
       .resolve("idx").toString
     val graphExec = new RunbookExecutor(source, queries, k, consolidateAt,
-      rb.maxPts, Some(gp), efSearch)
+      rb.maxPts, Some(gp), efSearch, deltaCap)
     val exactExec = new RunbookExecutor(source, queries, k, consolidateAt,
       rb.maxPts)
     val got = graphExec.run(rb.steps)
@@ -122,10 +157,11 @@ final class RunbookStreamExecutor(
     consolidateAt: Long = 1000L,
     maxPts: Long = Long.MaxValue,
     graphPath: Option[String] = None, // serve searches from persisted HNSW
-    efSearch: Int = 128) {
+    efSearch: Int = 128,
+    deltaCap: Long = 512L) {
 
   private val inner = new RunbookExecutor(source, queries, k, consolidateAt,
-    maxPts, graphPath, efSearch)
+    maxPts, graphPath, efSearch, deltaCap)
   private val results = scala.collection.mutable.Map.empty[Int, DataFrame]
   private val pending = scala.collection.mutable.ArrayBuffer.empty[(Int, RunbookStep)]
 
@@ -182,11 +218,14 @@ final class RunbookExecutor(
     consolidateAt: Long = 1000L,
     maxPts: Long = Long.MaxValue,
     graphPath: Option[String] = None, // serve searches from a persisted HNSW
-    efSearch: Int = 128) {
+    efSearch: Int = 128,
+    deltaCap: Long = 512L, // graph mode: max rows served delta-resident
+    residentExact: Boolean = true) { // exact mode: serve from pinned shards
 
   /** Number of graph artifact (re)builds — deletes alone must never bump
-    * this (tombstone-aware probes serve post-delete without rebuild;
-    * asserted in StreamingSpec). */
+    * this (tombstone-aware probes serve post-delete without rebuild), and
+    * neither must inserts that fit the delta buffer (delta-resident
+    * serving); both asserted in StreamingSpec. */
   var graphBuilds: Int = 0
 
   /** Run all steps; returns (stepIndex → search result) for every search
@@ -194,12 +233,19 @@ final class RunbookExecutor(
     *
     * With `graphPath` set, searches probe a PERSISTED HNSW graph instead of
     * the exact scan: the graph is built over the live set at the first
-    * search (and rebuilt only after inserts or compaction change the live
-    * set), while deletes between builds are honored IN-TRAVERSAL as a
-    * broadcast tombstone set — the reference's lazy DELETE_MARK design
+    * search, deletes between builds are honored IN-TRAVERSAL as a broadcast
+    * tombstone set — the reference's lazy DELETE_MARK design
     * (streaming/diskann/diskann-str.py:83-99, hnswalg.h:1392-1425): a
     * delete-heavy interval costs zero rebuilds, and the tombstone broadcast
-    * is bounded by `consolidateAt` because compaction clears it. */
+    * is bounded by `consolidateAt` because compaction clears it — and
+    * inserts between builds accumulate in a DELTA buffer served by exact
+    * scan merged with the graph probe (the reference inserts in place,
+    * diskann-str.py:60-82; the Spark-native equivalent of a mutable shared
+    * graph is an immutable generation plus a bounded delta, FreshDiskANN's
+    * split): an insert-heavy interval costs zero rebuilds too, until the
+    * delta outgrows `deltaCap` or compaction merges it into generation N+1.
+    * A search therefore rebuilds only on delta overflow or after
+    * consolidation. */
   def run(steps: Seq[RunbookStep]): Map[Int, DataFrame] = {
     val spark = source.sparkSession
     import spark.implicits._
@@ -209,11 +255,27 @@ final class RunbookExecutor(
     var nTombstones = 0L
     var graphFresh = false // graph artifact covers the current live∪tomb set
     var graphTomb = Set.empty[Long] // ids deleted since the last graph build
+    // rows inserted since the last graph build, served by exact scan merged
+    // with the graph probe (FreshDiskANN's built-index + mutable-delta
+    // split, the reference's insert-in-place economics without mutating a
+    // shared graph): bounded by deltaCap, so the per-probe broadcast stays
+    // small by construction; overflow falls back to a rebuild (= the merge)
+    val delta = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Float]]
     var cachedGen: Option[DataFrame] = None // consolidate's cached live set
     // executor-RESIDENT current graph generation: loaded once per build and
     // probed as narrow jobs (no parquet re-read per search) — the serving
     // economics of the reference's in-process index between checkpoints
     var resident: Option[graft.index.HnswResident] = None
+    // exact mode's serving form: the immutable source pinned ONCE as scan
+    // shards; each checkpoint probes them under the live-range mask (an
+    // O(#ops) broadcast, see [[Runbook.liveRanges]]) — same results as the
+    // per-checkpoint kNN dataflow, without re-reading or joining the corpus
+    lazy val residentScan = graft.index.ResidentScan.load(
+      source.select(col("id"), col("vec"))
+        .withColumn("tags", array().cast("array<int>")),
+      numPartitions = 8)
+    var scanLoaded = false
+    val opLog = scala.collection.mutable.ArrayBuffer.empty[RunbookStep]
     lazy val qsArr = queries
       .select(col("qid").cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect()
@@ -241,23 +303,49 @@ final class RunbookExecutor(
       tombstones = Seq.empty[(Long, Long)].toDF("id", "seq")
       nTombstones = 0L
       graphFresh = false
+      delta.clear() // the rebuild covers the consolidated live set
     }
 
     steps.zipWithIndex.foreach { case (step, i) =>
       val seq = i.toLong
+      if (step.op != "search") opLog += step
       step.op match {
         case "insert" =>
           val batch = source
             .where(col("id") >= step.start && col("id") < step.end)
             .select(col("id"), lit(seq).as("seq"))
-          val batchRows = batch.count() // actual rows, not range width
+          // graph mode with a live generation: fetch the batch rows so they
+          // can serve delta-resident (one job either way — rows here, count
+          // otherwise)
+          val batchVecs: Array[(Long, Array[Float])] =
+            if (graphPath.isDefined && graphFresh)
+              source.where(col("id") >= step.start && col("id") < step.end)
+                .select(col("id").cast("long"), col("vec"))
+                .as[(Long, Array[Float])].collect()
+            else Array.empty
+          val batchRows = // actual rows, not range width
+            if (graphPath.isDefined && graphFresh) batchVecs.length.toLong
+            else batch.count()
           // diskann-str.py:90-93: consolidate BEFORE the insert that would
           // push occupancy past max_pts (only useful if tombstones exist)
           if (insertedLogRows + batchRows > maxPts && nTombstones > 0)
             consolidate(seq)
           inserted = inserted.unionByName(batch)
           insertedLogRows += batchRows
-          if (batchRows > 0) graphFresh = false // new nodes: graph is stale
+          if (batchRows > 0) {
+            if (graphPath.isDefined && graphFresh &&
+                delta.size + batchRows <= deltaCap) {
+              // absorb the batch into the resident delta: new ids serve by
+              // exact scan; re-inserted graph-resident ids just unmark
+              // their tombstone (the graph still holds the right vector —
+              // `source` is immutable per id)
+              batchVecs.foreach { case (id, v) => delta(id) = v }
+              graphTomb = graphTomb
+                .filterNot(id => id >= step.start && id < step.end)
+            } else {
+              graphFresh = false; delta.clear() // overflow: rebuild (merge)
+            }
+          }
         case "delete" =>
           val newTombstones =
             inserted.where(col("id") >= step.start && col("id") < step.end)
@@ -266,9 +354,12 @@ final class RunbookExecutor(
           // count; ids already tombstoned count once more only if re-marked)
           nTombstones += newTombstones.count()
           tombstones = tombstones.unionByName(newTombstones)
-          if (graphPath.isDefined && graphFresh)
+          if (graphPath.isDefined && graphFresh) {
             // lazy delete: mark, don't rebuild (bounded by consolidateAt)
             graphTomb ++= newTombstones.select("id").as[Long].collect()
+            // delta rows are dropped directly — they never entered a graph
+            delta.filterInPlace((id, _) => id < step.start || id >= step.end)
+          }
           if (nTombstones >= consolidateAt) consolidate(seq)
         case "search" =>
           graphPath match {
@@ -283,13 +374,21 @@ final class RunbookExecutor(
                 resident.foreach(_.unload()) // superseded generation
                 resident = Some(graft.index.HnswKnn.buildResidentAndSave(
                   liveVecs, s"$gp/build=$graphBuilds"))
-                graphTomb = Set.empty; graphFresh = true
+                graphTomb = Set.empty; delta.clear(); graphFresh = true
               }
               // eager checkpoint: the rows come back with the probe batch,
               // so the checkpoint survives later unloads/rebuilds by value,
               // not by lineage
               checkpoints += i -> spark.createDataFrame(
-                resident.get.probeBatch(qsArr, k, efSearch, graphTomb).toSeq)
+                resident.get.probeBatch(qsArr, k, efSearch, graphTomb,
+                  delta.toArray).toSeq)
+                .toDF("qid", "id", "dist", "rank")
+            case None if residentExact =>
+              // eager by-value checkpoint, like graph mode
+              scanLoaded = true
+              checkpoints += i -> spark.createDataFrame(
+                residentScan.probeBatchRanges(qsArr, k,
+                  Runbook.liveRanges(opLog.toSeq)).toSeq)
                 .toDF("qid", "id", "dist", "rank")
             case None =>
               val liveVecs = liveIds.join(source, "id")
@@ -300,6 +399,7 @@ final class RunbookExecutor(
       }
     }
     resident.foreach(_.unload()) // checkpoints are by-value; safe to free
+    if (scanLoaded) residentScan.unload()
     checkpoints.result()
   }
 }

@@ -186,6 +186,36 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     } finally { direct.unload(); loaded.unload() }
   }
 
+  test("resident probe with a delta buffer is exact over base ∪ delta") {
+    // build the generation over ids >= 20, serve ids < 20 as the delta;
+    // exhaustive beam makes the graph side exact, the delta side is exact
+    // by construction, so the merge must equal brute force over the union
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw-delta")
+      .resolve("idx").toString
+    val res = HnswKnn.buildResidentAndSave(base.where($"id" >= 20), path,
+      numPartitions = 4)
+    try {
+      val qs = queries.select($"qid", $"qvec")
+        .as[(Long, Array[Float])].collect()
+      val delta = base.where($"id" < 20)
+        .select($"id".cast("long"), $"vec")
+        .as[(Long, Array[Float])].collect()
+      val got = res.probeBatch(qs, 10, 1 << 20, Set.empty, delta)
+        .map { case (qid, id, _, rank) => (qid, id, rank) }.toSet
+      val t = truth.select("qid", "id", "rank")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === t)
+      // a delta row that is ALSO a graph node (re-insert) must not occupy
+      // two result slots: same answer with the overlap present
+      val overlap = base.where($"id" >= 20 && $"id" < 40)
+        .select($"id".cast("long"), $"vec")
+        .as[(Long, Array[Float])].collect()
+      val got2 = res.probeBatch(qs, 10, 1 << 20, Set.empty, delta ++ overlap)
+        .map { case (qid, id, _, rank) => (qid, id, rank) }.toSet
+      assert(got2 === t)
+    } finally res.unload()
+  }
+
   test("resident probeLocal equals the exchange-merged probe row-for-row") {
     val path = java.nio.file.Files.createTempDirectory("graft-hnsw-pl")
       .resolve("idx").toString

@@ -61,7 +61,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(Recall.mean(cps(5), truthOver(120, 200), 5) >= 0.9)
   }
 
-  test("runbook graph mode: insert after delete rebuilds once and re-lives ids") {
+  test("runbook graph mode: insert after delete serves delta-resident, zero rebuilds") {
     val gp = java.nio.file.Files.createTempDirectory("graft-rb-graph2")
       .resolve("idx").toString
     val exec = new RunbookExecutor(source, queries, k = 5,
@@ -70,14 +70,79 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       RunbookStep("insert", 0, 150),
       RunbookStep("search"), // build #1
       RunbookStep("delete", 0, 50),
-      RunbookStep("insert", 0, 30), // re-insert: stale graph
-      RunbookStep("search"))) // build #2 over [0,30) ∪ [50,150)
-    assert(exec.graphBuilds === 2)
-    assert(cps(4).where($"id" >= 30 && $"id" < 50).count() === 0)
+      RunbookStep("insert", 0, 30), // re-insert: unmark tombstones, no rebuild
+      RunbookStep("insert", 150, 180), // NEW ids: delta-resident, no rebuild
+      RunbookStep("search"))) // generation #1 + tombstones [30,50) + delta
+    assert(exec.graphBuilds === 1,
+      s"in-cap inserts must not rebuild the graph (built ${exec.graphBuilds}x)")
+    assert(cps(5).where($"id" >= 30 && $"id" < 50).count() === 0)
     val truth = Knn.knnJoin(queries,
-      source.where(($"id" >= 0 && $"id" < 30) || ($"id" >= 50 && $"id" < 150)),
+      source.where(($"id" >= 0 && $"id" < 30) || ($"id" >= 50 && $"id" < 180)),
       5, Metric.L2)
-    assert(Recall.mean(cps(4), truth, 5) >= 0.9)
+    assert(Recall.mean(cps(5), truth, 5) >= 0.9)
+  }
+
+  test("runbook graph mode: delta overflow falls back to a rebuild (merge)") {
+    val gp = java.nio.file.Files.createTempDirectory("graft-rb-graph3")
+      .resolve("idx").toString
+    val exec = new RunbookExecutor(source, queries, k = 5,
+      consolidateAt = 1000000, graphPath = Some(gp), deltaCap = 10)
+    val cps = exec.run(Seq(
+      RunbookStep("insert", 0, 100),
+      RunbookStep("search"), // build #1
+      RunbookStep("insert", 100, 108), // fits the cap: delta-resident
+      RunbookStep("search"),
+      RunbookStep("insert", 108, 200), // overflows: next search rebuilds
+      RunbookStep("search")))
+    assert(exec.graphBuilds === 2)
+    def truthTo(hi: Long) =
+      Knn.knnJoin(queries, source.where($"id" < hi), 5, Metric.L2)
+    assert(Recall.mean(cps(3), truthTo(108), 5) >= 0.9)
+    assert(Recall.mean(cps(5), truthTo(200), 5) >= 0.9)
+  }
+
+  test("resident-exact executor equals the kNN-dataflow executor checkpoint-for-checkpoint") {
+    // overlapping inserts/deletes/re-inserts, a consolidation, and ranges
+    // past the end of the corpus — the live-range mask must reproduce the
+    // dataflow's liveIds semantics exactly on all of them
+    val steps = Seq(
+      RunbookStep("insert", 0, 250),
+      RunbookStep("search"),
+      RunbookStep("delete", 100, 400), // partly beyond the inserted range
+      RunbookStep("search"),
+      RunbookStep("insert", 150, 220), // re-insert inside the deleted span
+      RunbookStep("search"),
+      RunbookStep("delete", 0, 10),
+      RunbookStep("insert", 240, 300), // straddles live and deleted ids
+      RunbookStep("search"))
+    val served = new RunbookExecutor(source, queries, 5, consolidateAt = 30)
+      .run(steps)
+    val dataflow = new RunbookExecutor(source, queries, 5, consolidateAt = 30,
+      residentExact = false).run(steps)
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    served.keys.foreach { cp => assert(rs(served(cp)) === rs(dataflow(cp)),
+      s"checkpoint $cp diverged") }
+  }
+
+  test("liveRanges: net effect of an op log as disjoint sorted ranges") {
+    import graft.streaming.Runbook.liveRanges
+    assert(liveRanges(Seq(RunbookStep("insert", 0, 100))).toSeq ===
+      Seq((0L, 100L)))
+    assert(liveRanges(Seq(
+      RunbookStep("insert", 0, 100), RunbookStep("delete", 20, 40))).toSeq ===
+      Seq((0L, 20L), (40L, 100L)))
+    // re-insert inside a deleted span, latest op wins
+    assert(liveRanges(Seq(
+      RunbookStep("insert", 0, 100), RunbookStep("delete", 20, 60),
+      RunbookStep("insert", 30, 50))).toSeq ===
+      Seq((0L, 20L), (30L, 50L), (60L, 100L)))
+    // delete of never-inserted ids is a no-op; adjacent segments merge
+    assert(liveRanges(Seq(
+      RunbookStep("delete", 500, 600), RunbookStep("insert", 0, 50),
+      RunbookStep("insert", 50, 80))).toSeq === Seq((0L, 80L)))
+    assert(liveRanges(Seq(RunbookStep("insert", 0, 100),
+      RunbookStep("delete", 0, 100))).toSeq === Seq.empty)
   }
 
   test("reference delete_runbook replays end-to-end, mean recall >= 0.9 (sf0.1)") {
