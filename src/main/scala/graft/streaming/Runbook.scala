@@ -141,11 +141,13 @@ object RunbookReplay {
 
 /** Structured Streaming form of the runbook executor: the op log arrives as
   * an unbounded stream of (seq, op, start, end) rows and foreachBatch applies
-  * each micro-batch's ops in sequence order against the same
-  * sequence-numbered live-set state as [[RunbookExecutor]]. This is the
-  * SURVEY §2.9 mapping ("Structured Streaming foreachBatch over the op
-  * log") — the batch executor and this stream produce identical checkpoint
-  * results (StreamingSpec proves it on a shared runbook).
+  * each micro-batch's ops INCREMENTALLY, in sequence order, against the same
+  * sequence-numbered live-set state as [[RunbookExecutor]] — each op is paid
+  * exactly once, never replayed, so per-batch cost is independent of stream
+  * length. This is the SURVEY §2.9 mapping ("Structured Streaming
+  * foreachBatch over the op log") — the batch executor and this stream
+  * produce identical checkpoint results (StreamingSpec proves it on a shared
+  * runbook).
   *
   * State lives in DataFrames keyed by the executor exactly as in batch mode;
   * at scale the inserted/tombstone logs would be Delta-style tables and
@@ -162,31 +164,37 @@ final class RunbookStreamExecutor(
 
   private val inner = new RunbookExecutor(source, queries, k, consolidateAt,
     maxPts, graphPath, efSearch, deltaCap)
-  private val results = scala.collection.mutable.Map.empty[Int, DataFrame]
-  private val pending = scala.collection.mutable.ArrayBuffer.empty[(Int, RunbookStep)]
+  private var lastSeq = Int.MinValue
 
   /** foreachBatch sink function: feed micro-batches of op rows
-    * (seq INT, op STRING, start LONG, end LONG). Ops accumulate across
-    * batches and replay through the sequential executor at every search —
-    * sequence order is total, so late-arriving earlier ops in the same
-    * micro-batch sort correctly. */
+    * (seq INT, op STRING, start LONG, end LONG). Each op is applied against
+    * the executor state EXACTLY ONCE, in sequence order — incremental, no
+    * replay of the historical log, so a long-running stream's per-batch
+    * cost depends on the batch, not on how much history precedes it. Ops
+    * within a micro-batch may arrive unordered (they sort here); across
+    * micro-batches the log must arrive in order — an op older than one
+    * already applied cannot be applied retroactively to mutable state and
+    * raises rather than silently reordering history. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val steps = batch.select("seq", "op", "start", "end")
       .collect()
       .map(r => (r.getInt(0), RunbookStep(r.getString(1), r.getLong(2), r.getLong(3))))
-    pending ++= steps
-    if (steps.exists(_._2.op == "search")) {
-      val ordered = pending.sortBy(_._1)
-      val out = inner.run(ordered.map(_._2).toSeq)
-      // remap executor step indices back to runbook seq numbers
-      ordered.zipWithIndex.foreach { case ((seq, st), i) =>
-        if (st.op == "search" && out.contains(i)) results(seq) = out(i)
-      }
+      .sortBy(_._1)
+    steps.foreach { case (seq, st) =>
+      require(seq > lastSeq,
+        s"op $seq arrived after op $lastSeq was already applied — the op " +
+          "log must reach foreachBatch in sequence order across micro-batches")
+      inner.applyStep(st, seq)
+      lastSeq = seq
     }
   }
 
-  /** Checkpoint results keyed by runbook seq, after the stream drains. */
-  def checkpoints: Map[Int, DataFrame] = results.toMap
+  /** Checkpoint results keyed by runbook seq (eager, by-value — safe to
+    * read while the stream continues). */
+  def checkpoints: Map[Int, DataFrame] = inner.checkpointResults
+
+  /** Release the executor's resident structures once the stream is done. */
+  def close(): Unit = inner.finish()
 }
 
 /** Sequential-consistency executor for insert/delete/search op logs over a
@@ -228,8 +236,103 @@ final class RunbookExecutor(
     * serving); both asserted in StreamingSpec. */
   var graphBuilds: Int = 0
 
-  /** Run all steps; returns (stepIndex → search result) for every search
-    * checkpoint, each (qid, id, dist, rank).
+  private val spark = source.sparkSession
+  import spark.implicits._
+
+  // --- mutable executor state, shared by [[run]] (batch: reset → apply all
+  // → finish) and the incremental path ([[applyStep]] per op as it arrives
+  // from a stream, [[finish]] on close) ---
+  private var inserted: DataFrame = _
+  private var insertedLogRows = 0L // rows in the insert log (live + pending dupes)
+  private var tombstones: DataFrame = _
+  private var nTombstones = 0L
+  private var graphFresh = false // graph artifact covers the current live∪tomb set
+  private var graphTomb = Set.empty[Long] // ids deleted since the last graph build
+  // rows inserted since the last graph build, served by exact scan merged
+  // with the graph probe (FreshDiskANN's built-index + mutable-delta
+  // split, the reference's insert-in-place economics without mutating a
+  // shared graph): bounded by deltaCap, so the per-probe broadcast stays
+  // small by construction; overflow falls back to a rebuild (= the merge)
+  private val delta = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Float]]
+  private var cachedGen: Option[DataFrame] = None // consolidate's cached live set
+  // executor-RESIDENT current graph generation: loaded once per build and
+  // probed as narrow jobs (no parquet re-read per search) — the serving
+  // economics of the reference's in-process index between checkpoints
+  private var resident: Option[graft.index.HnswResident] = None
+  // exact mode's serving form: the immutable source pinned ONCE as scan
+  // shards; each checkpoint probes them under the live-range mask (an
+  // O(#ops) broadcast, see [[Runbook.liveRanges]]) — same results as the
+  // per-checkpoint kNN dataflow, without re-reading or joining the corpus
+  private var scan: Option[graft.index.ResidentScan] = None
+  private val opLog = scala.collection.mutable.ArrayBuffer.empty[RunbookStep]
+  private lazy val qsArr = queries
+    .select(col("qid").cast("long"), col("qvec"))
+    .as[(Long, Array[Float])].collect()
+  private val checkpoints = scala.collection.mutable.Map.empty[Int, DataFrame]
+  reset()
+
+  /** Clear all op-log state (checkpoint results included) and release any
+    * resident structures — the executor is ready for a fresh op sequence.
+    * `graphBuilds` is cumulative across resets (build accounting). */
+  def reset(): Unit = {
+    releaseResident()
+    inserted = Seq.empty[(Long, Long)].toDF("id", "seq")
+    insertedLogRows = 0L
+    tombstones = Seq.empty[(Long, Long)].toDF("id", "seq")
+    nTombstones = 0L
+    graphFresh = false
+    graphTomb = Set.empty
+    delta.clear()
+    cachedGen.foreach(_.unpersist())
+    cachedGen = None
+    opLog.clear()
+    checkpoints.clear()
+  }
+
+  private def releaseResident(): Unit = {
+    resident.foreach(_.unload()); resident = None
+    scan.foreach(_.unload()); scan = None
+  }
+
+  /** Checkpoint results accumulated so far — every checkpoint is eager and
+    * by-value, so the returned frames are safe across later mutations. */
+  def checkpointResults: Map[Int, DataFrame] = checkpoints.toMap
+
+  /** Release resident structures and return the accumulated checkpoints.
+    * The incremental caller's terminal step (batch [[run]] calls it
+    * internally). */
+  def finish(): Map[Int, DataFrame] = {
+    releaseResident()
+    checkpoints.toMap
+  }
+
+  // an id is live iff its most recent op is an insert
+  private def liveIds: DataFrame = {
+    val ins = inserted.groupBy("id").agg(max("seq").as("ins_seq"))
+    val del = tombstones.groupBy("id").agg(max("seq").as("del_seq"))
+    ins.join(del, Seq("id"), "left")
+      .where(col("del_seq").isNull || col("ins_seq") > col("del_seq"))
+      .select("id")
+  }
+
+  // materialize the net live set, clear both logs; the graph artifact
+  // (if any) is compacted away with them — next search rebuilds it over
+  // the consolidated live set (consolidate_delete semantics)
+  private def consolidate(seq: Long): Unit = {
+    val prev = cachedGen // the previous consolidation's cached base (if any)
+    cachedGen = Some(liveIds.withColumn("seq", lit(seq)).cache())
+    inserted = cachedGen.get
+    insertedLogRows = inserted.count()
+    prev.foreach(_.unpersist()) // new gen is materialized; drop the old one
+
+    tombstones = Seq.empty[(Long, Long)].toDF("id", "seq")
+    nTombstones = 0L
+    graphFresh = false
+    delta.clear() // the rebuild covers the consolidated live set
+  }
+
+  /** Run all steps from a clean slate; returns (stepIndex → search result)
+    * for every search checkpoint, each (qid, id, dist, rank).
     *
     * With `graphPath` set, searches probe a PERSISTED HNSW graph instead of
     * the exact scan: the graph is built over the live set at the first
@@ -247,66 +350,18 @@ final class RunbookExecutor(
     * A search therefore rebuilds only on delta overflow or after
     * consolidation. */
   def run(steps: Seq[RunbookStep]): Map[Int, DataFrame] = {
-    val spark = source.sparkSession
-    import spark.implicits._
-    var inserted: DataFrame = Seq.empty[(Long, Long)].toDF("id", "seq")
-    var insertedLogRows = 0L // rows in the insert log (live + pending dupes)
-    var tombstones: DataFrame = Seq.empty[(Long, Long)].toDF("id", "seq")
-    var nTombstones = 0L
-    var graphFresh = false // graph artifact covers the current live∪tomb set
-    var graphTomb = Set.empty[Long] // ids deleted since the last graph build
-    // rows inserted since the last graph build, served by exact scan merged
-    // with the graph probe (FreshDiskANN's built-index + mutable-delta
-    // split, the reference's insert-in-place economics without mutating a
-    // shared graph): bounded by deltaCap, so the per-probe broadcast stays
-    // small by construction; overflow falls back to a rebuild (= the merge)
-    val delta = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Float]]
-    var cachedGen: Option[DataFrame] = None // consolidate's cached live set
-    // executor-RESIDENT current graph generation: loaded once per build and
-    // probed as narrow jobs (no parquet re-read per search) — the serving
-    // economics of the reference's in-process index between checkpoints
-    var resident: Option[graft.index.HnswResident] = None
-    // exact mode's serving form: the immutable source pinned ONCE as scan
-    // shards; each checkpoint probes them under the live-range mask (an
-    // O(#ops) broadcast, see [[Runbook.liveRanges]]) — same results as the
-    // per-checkpoint kNN dataflow, without re-reading or joining the corpus
-    lazy val residentScan = graft.index.ResidentScan.load(
-      source.select(col("id"), col("vec"))
-        .withColumn("tags", array().cast("array<int>")),
-      numPartitions = 8)
-    var scanLoaded = false
-    val opLog = scala.collection.mutable.ArrayBuffer.empty[RunbookStep]
-    lazy val qsArr = queries
-      .select(col("qid").cast("long"), col("qvec"))
-      .as[(Long, Array[Float])].collect()
-    val checkpoints = Map.newBuilder[Int, DataFrame]
+    reset()
+    steps.zipWithIndex.foreach { case (step, i) => applyStep(step, i) }
+    finish()
+  }
 
-    // an id is live iff its most recent op is an insert
-    def liveIds: DataFrame = {
-      val ins = inserted.groupBy("id").agg(max("seq").as("ins_seq"))
-      val del = tombstones.groupBy("id").agg(max("seq").as("del_seq"))
-      ins.join(del, Seq("id"), "left")
-        .where(col("del_seq").isNull || col("ins_seq") > col("del_seq"))
-        .select("id")
-    }
-
-    // materialize the net live set, clear both logs; the graph artifact
-    // (if any) is compacted away with them — next search rebuilds it over
-    // the consolidated live set (consolidate_delete semantics)
-    def consolidate(seq: Long): Unit = {
-      val prev = cachedGen // the previous consolidation's cached base (if any)
-      cachedGen = Some(liveIds.withColumn("seq", lit(seq)).cache())
-      inserted = cachedGen.get
-      insertedLogRows = inserted.count()
-      prev.foreach(_.unpersist()) // new gen is materialized; drop the old one
-
-      tombstones = Seq.empty[(Long, Long)].toDF("id", "seq")
-      nTombstones = 0L
-      graphFresh = false
-      delta.clear() // the rebuild covers the consolidated live set
-    }
-
-    steps.zipWithIndex.foreach { case (step, i) =>
+  /** Apply ONE op against the current state — the incremental unit a
+    * streaming caller feeds as ops arrive, paying each op exactly once
+    * (no replay of the historical log). `i` keys the checkpoint for a
+    * search op and stamps the sequence for insert/delete; callers must
+    * feed strictly increasing `i`. */
+  def applyStep(step: RunbookStep, i: Int): Unit = {
+    {
       val seq = i.toLong
       if (step.op != "search") opLog += step
       step.op match {
@@ -385,9 +440,13 @@ final class RunbookExecutor(
                 .toDF("qid", "id", "dist", "rank")
             case None if residentExact =>
               // eager by-value checkpoint, like graph mode
-              scanLoaded = true
+              if (scan.isEmpty)
+                scan = Some(graft.index.ResidentScan.load(
+                  source.select(col("id"), col("vec"))
+                    .withColumn("tags", array().cast("array<int>")),
+                  numPartitions = 8))
               checkpoints += i -> spark.createDataFrame(
-                residentScan.probeBatchRanges(qsArr, k,
+                scan.get.probeBatchRanges(qsArr, k,
                   Runbook.liveRanges(opLog.toSeq)).toSeq)
                 .toDF("qid", "id", "dist", "rank")
             case None =>
@@ -398,8 +457,5 @@ final class RunbookExecutor(
           throw new IllegalArgumentException(s"unknown runbook op: $other")
       }
     }
-    resident.foreach(_.unload()) // checkpoints are by-value; safe to free
-    if (scanLoaded) residentScan.unload()
-    checkpoints.result()
   }
 }

@@ -169,6 +169,37 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     src01.unpersist(); q01.unpersist()
   }
 
+  test("reference clustered_runbook (insert-only growth) replays with few rebuilds (sf0.1)") {
+    // the reference's pure-growth runbook: 64 insert→search cycles, no
+    // deletes. Delta-resident serving must absorb most inserts — rebuilds
+    // only on delta overflow — while every checkpoint still recalls the
+    // exact live-set kNN.
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/streaming/clustered_runbook.yaml")))
+    val src01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select($"vec_id".as("id"), $"embedding".as("vec")).cache()
+    val q01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .where($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec")).cache()
+    val rb = Runbook.scaled(Runbook.parseYaml(yaml).head, src01.count())
+    val inserts = rb.steps.count(_.op == "insert")
+    val gp = java.nio.file.Files.createTempDirectory("graft-rb-clustered")
+      .resolve("idx").toString
+    val graphExec = new RunbookExecutor(src01, q01, k = 10,
+      consolidateAt = 1000, rb.maxPts, Some(gp), efSearch = 128)
+    val truthExec = new RunbookExecutor(src01, q01, k = 10,
+      consolidateAt = 1000, rb.maxPts)
+    val got = graphExec.run(rb.steps)
+    val truth = truthExec.run(rb.steps)
+    assert(graphExec.graphBuilds * 4 <= inserts,
+      s"delta serving should absorb most of $inserts inserts, " +
+        s"but the graph rebuilt ${graphExec.graphBuilds}x")
+    val mean = got.keys.toSeq
+      .map(cp => Recall.mean(got(cp), truth(cp), 10)).sum / got.size
+    assert(mean >= 0.9, s"mean clustered-replay recall $mean")
+    src01.unpersist(); q01.unpersist()
+  }
+
   test("runbook: consolidation does not change results") {
     val steps = Seq(
       RunbookStep("insert", 0, 200),
@@ -256,6 +287,13 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     batchResults.foreach { case (i, df) =>
       assert(ids(exec.checkpoints(i)) === ids(df), s"checkpoint $i differs")
     }
+    exec.close()
+    // the incremental contract: an op older than one already applied is a
+    // protocol violation, not a silent history rewrite
+    assertThrows[IllegalArgumentException] {
+      exec.processBatch(Seq((0, "insert", 0L, 10L))
+        .toDF("seq", "op", "start", "end"), 99L)
+    }
   }
 
   test("foreachBatch stream in GRAPH mode equals the batch graph executor") {
@@ -290,6 +328,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     batchResults.foreach { case (i, df) =>
       assert(ids(streamExec.checkpoints(i)) === ids(df), s"checkpoint $i differs")
     }
+    streamExec.close()
   }
 
   test("funnel: earliest-chain semantics on handcrafted users; flags monotone on the corpus") {
