@@ -207,8 +207,13 @@ object Bench {
         val yaml = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(
             "/root/reference/streaming/delete_runbook.yaml")))
+        // BASELINE row 4 grades the msturing-10M-clustered doc (32 ins /
+        // 10 del / 33 search, max_pts 6M — scaled, so occupancy-triggered
+        // consolidations fire at the same relative points)
         val rb = streaming.Runbook.scaled(
-          streaming.Runbook.parseYaml(yaml).head, n)
+          streaming.Runbook.parseYaml(yaml)
+            .find(_.dataset == "msturing-10M-clustered")
+            .getOrElse(streaming.Runbook.parseYaml(yaml).head), n)
         val src = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
         val sq = emb.where(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

@@ -682,6 +682,33 @@ object SparkEntry {
         graft.streaming.RunbookStep("search"))
       knnResult(exec.run(steps)(5))
     }),
+    // the SAME op log served in GRAPH mode at the exhaustive beam: the
+    // final checkpoint is answered by generation #1 (built over [0,300))
+    // with tombstones [0,50) honored in-traversal, re-inserted ids
+    // [50,100) unmarked, and [300,400) ∪ [50,100) served delta-resident —
+    // zero rebuilds after the first. Exhaustive ef makes every component
+    // exact, so the composed serving form hash-checks against the same
+    // live-set oracle as runbook_final.
+    "runbook_graph_final" -> ((s, dir) => {
+      val gp = java.nio.file.Files.createTempDirectory("graft-rbq")
+        .resolve("idx").toString
+      val exec = new graft.streaming.RunbookExecutor(
+        embBase(s, dir).select("id", "vec"),
+        embQueries(s, dir, 10).select("qid", "qvec"),
+        k = 10, consolidateAt = 1000000, graphPath = Some(gp),
+        efSearch = 1 << 20)
+      val steps = Seq(
+        graft.streaming.RunbookStep("insert", 0, 300),
+        graft.streaming.RunbookStep("search"),
+        graft.streaming.RunbookStep("delete", 0, 100),
+        graft.streaming.RunbookStep("insert", 300, 400),
+        graft.streaming.RunbookStep("insert", 50, 100),
+        graft.streaming.RunbookStep("search"))
+      val out = exec.run(steps)(5)
+      require(exec.graphBuilds == 1,
+        s"delta serving must not rebuild (built ${exec.graphBuilds}x)")
+      knnResult(out)
+    }),
     "events_sessions" -> ((s, dir) =>
       graft.streaming.Sessionize.sessions(Tables.events(s, dir), gapMinutes = 30)),
     "events_tumbling" -> ((s, dir) =>
@@ -1189,6 +1216,10 @@ object SparkEntry {
     // net effect of the demo runbook (incl. re-insert of [50,100)):
     // live ids are exactly [50, 400)
     "runbook_final" -> knnOracle(10, 10, l2Sql, "ASC",
+      filterSql = "e.vec_id >= 50 AND e.vec_id < 400"),
+    // same net live set, served by the graph+tombstone+delta composition
+    // at the exhaustive beam (exact)
+    "runbook_graph_final" -> knnOracle(10, 10, l2Sql, "ASC",
       filterSql = "e.vec_id >= 50 AND e.vec_id < 400"),
     "events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, ts FROM events),

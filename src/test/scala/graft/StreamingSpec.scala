@@ -153,8 +153,10 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     // checkpoint graded against the exact live-set kNN.
     val yaml = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/streaming/delete_runbook.yaml")))
-    val rb0 = Runbook.parseYaml(yaml).head
-    assert(rb0.dataset === "random-xs-clustered")
+    // the BASELINE row-4 unit: msturing-10M-clustered, 32 inserts /
+    // 10 deletes / 33 searches, max_pts 6M (reference reports 0.924)
+    val rb0 = Runbook.parseYaml(yaml)
+      .find(_.dataset == "msturing-10M-clustered").get
     val src01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
       .select($"vec_id".as("id"), $"embedding".as("vec")).cache()
     val q01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
@@ -166,6 +168,29 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(graded.count() === rb.steps.count(_.op == "search"))
     val mean = graded.agg(avg($"recall_bp")).head().getDouble(0) / 10000.0
     assert(mean >= 0.9, s"mean replay recall $mean")
+    src01.unpersist(); q01.unpersist()
+  }
+
+  test("reference simple_runbook (msturing-1M) replays graded, recall >= 0.9 (sf0.1)") {
+    // BASELINE rows 5/6: the insert → search → delete-half → search →
+    // re-insert → search pattern (reference reports 0.958 at Ls=100 on
+    // msturing-1M). Scaled into the sf0.1 id space and graded at every
+    // checkpoint against the exact live-set kNN.
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/streaming/simple_runbook.yaml")))
+    val src01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select($"vec_id".as("id"), $"embedding".as("vec")).cache()
+    val q01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .where($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec")).cache()
+    val rb = Runbook.scaled(
+      Runbook.parseYaml(yaml).find(_.dataset == "msturing-1M").get,
+      src01.count())
+    val graded = RunbookReplay.graded(src01, q01, rb, k = 10, efSearch = 128)
+      .cache()
+    assert(graded.count() === rb.steps.count(_.op == "search"))
+    val mean = graded.agg(avg($"recall_bp")).head().getDouble(0) / 10000.0
+    assert(mean >= 0.9, s"mean simple-replay recall $mean")
     src01.unpersist(); q01.unpersist()
   }
 
