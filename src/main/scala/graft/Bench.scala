@@ -195,9 +195,44 @@ object Bench {
       routed.unload()
       (v, sp, recall)
     }
+    // serving UNDER MUTATION — the steady state of the streaming track
+    // between consolidations: a resident generation probed with a live
+    // tombstone set (deletes since build, honored in-traversal) AND a
+    // delta buffer (inserts since build, exact-scanned and merged). The
+    // row shows what mutation costs relative to the clean probe.
+    def mutatedQps(): (Double, Double, Double) = {
+      val path = java.nio.file.Files.createTempDirectory("graft-bench-mut")
+        .resolve("idx").toString
+      val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cut = math.max(n / 20, 1L) // 5% of the corpus arrives post-build
+      val tombHi = 2 * cut // and 5% of the built graph is deleted
+      index.HnswKnn.buildResidentAndSave(base.where(col("id") >= cut), path,
+        numPartitions = 8).unload()
+      val resident = index.HnswKnn.loadResident(spark, path)
+      val queries = emb.where(col("vec_id") < nq)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      import spark.implicits._
+      val qs = queries.select(col("qid").cast("long"), col("qvec"))
+        .as[(Long, Array[Float])].collect()
+      val delta = base.where(col("id") < cut)
+        .select(col("id").cast("long"), col("vec"))
+        .as[(Long, Array[Float])].collect()
+      val dead = (cut until tombHi).toSet
+      val (v, sp) = qpsBatch(() =>
+        resident.probeBatch(qs, k = 10, efSearch = 16, dead, delta).length)
+      val live = base.where(col("id") < cut || col("id") >= tombHi)
+      val truth = operators.Knn.knnJoin(queries, live, 10, operators.Metric.L2)
+      val got = spark.createDataFrame(
+        resident.probeBatch(qs, 10, 16, dead, delta).toSeq)
+        .toDF("qid", "id", "dist", "rank")
+      val recall = operators.Recall.mean(got, truth, 10)
+      resident.unload()
+      (v, sp, recall)
+    }
     val (annQps, annSpread, annRecall) = residentQps("l2")
     val (annIpQps, annIpSpread, annIpRecall) = residentQps("ip")
     val (rtQps, rtSpread, rtRecall) = routedQps()
+    val (mutQps, mutSpread, mutRecall) = mutatedQps()
     // streaming track (BASELINE row 4's unit — checkpoint recall + wall
     // time, not QPS): replay the reference's own delete_runbook scaled
     // into this SF's id space and grade every search checkpoint against
@@ -230,7 +265,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val qpsJson =
-      s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"sparse_budget_served":$sparseServedQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"sparse_budget_served":$sparseServedSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall},"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
+      s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"sparse_budget_served":$sparseServedQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"ann_hnsw_probe_mutated":$mutQps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"sparse_budget_served":$sparseServedSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread,"ann_hnsw_probe_mutated":$mutSpread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_mutated":$mutRecall},"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qpsJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -371,16 +371,21 @@ final class RunbookExecutor(
             .select(col("id"), lit(seq).as("seq"))
           // graph mode with a live generation: fetch the batch rows so they
           // can serve delta-resident (one job either way — rows here, count
-          // otherwise)
+          // otherwise). The RANGE WIDTH bounds the row count, so checking
+          // it against the cap first keeps the driver fetch bounded by
+          // deltaCap even for an arbitrarily large insert — an oversized
+          // batch goes straight to the rebuild path without ever
+          // collecting.
+          val mayAbsorb = graphPath.isDefined && graphFresh &&
+            delta.size + (step.end - step.start) <= deltaCap
           val batchVecs: Array[(Long, Array[Float])] =
-            if (graphPath.isDefined && graphFresh)
+            if (mayAbsorb)
               source.where(col("id") >= step.start && col("id") < step.end)
                 .select(col("id").cast("long"), col("vec"))
                 .as[(Long, Array[Float])].collect()
             else Array.empty
           val batchRows = // actual rows, not range width
-            if (graphPath.isDefined && graphFresh) batchVecs.length.toLong
-            else batch.count()
+            if (mayAbsorb) batchVecs.length.toLong else batch.count()
           // diskann-str.py:90-93: consolidate BEFORE the insert that would
           // push occupancy past max_pts (only useful if tombstones exist)
           if (insertedLogRows + batchRows > maxPts && nTombstones > 0)
@@ -388,8 +393,9 @@ final class RunbookExecutor(
           inserted = inserted.unionByName(batch)
           insertedLogRows += batchRows
           if (batchRows > 0) {
-            if (graphPath.isDefined && graphFresh &&
-                delta.size + batchRows <= deltaCap) {
+            if (mayAbsorb && graphFresh) { // graphFresh can drop via maxPts
+              // consolidation above, in which case the batch rides the
+              // rebuild instead
               // absorb the batch into the resident delta: new ids serve by
               // exact scan; re-inserted graph-resident ids just unmark
               // their tombstone (the graph still holds the right vector —
@@ -409,13 +415,17 @@ final class RunbookExecutor(
           // count; ids already tombstoned count once more only if re-marked)
           nTombstones += newTombstones.count()
           tombstones = tombstones.unionByName(newTombstones)
-          if (graphPath.isDefined && graphFresh) {
+          if (nTombstones >= consolidateAt) {
+            // this delete trips compaction anyway: skip the tombstone-id
+            // fetch entirely — the driver-side mark set stays bounded by
+            // consolidateAt even for a corpus-sized delete range
+            consolidate(seq)
+          } else if (graphPath.isDefined && graphFresh) {
             // lazy delete: mark, don't rebuild (bounded by consolidateAt)
             graphTomb ++= newTombstones.select("id").as[Long].collect()
             // delta rows are dropped directly — they never entered a graph
             delta.filterInPlace((id, _) => id < step.start || id >= step.end)
           }
-          if (nTombstones >= consolidateAt) consolidate(seq)
         case "search" =>
           graphPath match {
             case Some(gp) =>

@@ -82,6 +82,27 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(Recall.mean(cps(5), truth, 5) >= 0.9)
   }
 
+  test("runbook graph mode: a delete tripping consolidation rebuilds without marking ids") {
+    // a corpus-sized delete must never fetch its tombstone ids to the
+    // driver: when the delete trips the compaction threshold, the graph
+    // goes stale and the next search rebuilds over the consolidated live
+    // set instead
+    val gp = java.nio.file.Files.createTempDirectory("graft-rb-graph4")
+      .resolve("idx").toString
+    val exec = new RunbookExecutor(source, queries, k = 5,
+      consolidateAt = 50, graphPath = Some(gp))
+    val cps = exec.run(Seq(
+      RunbookStep("insert", 0, 200),
+      RunbookStep("search"), // build #1
+      RunbookStep("delete", 0, 120), // 120 >= consolidateAt: compacts
+      RunbookStep("search"))) // build #2 over [120,200)
+    assert(exec.graphBuilds === 2)
+    assert(cps(3).where($"id" < 120).count() === 0)
+    val truth = Knn.knnJoin(queries,
+      source.where($"id" >= 120 && $"id" < 200), 5, Metric.L2)
+    assert(Recall.mean(cps(3), truth, 5) >= 0.9)
+  }
+
   test("runbook graph mode: delta overflow falls back to a rebuild (merge)") {
     val gp = java.nio.file.Files.createTempDirectory("graft-rb-graph3")
       .resolve("idx").toString
