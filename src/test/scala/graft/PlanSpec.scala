@@ -41,6 +41,21 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("l_quantity"), "referenced column missing from scan")
   }
 
+  test("shard packing never funnels the corpus through one task") {
+    // the round-2 scale-killer was a global Window.orderBy with no
+    // partitionBy here; the two-pass distributed prefix sum must keep the
+    // plan free of Window nodes and single-partition exchanges
+    val df = SparkEntry.queries("pipeline_shards")(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Window"), s"no Window allowed in shard packing:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition funnel allowed:\n$p")
+    // and the result is still totally ordered by construction
+    val rows = df.orderBy("doc_id").select("shard")
+      .collect().map(_.getLong(0))
+    assert(rows.sameElements(rows.sorted), "shards must be monotone in doc_id")
+  }
+
   test("knn distance kernel runs inside whole-stage codegen") {
     val df = SparkEntry.queries("knn_l2")(spark, sfDir)
     df.collect() // materialize so AQE finalizes the plan with codegen spans
