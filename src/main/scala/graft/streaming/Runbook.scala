@@ -165,27 +165,39 @@ final class RunbookStreamExecutor(
   private val inner = new RunbookExecutor(source, queries, k, consolidateAt,
     maxPts, graphPath, efSearch, deltaCap)
   private var lastSeq = Int.MinValue
+  private var lastBatchId = Long.MinValue
 
   /** foreachBatch sink function: feed micro-batches of op rows
     * (seq INT, op STRING, start LONG, end LONG). Each op is applied against
     * the executor state EXACTLY ONCE, in sequence order — incremental, no
     * replay of the historical log, so a long-running stream's per-batch
     * cost depends on the batch, not on how much history precedes it. Ops
-    * within a micro-batch may arrive unordered (they sort here); across
-    * micro-batches the log must arrive in order — an op older than one
-    * already applied cannot be applied retroactively to mutable state and
-    * raises rather than silently reordering history. */
+    * within a micro-batch may arrive unordered (they sort here).
+    *
+    * Restart semantics: after a failure Structured Streaming REDELIVERS
+    * the in-flight micro-batch under the same batchId; a redelivered batch
+    * (batchId ≤ the last one seen) skips its already-applied ops — the
+    * idempotency foreachBatch sinks must provide. In a genuinely NEW batch
+    * an op older than one already applied is op-log corruption: it cannot
+    * be applied retroactively to mutable state and raises rather than
+    * silently reordering history. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val redelivery = batchId <= lastBatchId
+    lastBatchId = math.max(lastBatchId, batchId)
     val steps = batch.select("seq", "op", "start", "end")
       .collect()
       .map(r => (r.getInt(0), RunbookStep(r.getString(1), r.getLong(2), r.getLong(3))))
       .sortBy(_._1)
     steps.foreach { case (seq, st) =>
-      require(seq > lastSeq,
-        s"op $seq arrived after op $lastSeq was already applied — the op " +
-          "log must reach foreachBatch in sequence order across micro-batches")
-      inner.applyStep(st, seq)
-      lastSeq = seq
+      if (seq <= lastSeq) {
+        require(redelivery,
+          s"op $seq arrived after op $lastSeq was already applied — the op " +
+            "log must reach foreachBatch in sequence order across micro-batches")
+        // already applied before the failure; state reflects it — skip
+      } else {
+        inner.applyStep(st, seq)
+        lastSeq = seq
+      }
     }
   }
 

@@ -333,9 +333,17 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     batchResults.foreach { case (i, df) =>
       assert(ids(exec.checkpoints(i)) === ids(df), s"checkpoint $i differs")
     }
+    // restart semantics: redelivering an already-processed micro-batch
+    // (same batchId, as foreachBatch does after a failure) is an
+    // idempotent no-op — state and checkpoints unchanged
+    val before = exec.checkpoints.view.mapValues(ids).toMap
+    exec.processBatch(steps.zipWithIndex.take(3)
+      .map { case (s, i) => (i, s.op, s.start, s.end) }
+      .toDF("seq", "op", "start", "end"), 0L)
+    assert(exec.checkpoints.view.mapValues(ids).toMap === before)
     exec.close()
-    // the incremental contract: an op older than one already applied is a
-    // protocol violation, not a silent history rewrite
+    // but in a genuinely NEW batch, an op older than one already applied
+    // is a protocol violation, not a silent history rewrite
     assertThrows[IllegalArgumentException] {
       exec.processBatch(Seq((0, "insert", 0L, 10L))
         .toDF("seq", "op", "start", "end"), 99L)
