@@ -356,8 +356,10 @@ final class RunbookExecutor(
     * inserts between builds accumulate in a DELTA buffer served by exact
     * scan merged with the graph probe (the reference inserts in place,
     * diskann-str.py:60-82; the Spark-native equivalent of a mutable shared
-    * graph is an immutable generation plus a bounded delta, FreshDiskANN's
-    * split): an insert-heavy interval costs zero rebuilds too, until the
+    * graph is an immutable generation plus a bounded delta — the split of
+    * FreshDiskANN, Singh et al., arXiv:2105.09613, whose streaming DiskANN
+    * the reference's dynamic index descends from): an insert-heavy
+    * interval costs zero rebuilds too, until the
     * delta outgrows `deltaCap` or compaction merges it into generation N+1.
     * A search therefore rebuilds only on delta overflow or after
     * consolidation. */
