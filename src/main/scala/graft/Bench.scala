@@ -206,8 +206,8 @@ object Bench {
       val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val cut = math.max(n / 20, 1L) // 5% of the corpus arrives post-build
       val tombHi = 2 * cut // and 5% of the built graph is deleted
-      index.HnswKnn.buildResidentAndSave(base.where(col("id") >= cut), path,
-        numPartitions = 8).unload()
+      index.HnswKnn.buildAndSave(base.where(col("id") >= cut), path,
+        numPartitions = 8)
       val resident = index.HnswKnn.loadResident(spark, path)
       val queries = emb.where(col("vec_id") < nq)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

@@ -175,14 +175,16 @@ final class RunbookStreamExecutor(
     * within a micro-batch may arrive unordered (they sort here).
     *
     * Restart semantics: after a failure Structured Streaming REDELIVERS
-    * the in-flight micro-batch under the same batchId; a redelivered batch
-    * (batchId ≤ the last one seen) skips its already-applied ops — the
-    * idempotency foreachBatch sinks must provide. In a genuinely NEW batch
-    * an op older than one already applied is op-log corruption: it cannot
-    * be applied retroactively to mutable state and raises rather than
-    * silently reordering history. */
+    * the in-flight micro-batch under the SAME batchId; exactly that batch
+    * (batchId == the last one seen) may skip its already-applied ops — the
+    * idempotency foreachBatch sinks must provide. Anything else that
+    * carries an op older than one already applied — a batchId that went
+    * BACKWARDS (e.g. a new stream reusing this executor), or a genuinely
+    * new batch with an old seq — is op-log corruption: it cannot be
+    * applied retroactively to mutable state and raises rather than
+    * silently serving the previous log's checkpoints. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    val redelivery = batchId <= lastBatchId
+    val redelivery = batchId == lastBatchId
     lastBatchId = math.max(lastBatchId, batchId)
     val steps = batch.select("seq", "op", "start", "end")
       .collect()
@@ -327,6 +329,16 @@ final class RunbookExecutor(
       .select("id")
   }
 
+  /** Replace the op history with canonical inserts of its net live ranges
+    * — liveness depends only on the net effect, so this is exact, and it
+    * keeps [[Runbook.liveRanges]]'s O(#ops²) sweep and the opLog's driver
+    * footprint bounded by the compaction cadence instead of growing with
+    * stream length. */
+  private def compactOpLog(ranges: Array[(Long, Long)]): Unit = {
+    opLog.clear()
+    ranges.foreach { case (lo, hi) => opLog += RunbookStep("insert", lo, hi) }
+  }
+
   // materialize the net live set, clear both logs; the graph artifact
   // (if any) is compacted away with them — next search rebuilds it over
   // the consolidated live set (consolidate_delete semantics)
@@ -341,6 +353,7 @@ final class RunbookExecutor(
     nTombstones = 0L
     graphFresh = false
     delta.clear() // the rebuild covers the consolidated live set
+    compactOpLog(Runbook.liveRanges(opLog.toSeq))
   }
 
   /** Run all steps from a clean slate; returns (stepIndex → search result)
@@ -375,111 +388,114 @@ final class RunbookExecutor(
     * search op and stamps the sequence for insert/delete; callers must
     * feed strictly increasing `i`. */
   def applyStep(step: RunbookStep, i: Int): Unit = {
-    {
-      val seq = i.toLong
-      if (step.op != "search") opLog += step
-      step.op match {
-        case "insert" =>
-          val batch = source
-            .where(col("id") >= step.start && col("id") < step.end)
-            .select(col("id"), lit(seq).as("seq"))
-          // graph mode with a live generation: fetch the batch rows so they
-          // can serve delta-resident (one job either way — rows here, count
-          // otherwise). The RANGE WIDTH bounds the row count, so checking
-          // it against the cap first keeps the driver fetch bounded by
-          // deltaCap even for an arbitrarily large insert — an oversized
-          // batch goes straight to the rebuild path without ever
-          // collecting.
-          val mayAbsorb = graphPath.isDefined && graphFresh &&
-            delta.size + (step.end - step.start) <= deltaCap
-          val batchVecs: Array[(Long, Array[Float])] =
-            if (mayAbsorb)
-              source.where(col("id") >= step.start && col("id") < step.end)
-                .select(col("id").cast("long"), col("vec"))
-                .as[(Long, Array[Float])].collect()
-            else Array.empty
-          val batchRows = // actual rows, not range width
-            if (mayAbsorb) batchVecs.length.toLong else batch.count()
-          // diskann-str.py:90-93: consolidate BEFORE the insert that would
-          // push occupancy past max_pts (only useful if tombstones exist)
-          if (insertedLogRows + batchRows > maxPts && nTombstones > 0)
-            consolidate(seq)
-          inserted = inserted.unionByName(batch)
-          insertedLogRows += batchRows
-          if (batchRows > 0) {
-            if (mayAbsorb && graphFresh) { // graphFresh can drop via maxPts
-              // consolidation above, in which case the batch rides the
-              // rebuild instead
-              // absorb the batch into the resident delta: new ids serve by
-              // exact scan; re-inserted graph-resident ids just unmark
-              // their tombstone (the graph still holds the right vector —
-              // `source` is immutable per id)
-              batchVecs.foreach { case (id, v) => delta(id) = v }
-              graphTomb = graphTomb
-                .filterNot(id => id >= step.start && id < step.end)
-            } else {
-              graphFresh = false; delta.clear() // overflow: rebuild (merge)
+    val seq = i.toLong
+    if (step.op != "search") opLog += step
+    step.op match {
+      case "insert" =>
+        val batch = source
+          .where(col("id") >= step.start && col("id") < step.end)
+          .select(col("id"), lit(seq).as("seq"))
+        // graph mode with a live generation: fetch the batch rows so they
+        // can serve delta-resident (one job either way — rows here, count
+        // otherwise). The RANGE WIDTH bounds the row count, so checking
+        // it against the cap first keeps the driver fetch bounded by
+        // deltaCap even for an arbitrarily large insert — an oversized
+        // batch goes straight to the rebuild path without ever
+        // collecting.
+        val mayAbsorb = graphPath.isDefined && graphFresh &&
+          delta.size + (step.end - step.start) <= deltaCap
+        val batchVecs: Array[(Long, Array[Float])] =
+          if (mayAbsorb)
+            source.where(col("id") >= step.start && col("id") < step.end)
+              .select(col("id").cast("long"), col("vec"))
+              .as[(Long, Array[Float])].collect()
+          else Array.empty
+        val batchRows = // actual rows, not range width
+          if (mayAbsorb) batchVecs.length.toLong else batch.count()
+        // diskann-str.py:90-93: consolidate BEFORE the insert that would
+        // push occupancy past max_pts (only useful if tombstones exist)
+        if (insertedLogRows + batchRows > maxPts && nTombstones > 0)
+          consolidate(seq)
+        inserted = inserted.unionByName(batch)
+        insertedLogRows += batchRows
+        if (batchRows > 0) {
+          if (mayAbsorb && graphFresh) { // graphFresh can drop via maxPts
+            // consolidation above, in which case the batch rides the
+            // rebuild instead
+            // absorb the batch into the resident delta: re-inserted
+            // TOMBSTONED ids just unmark — the graph still holds the
+            // right vector (`source` is immutable per id) — and don't
+            // spend delta budget; everything else enters the delta and
+            // serves by exact scan (a never-deleted graph id re-inserted
+            // is a rare redundancy, deduped at the probe merge)
+            batchVecs.foreach { case (id, v) =>
+              if (!graphTomb.contains(id)) delta(id) = v
             }
+            graphTomb = graphTomb
+              .filterNot(id => id >= step.start && id < step.end)
+          } else {
+            graphFresh = false; delta.clear() // overflow: rebuild (merge)
           }
-        case "delete" =>
-          val newTombstones =
-            inserted.where(col("id") >= step.start && col("id") < step.end)
-              .select(col("id"), lit(seq).as("seq")).distinct()
-          // count the rows actually tombstoned (ids never inserted don't
-          // count; ids already tombstoned count once more only if re-marked)
-          nTombstones += newTombstones.count()
-          tombstones = tombstones.unionByName(newTombstones)
-          if (nTombstones >= consolidateAt) {
-            // this delete trips compaction anyway: skip the tombstone-id
-            // fetch entirely — the driver-side mark set stays bounded by
-            // consolidateAt even for a corpus-sized delete range
-            consolidate(seq)
-          } else if (graphPath.isDefined && graphFresh) {
-            // lazy delete: mark, don't rebuild (bounded by consolidateAt)
-            graphTomb ++= newTombstones.select("id").as[Long].collect()
-            // delta rows are dropped directly — they never entered a graph
-            delta.filterInPlace((id, _) => id < step.start || id >= step.end)
-          }
-        case "search" =>
-          graphPath match {
-            case Some(gp) =>
-              if (!graphFresh) {
-                // each rebuild gets its own immutable build=N directory
-                // (index generations, not in-place mutation): the resident
-                // load of generation N must never race a writer recycling
-                // generation N-1's path
-                val liveVecs = liveIds.join(source, "id").select("id", "vec")
-                graphBuilds += 1
-                resident.foreach(_.unload()) // superseded generation
-                resident = Some(graft.index.HnswKnn.buildResidentAndSave(
-                  liveVecs, s"$gp/build=$graphBuilds"))
-                graphTomb = Set.empty; delta.clear(); graphFresh = true
-              }
-              // eager checkpoint: the rows come back with the probe batch,
-              // so the checkpoint survives later unloads/rebuilds by value,
-              // not by lineage
-              checkpoints += i -> spark.createDataFrame(
-                resident.get.probeBatch(qsArr, k, efSearch, graphTomb,
-                  delta.toArray).toSeq)
-                .toDF("qid", "id", "dist", "rank")
-            case None if residentExact =>
-              // eager by-value checkpoint, like graph mode
-              if (scan.isEmpty)
-                scan = Some(graft.index.ResidentScan.load(
-                  source.select(col("id"), col("vec"))
-                    .withColumn("tags", array().cast("array<int>")),
-                  numPartitions = 8))
-              checkpoints += i -> spark.createDataFrame(
-                scan.get.probeBatchRanges(qsArr, k,
-                  Runbook.liveRanges(opLog.toSeq)).toSeq)
-                .toDF("qid", "id", "dist", "rank")
-            case None =>
-              val liveVecs = liveIds.join(source, "id")
-              checkpoints += i -> Knn.knnJoin(queries, liveVecs, k, Metric.L2)
-          }
-        case other =>
-          throw new IllegalArgumentException(s"unknown runbook op: $other")
-      }
+        }
+      case "delete" =>
+        val newTombstones =
+          inserted.where(col("id") >= step.start && col("id") < step.end)
+            .select(col("id"), lit(seq).as("seq")).distinct()
+        // count the rows actually tombstoned (ids never inserted don't
+        // count; ids already tombstoned count once more only if re-marked)
+        nTombstones += newTombstones.count()
+        tombstones = tombstones.unionByName(newTombstones)
+        if (nTombstones >= consolidateAt) {
+          // this delete trips compaction anyway: skip the tombstone-id
+          // fetch entirely — the driver-side mark set stays bounded by
+          // consolidateAt even for a corpus-sized delete range
+          consolidate(seq)
+        } else if (graphPath.isDefined && graphFresh) {
+          // lazy delete: mark, don't rebuild (bounded by consolidateAt)
+          graphTomb ++= newTombstones.select("id").as[Long].collect()
+          // delta rows are dropped directly — they never entered a graph
+          delta.filterInPlace((id, _) => id < step.start || id >= step.end)
+        }
+      case "search" =>
+        graphPath match {
+          case Some(gp) =>
+            if (!graphFresh) {
+              // each rebuild gets its own immutable build=N directory
+              // (index generations, not in-place mutation): the resident
+              // load of generation N must never race a writer recycling
+              // generation N-1's path
+              val liveVecs = liveIds.join(source, "id").select("id", "vec")
+              graphBuilds += 1
+              resident.foreach(_.unload()) // superseded generation
+              resident = Some(graft.index.HnswKnn.buildResidentAndSave(
+                liveVecs, s"$gp/build=$graphBuilds"))
+              graphTomb = Set.empty; delta.clear(); graphFresh = true
+            }
+            // eager checkpoint: the rows come back with the probe batch,
+            // so the checkpoint survives later unloads/rebuilds by value,
+            // not by lineage
+            checkpoints += i -> spark.createDataFrame(
+              resident.get.probeBatch(qsArr, k, efSearch, graphTomb,
+                delta.toArray).toSeq)
+              .toDF("qid", "id", "dist", "rank")
+          case None if residentExact =>
+            // eager by-value checkpoint, like graph mode
+            if (scan.isEmpty)
+              scan = Some(graft.index.ResidentScan.load(
+                source.select(col("id"), col("vec"))
+                  .withColumn("tags", array().cast("array<int>")),
+                numPartitions = 8))
+            val ranges = Runbook.liveRanges(opLog.toSeq)
+            compactOpLog(ranges) // history ≡ its net live set from here on
+            checkpoints += i -> spark.createDataFrame(
+              scan.get.probeBatchRanges(qsArr, k, ranges).toSeq)
+              .toDF("qid", "id", "dist", "rank")
+          case None =>
+            val liveVecs = liveIds.join(source, "id")
+            checkpoints += i -> Knn.knnJoin(queries, liveVecs, k, Metric.L2)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown runbook op: $other")
     }
   }
 }

@@ -167,11 +167,9 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("reference delete_runbook replays end-to-end, mean recall >= 0.9 (sf0.1)") {
-    // BASELINE row 4 at reduced scale: the reference's own
-    // streaming/delete_runbook.yaml (random-xs-clustered: 64 search
-    // checkpoints, interleaved inserts/deletes, max_pts-triggered
-    // consolidations), ranges scaled into the sf0.1 id space, every
-    // checkpoint graded against the exact live-set kNN.
+    // BASELINE row 4 at reduced scale: interleaved inserts/deletes with
+    // max_pts-triggered consolidations, ranges scaled into the sf0.1 id
+    // space, every checkpoint graded against the exact live-set kNN.
     val yaml = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/streaming/delete_runbook.yaml")))
     // the BASELINE row-4 unit: msturing-10M-clustered, 32 inserts /
@@ -216,10 +214,10 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("reference clustered_runbook (insert-only growth) replays with few rebuilds (sf0.1)") {
-    // the reference's pure-growth runbook: 64 insert→search cycles, no
-    // deletes. Delta-resident serving must absorb most inserts — rebuilds
-    // only on delta overflow — while every checkpoint still recalls the
-    // exact live-set kNN.
+    // the reference's pure-growth runbook (random-xs-clustered doc: 32
+    // insert→search cycles, no deletes). Delta-resident serving must
+    // absorb most inserts — rebuilds only on delta overflow — while every
+    // checkpoint still recalls the exact live-set kNN.
     val yaml = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/streaming/clustered_runbook.yaml")))
     val src01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
@@ -333,17 +331,22 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     batchResults.foreach { case (i, df) =>
       assert(ids(exec.checkpoints(i)) === ids(df), s"checkpoint $i differs")
     }
-    // restart semantics: redelivering an already-processed micro-batch
-    // (same batchId, as foreachBatch does after a failure) is an
-    // idempotent no-op — state and checkpoints unchanged
+    // restart semantics: redelivering the LAST micro-batch (same batchId,
+    // as foreachBatch does after a failure) is an idempotent no-op —
+    // state and checkpoints unchanged
     val before = exec.checkpoints.view.mapValues(ids).toMap
-    exec.processBatch(steps.zipWithIndex.take(3)
+    exec.processBatch(steps.zipWithIndex.drop(3)
       .map { case (s, i) => (i, s.op, s.start, s.end) }
-      .toDF("seq", "op", "start", "end"), 0L)
+      .toDF("seq", "op", "start", "end"), 1L)
     assert(exec.checkpoints.view.mapValues(ids).toMap === before)
     exec.close()
-    // but in a genuinely NEW batch, an op older than one already applied
-    // is a protocol violation, not a silent history rewrite
+    // but an old op arriving any other way — a REGRESSED batchId (a new
+    // stream reusing this executor) or a genuinely new batch — is a
+    // protocol violation, not a silent history rewrite
+    assertThrows[IllegalArgumentException] {
+      exec.processBatch(Seq((0, "insert", 0L, 10L))
+        .toDF("seq", "op", "start", "end"), 0L)
+    }
     assertThrows[IllegalArgumentException] {
       exec.processBatch(Seq((0, "insert", 0L, 10L))
         .toDF("seq", "op", "start", "end"), 99L)
