@@ -259,6 +259,13 @@ final class RunbookExecutor(
   private var inserted: DataFrame = _
   private var insertedLogRows = 0L // rows in the insert log (live + pending dupes)
   private var tombstones: DataFrame = _
+  // ops appended since the last lineage truncation: every op unions one
+  // more frame onto a log, and over a long stream the union DEPTH (not the
+  // data) makes each downstream job's planning cost grow with history —
+  // a periodic localCheckpoint pins the rows and cuts the plan back to a
+  // leaf, keeping per-op cost flat (the log tables stay small; liveness
+  // truth is unchanged, asserted by the long-runbook stress spec)
+  private var opsSinceTruncate = 0
   private var nTombstones = 0L
   private var graphFresh = false // graph artifact covers the current live∪tomb set
   private var graphTomb = Set.empty[Long] // ids deleted since the last graph build
@@ -268,7 +275,6 @@ final class RunbookExecutor(
   // shared graph): bounded by deltaCap, so the per-probe broadcast stays
   // small by construction; overflow falls back to a rebuild (= the merge)
   private val delta = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Float]]
-  private var cachedGen: Option[DataFrame] = None // consolidate's cached live set
   // executor-RESIDENT current graph generation: loaded once per build and
   // probed as narrow jobs (no parquet re-read per search) — the serving
   // economics of the reference's in-process index between checkpoints
@@ -297,10 +303,9 @@ final class RunbookExecutor(
     graphFresh = false
     graphTomb = Set.empty
     delta.clear()
-    cachedGen.foreach(_.unpersist())
-    cachedGen = None
     opLog.clear()
     checkpoints.clear()
+    opsSinceTruncate = 0
   }
 
   private def releaseResident(): Unit = {
@@ -343,11 +348,16 @@ final class RunbookExecutor(
   // (if any) is compacted away with them — next search rebuilds it over
   // the consolidated live set (consolidate_delete semantics)
   private def consolidate(seq: Long): Unit = {
-    val prev = cachedGen // the previous consolidation's cached base (if any)
-    cachedGen = Some(liveIds.withColumn("seq", lit(seq)).cache())
-    inserted = cachedGen.get
+    // localCheckpoint, NOT cache: the new generation must become a plan
+    // LEAF. A lineage-preserving cache keeps liveIds' plan — which embeds
+    // the PREVIOUS generation's plan on both sides of its join — so the
+    // logical tree doubles at every consolidation and a long op log blows
+    // up plan construction itself (caught by the long-runbook stress
+    // spec). The checkpointed rows are tiny (id, seq); superseded
+    // generation blocks are released by the context cleaner once
+    // unreferenced.
+    inserted = liveIds.withColumn("seq", lit(seq)).localCheckpoint()
     insertedLogRows = inserted.count()
-    prev.foreach(_.unpersist()) // new gen is materialized; drop the old one
 
     tombstones = Seq.empty[(Long, Long)].toDF("id", "seq")
     nTombstones = 0L
@@ -389,7 +399,15 @@ final class RunbookExecutor(
     * feed strictly increasing `i`. */
   def applyStep(step: RunbookStep, i: Int): Unit = {
     val seq = i.toLong
-    if (step.op != "search") opLog += step
+    if (step.op != "search") {
+      opLog += step
+      opsSinceTruncate += 1
+      if (opsSinceTruncate >= 64) {
+        inserted = inserted.localCheckpoint()
+        tombstones = tombstones.localCheckpoint()
+        opsSinceTruncate = 0
+      }
+    }
     step.op match {
       case "insert" =>
         val batch = source

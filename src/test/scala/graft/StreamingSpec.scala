@@ -166,6 +166,49 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       RunbookStep("delete", 0, 100))).toSeq === Seq.empty)
   }
 
+  test("long random runbook: resident, dataflow, and stream executors agree on every checkpoint") {
+    // 150 seeded-random ops with searches interleaved — deep log lineage
+    // (the periodic localCheckpoint truncation kicks in), multiple
+    // consolidations, overlapping re-inserts. All three execution forms
+    // must produce identical checkpoints.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    val steps = (0 until 150).map { i =>
+      if (i % 10 == 9) RunbookStep("search")
+      else {
+        val a = rnd.nextInt(300); val b = rnd.nextInt(300)
+        RunbookStep(if (rnd.nextBoolean()) "insert" else "delete",
+          math.min(a, b), math.max(a, b) + 1)
+      }
+    }
+    val served = new RunbookExecutor(source, queries, 5, consolidateAt = 40)
+      .run(steps)
+    val dataflow = new RunbookExecutor(source, queries, 5, consolidateAt = 40,
+      residentExact = false).run(steps)
+    val streamExec = new RunbookStreamExecutor(source, queries, 5,
+      consolidateAt = 40)
+    val ops = MemoryStream[(Int, String, Long, Long)]
+    val q = ops.toDF().toDF("seq", "op", "start", "end")
+      .writeStream.foreachBatch(streamExec.processBatch _)
+      .outputMode("append").start()
+    steps.zipWithIndex.grouped(40).foreach { g =>
+      ops.addData(g.map { case (s, i) => (i, s.op, s.start, s.end) }: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(served.keySet === dataflow.keySet)
+    assert(streamExec.checkpoints.keySet === served.keySet)
+    served.keys.foreach { cp =>
+      assert(rs(served(cp)) === rs(dataflow(cp)), s"dataflow diverged at $cp")
+      assert(rs(streamExec.checkpoints(cp)) === rs(served(cp)),
+        s"stream diverged at $cp")
+    }
+    streamExec.close()
+  }
+
   test("reference delete_runbook replays end-to-end, mean recall >= 0.9 (sf0.1)") {
     // BASELINE row 4 at reduced scale: interleaved inserts/deletes with
     // max_pts-triggered consolidations, ranges scaled into the sf0.1 id
