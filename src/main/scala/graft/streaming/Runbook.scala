@@ -268,7 +268,16 @@ final class RunbookExecutor(
   private var opsSinceTruncate = 0
   private var nTombstones = 0L
   private var graphFresh = false // graph artifact covers the current live∪tomb set
-  private var graphTomb = Set.empty[Long] // ids deleted since the last graph build
+  private var graphTomb = Set.empty[Long] // GRAPH NODES deleted since the last build
+  // the current generation's node-id set, as the live ranges at build time:
+  // an O(#ops) compressed form (see [[Runbook.liveRanges]]) that stays
+  // driver-sized even when the graph holds billions of nodes. Membership
+  // here — not tombstone membership — decides whether a re-inserted id's
+  // vector lives in the graph (unmark and skip the delta) or must re-enter
+  // the delta buffer: a delta-only id that was deleted and re-inserted is
+  // NOT graph-resident, and treating it as such left it live but
+  // unservable until the next rebuild.
+  private var graphRanges: Array[(Long, Long)] = Array.empty
   // rows inserted since the last graph build, served by exact scan merged
   // with the graph probe (FreshDiskANN's built-index + mutable-delta
   // split, the reference's insert-in-place economics without mutating a
@@ -302,10 +311,26 @@ final class RunbookExecutor(
     nTombstones = 0L
     graphFresh = false
     graphTomb = Set.empty
+    graphRanges = Array.empty
     delta.clear()
     opLog.clear()
     checkpoints.clear()
     opsSinceTruncate = 0
+  }
+
+  /** Is `id` a node of the current graph generation? Binary search over the
+    * sorted disjoint build-time live ranges. */
+  private def inGraph(id: Long): Boolean = {
+    var lo = 0
+    var hi = graphRanges.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val (s, e) = graphRanges(mid)
+      if (id < s) hi = mid - 1
+      else if (id >= e) lo = mid + 1
+      else return true
+    }
+    false
   }
 
   private def releaseResident(): Unit = {
@@ -440,14 +465,16 @@ final class RunbookExecutor(
           if (mayAbsorb && graphFresh) { // graphFresh can drop via maxPts
             // consolidation above, in which case the batch rides the
             // rebuild instead
-            // absorb the batch into the resident delta: re-inserted
-            // TOMBSTONED ids just unmark — the graph still holds the
-            // right vector (`source` is immutable per id) — and don't
-            // spend delta budget; everything else enters the delta and
-            // serves by exact scan (a never-deleted graph id re-inserted
-            // is a rare redundancy, deduped at the probe merge)
+            // absorb the batch into the resident delta: GRAPH-RESIDENT ids
+            // just unmark their tombstone (if any) — the graph still holds
+            // the right vector (`source` is immutable per id) — and don't
+            // spend delta budget; everything else (including a delta-only
+            // id that was deleted and is now re-inserted) enters the delta
+            // and serves by exact scan. Discriminating by graph membership,
+            // not tombstone membership, is what keeps a deleted-then-
+            // re-inserted post-build insert servable.
             batchVecs.foreach { case (id, v) =>
-              if (!graphTomb.contains(id)) delta(id) = v
+              if (!inGraph(id)) delta(id) = v
             }
             graphTomb = graphTomb
               .filterNot(id => id >= step.start && id < step.end)
@@ -469,8 +496,12 @@ final class RunbookExecutor(
           // consolidateAt even for a corpus-sized delete range
           consolidate(seq)
         } else if (graphPath.isDefined && graphFresh) {
-          // lazy delete: mark, don't rebuild (bounded by consolidateAt)
+          // lazy delete: mark, don't rebuild (bounded by consolidateAt).
+          // Only GRAPH NODES take a tombstone — a delta-only id is dropped
+          // from the delta below and must NOT enter graphTomb, or its later
+          // re-insert would be mistaken for a graph-resident unmark.
           graphTomb ++= newTombstones.select("id").as[Long].collect()
+            .filter(inGraph)
           // delta rows are dropped directly — they never entered a graph
           delta.filterInPlace((id, _) => id < step.start || id >= step.end)
         }
@@ -487,6 +518,13 @@ final class RunbookExecutor(
               resident.foreach(_.unload()) // superseded generation
               resident = Some(graft.index.HnswKnn.buildResidentAndSave(
                 liveVecs, s"$gp/build=$graphBuilds"))
+              // record the generation's node set as the live ranges at
+              // build time, and compact the history to them — the opLog
+              // is exactly its net live set here, so later liveRanges
+              // sweeps stay bounded by the build cadence instead of
+              // growing quadratically with stream length
+              graphRanges = Runbook.liveRanges(opLog.toSeq)
+              compactOpLog(graphRanges)
               graphTomb = Set.empty; delta.clear(); graphFresh = true
             }
             // eager checkpoint: the rows come back with the probe batch,

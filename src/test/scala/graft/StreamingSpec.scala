@@ -82,6 +82,47 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(Recall.mean(cps(5), truth, 5) >= 0.9)
   }
 
+  test("runbook graph mode: delete then re-insert of a DELTA-resident id stays servable") {
+    // post-build inserts live in the delta, not the graph. Deleting one and
+    // re-inserting it must bring it back into the delta — treating the
+    // tombstone as proof of graph residency (the old behavior) left the id
+    // live but absent from graph, tombstones, AND delta: silently unservable
+    // until the next rebuild.
+    val gp = java.nio.file.Files.createTempDirectory("graft-rb-graph5")
+      .resolve("idx").toString
+    // the re-inserted rows themselves are the queries: each must be its own
+    // (distance-0) neighbor at the checkpoint, which fails outright if the
+    // id is unservable
+    val qs = source.where($"id" >= 150 && $"id" < 160)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val exec = new RunbookExecutor(source, qs, k = 5,
+      consolidateAt = 1000000, graphPath = Some(gp))
+    val cps = exec.run(Seq(
+      RunbookStep("insert", 0, 150),
+      RunbookStep("search"), // build #1 over [0,150)
+      RunbookStep("insert", 150, 160), // delta-resident, never graph nodes
+      RunbookStep("delete", 150, 160), // dropped from the delta, marked dead
+      RunbookStep("insert", 150, 160), // re-insert: must RE-ENTER the delta
+      RunbookStep("search")))
+    assert(exec.graphBuilds === 1,
+      s"this flow must serve without rebuild (built ${exec.graphBuilds}x)")
+    val selfHits = cps(5).where($"id" === $"qid").select("qid")
+      .as[Long].collect().toSet
+    assert(selfHits === (150L until 160L).toSet,
+      s"re-inserted ids unservable: missing ${(150L until 160L).toSet -- selfHits}")
+    // and the deleted-but-not-reinserted twin flow still excludes them
+    val exec2 = new RunbookExecutor(source, qs, k = 5,
+      consolidateAt = 1000000, graphPath = Some(java.nio.file.Files
+        .createTempDirectory("graft-rb-graph6").resolve("idx").toString))
+    val cps2 = exec2.run(Seq(
+      RunbookStep("insert", 0, 150),
+      RunbookStep("search"),
+      RunbookStep("insert", 150, 160),
+      RunbookStep("delete", 150, 160),
+      RunbookStep("search")))
+    assert(cps2(4).where($"id" >= 150 && $"id" < 160).count() === 0)
+  }
+
   test("runbook graph mode: a delete tripping consolidation rebuilds without marking ids") {
     // a corpus-sized delete must never fetch its tombstone ids to the
     // driver: when the delete trips the compaction threshold, the graph
