@@ -453,6 +453,33 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(r >= 0.9, s"subindex recall $r")
   }
 
+  test("grouped subindex build equals a standalone buildAndSave per tag, graph for graph") {
+    // the one-job build claims bit-identical graphs (same hash partition
+    // assignment, same ascending-id insertion) — probe at a NARROW beam so
+    // graph shape, not just membership, decides the answer, and compare
+    // against a per-tag buildAndSave artifact
+    val b = TagFilter.withTags(emb).cache()
+    val regPath = java.nio.file.Files.createTempDirectory("graft-subgrp")
+      .resolve("reg").toString
+    val hot = TagSubindexes.build(b, regPath, minFreqBp = 500, numPartitions = 2)
+    assert(hot.nonEmpty)
+    val tag = hot.head
+    val solo = java.nio.file.Files.createTempDirectory("graft-subsolo")
+      .resolve("idx").toString
+    graft.index.HnswKnn.buildAndSave(
+      b.where(array_contains($"tags", tag)).select("id", "vec"),
+      solo, numPartitions = 2)
+    val q = emb.where($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def rs(df: DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    val viaRegistry = TagSubindexes.probe(spark, regPath,
+      q.withColumn("qtag", lit(tag)), k = 10, efSearch = 24)
+    val viaSolo = graft.index.HnswKnn.probeSaved(spark, solo, q, 10,
+      efSearch = 24)
+    assert(rs(viaRegistry) === rs(viaSolo))
+  }
+
   test("pair subindexes: exhaustive probe equals exact conjunctive kNN; unbuilt pairs yield no rows") {
     val b = TagFilter.withTags(emb).cache()
     val path = java.nio.file.Files.createTempDirectory("graft-pairspec")
