@@ -325,6 +325,23 @@ object SparkEntry {
       Recall.perQuery(got, truth, 10)
     }),
 
+    // the SAME planner composition at its exact-degenerate point: identical
+    // routing (thresholdBp = 1200 keeps BOTH branches live on the mixed
+    // batch), but the graph branch runs at the exhaustive beam, where the
+    // one-stage search IS the exact conjunctive scan — so the two-branch
+    // union is hash-checkable end to end, the *_exact twin every other
+    // approximate family carries.
+    "filtered_knn_planner_exact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val twoTag = TagFilter.tagQueries(emb, 10)
+      val oneTag = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          array((lit(10) + pmod(col("vec_id") * 3 + 1, lit(7))).cast("int")).as("qtags"))
+      val q = twoTag.unionByName(oneTag)
+      knnResult(graft.index.RoutedGraphKnn.knn(q, TagFilter.withTags(emb),
+        k = 10, thresholdBp = 1200, efSearch = 1 << 20, numPartitions = 8))
+    }),
+
     // the reference's yfcc semantics end-to-end: conjunctive 2-tag filter
     // AND uint8-quantized vectors with pure-integer L2 (faiss.py:361-426 +
     // space_l2.h:376-413 in one query)
@@ -737,6 +754,14 @@ object SparkEntry {
       Multimodal.decodeFeatures(Multimodal.assets(Tables.documents(s, dir)), dim = 32)
         .toDF().select(col("asset_id"), col("kind"), col("n_bytes"),
           size(col("features")).cast("long").as("feat_dim"))),
+    // REAL codec path: genuine PNG payloads (JDK encoder) decoded back by
+    // ImageIO inside mapPartitions; dimensions and exact channel sums come
+    // from the DECODED pixels, and the oracle recomputes them from the
+    // closed-form pattern without any codec — the gate can only pass if
+    // the container bytes truly decode (PNG is lossless).
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.imageStats(
+        Multimodal.syntheticImages(Tables.documents(s, dir))).toDF()),
 
     // -- relational analytics (joins, windows, JSON) -------------------------
     "q3_revenue" -> ((s, dir) =>
@@ -1198,6 +1223,12 @@ object SparkEntry {
     // resident signature-scan serving is exact: same oracle
     "filtered_knn_served" -> conjKnnOracle,
     "filtered_knn_routed" -> conjKnnOracle,
+    // the complete planner at the exhaustive beam: qid < 10 are 2-tag
+    // queries (label AND mod-7), qid in [10, 20) single-mod-7-tag (the
+    // graph branch) — both branches exact, one mixed-filter oracle
+    "filtered_knn_planner_exact" -> knnOracle(20, 10, l2Sql, "ASC",
+      filterSql = "(q.qid >= 10 OR e.label = q.qlabel) " +
+        "AND e.vec_id % 7 = (q.qid * 3 + 1) % 7"),
     // bucketed layout is a physical rewrite; same logical result
     "filtered_knn_bucketed" -> conjKnnOracle,
     // conjunctive tags + integer quantized L2 (exact integer arithmetic)
@@ -1292,6 +1323,22 @@ object SparkEntry {
       s"""WITH $mmAssetsCte
          |SELECT asset_id, kind, n_bytes, CAST(32 AS INT) AS feat_dim FROM assets
          |""".stripMargin,
+    // the synthetic-PNG pattern recomputed in SQL (no codec): sizes are
+    // bounded by 12 so a fixed series + filter replaces the lateral
+    // generate_series DuckDB doesn't support
+    "mm_decode" ->
+      """WITH ids AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + (doc_id*3) % 5 AS h
+        |             FROM documents),
+        |px AS (SELECT i.doc_id, i.w, i.h, xs.x, ys.y
+        |       FROM ids i, generate_series(0, 11) xs(x), generate_series(0, 11) ys(y)
+        |       WHERE xs.x < i.w AND ys.y < i.h)
+        |SELECT doc_id AS asset_id,
+        |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |       CAST(sum((doc_id*7 + x*3 + y*11) % 256) AS BIGINT) AS sum_r,
+        |       CAST(sum((doc_id*13 + x*5 + y*2) % 256) AS BIGINT) AS sum_g,
+        |       CAST(sum((doc_id*3 + x + y*7) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3
+        |""".stripMargin,
 
     "q3_revenue" ->
       """SELECT l_orderkey, o_orderdate,

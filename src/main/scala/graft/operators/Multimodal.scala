@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * resize / frame-sample stages.
   *
   * The Spark-side plumbing — schema, typed Dataset transforms, partition
-  * behavior, batch shape — is real and tested. The actual codecs are NOT:
-  * this container has no image/audio libraries, so the decode kernel is a
-  * clearly-marked deterministic stub (see [[MultimodalStub]]). Swapping in a
-  * real decoder changes one function body, nothing about the dataflow.
+  * behavior, batch shape — is real and tested. IMAGE decoding is real too:
+  * the JDK ships PNG/BMP/GIF codecs in `javax.imageio` (no external
+  * dependency), so image payloads decode to actual pixels
+  * ([[decodeImage]] / [[imageStats]], oracle-gated end to end). Audio/video
+  * codecs don't exist in this container, so those payloads take the
+  * clearly-marked deterministic byte-stub ([[MultimodalStub]]); swapping in
+  * a real codec changes one function body, nothing about the dataflow.
   *
   * Scale notes: payloads never shuffle — every stage below is map-side
   * (mapPartitions / projection). Feature vectors (small) are what joins and
@@ -19,6 +22,93 @@ import org.apache.spark.sql.functions._
   * it away before any wide operation.
   */
 object Multimodal {
+
+  /** Decoded-image integer stats: dimensions read from the DECODED image
+    * (not metadata) and exact per-channel pixel sums — the quantities an
+    * oracle can recompute without a codec when the pixels are a known
+    * function. */
+  final case class ImageStats(asset_id: Long, width: Int, height: Int,
+                              sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** The closed-form pixel pattern [[syntheticImages]] encodes: channel
+    * values at (x, y) for asset `id`. Public so tests and oracles can
+    * recompute what the PNG holds. */
+  def patternPixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 7 + x * 3 + y * 11) % 256).toInt,
+    ((id * 13 + x * 5 + y * 2) % 256).toInt,
+    ((id * 3 + x + y * 7) % 256).toInt)
+
+  /** Synthesize REAL encoded images from the documents table: one PNG per
+    * doc, pixels the deterministic [[patternPixel]] pattern, size
+    * (8 + id mod 5) × (8 + 3·id mod 5). The payloads are genuine
+    * PNG-container bytes produced by the JDK encoder — what a media lake's
+    * BINARY column actually holds — and PNG is lossless, so a real decoder
+    * must reproduce the pattern exactly. */
+  def syntheticImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 5).toInt
+        val h = (8 + (id * 3) % 5).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = patternPixel(id, x, y)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("asset_id", "payload")
+  }
+
+  /** Real image decode via the JDK's ImageIO (PNG/BMP/GIF ship with the
+    * JVM). Returns None when the payload isn't a decodable image — the
+    * honest codec boundary: callers fall back to the byte-stub only where
+    * no codec exists. */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  /** Decode every payload and emit integer pixel statistics — dimensions
+    * and channel sums come from the DECODED image, so this path cannot pass
+    * its oracle without genuinely decoding the container bytes. Non-image
+    * payloads are dropped (decode-or-skip, a real ingest's quarantine
+    * semantics). */
+  def imageStats(assetDf: DataFrame): Dataset[ImageStats] = {
+    val spark = assetDf.sparkSession
+    import spark.implicits._
+    assetDf.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          decodeImage(payload).map { img =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            ImageStats(id, img.getWidth, img.getHeight, sr, sg, sb)
+          }
+        }
+      }
+  }
 
   /** Typed asset row: media payload + metadata. */
   final case class Asset(asset_id: Long, kind: String, payload: Array[Byte],
@@ -43,8 +133,12 @@ object Multimodal {
       (lit(1) + pmod(col("doc_id"), lit(8))).cast("int").as("n_frames"))
 
   /** Decode + feature-extract, one batch of rows per partition through the
-    * (stubbed) kernel — the mapPartitions shape a real vectorized decoder
-    * (or GPU batch) wants: amortized per-partition setup, streaming rows. */
+    * codec boundary — the mapPartitions shape a real vectorized decoder
+    * (or GPU batch) wants: amortized per-partition setup, streaming rows.
+    * Payloads that ImageIO can decode get REAL pixel features
+    * ([[MultimodalStub.pixelFeatures]] over decoded RGB); everything else
+    * (text-derived assets, audio/video with no JDK codec) falls back to the
+    * deterministic byte-stub. */
   def decodeFeatures(assetDf: DataFrame, dim: Int): Dataset[AssetFeatures] = {
     val spark = assetDf.sparkSession
     import spark.implicits._
@@ -52,7 +146,10 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition setup happens once (a real codec opens here)
         it.map { case (id, kind, payload) =>
-          val (meanByte, features) = MultimodalStub.decode(payload, dim)
+          val (meanByte, features) = decodeImage(payload) match {
+            case Some(img) => MultimodalStub.pixelFeatures(img, dim)
+            case None      => MultimodalStub.decode(payload, dim)
+          }
           AssetFeatures(id, kind, payload.length.toLong, meanByte, features)
         }
       }
@@ -76,10 +173,42 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 }
 
-/** STUB KERNEL — deterministic fake in place of real media codecs (none are
-  * installed in this container). Replace `decode` with the real
-  * image/audio/video decoder; signature and batch shape stay the same. */
+/** Feature kernels behind the codec boundary. [[pixelFeatures]] runs on
+  * genuinely DECODED images (ImageIO, see [[Multimodal.decodeImage]]);
+  * [[decode]] is the remaining deterministic byte-stub for payload kinds
+  * with no JDK codec (audio/video) — replace it with a real decoder;
+  * signature and batch shape stay the same. */
 object MultimodalStub {
+
+  /** Features from REAL pixels: mean over all channel bytes + the decoded
+    * RGB stream folded into `dim` buckets (same fold as the byte-stub, fed
+    * by pixels instead of container bytes). */
+  def pixelFeatures(img: java.awt.image.BufferedImage,
+                    dim: Int): (Double, Array[Float]) = {
+    val features = new Array[Float](dim)
+    var sum = 0L
+    var i = 0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        var c = 16
+        while (c >= 0) {
+          val v = (rgb >> c) & 0xff
+          sum += v
+          features(i % dim) += (v - 128) / 128.0f
+          i += 1
+          c -= 8
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = 3L * img.getWidth * img.getHeight
+    (if (n == 0) 0.0 else sum.toDouble / n, features)
+  }
+
   /** "Decode" a payload: byte-stream stats + a hash-folded fake embedding.
     * Deterministic in the payload bytes alone. */
   def decode(payload: Array[Byte], dim: Int): (Double, Array[Float]) = {

@@ -127,6 +127,19 @@ object ProbeDiag {
               efSearch = 1 << 20).count()
           }
         }
+      case "sparse" => // recall of the postings budget vs exact MIPS by m
+        val tf = graft.operators.Sparse.fromTermFreq(
+          graft.Tables.documents(spark, sfDir))
+        val sparseNq = math.min(200L,
+          graft.Tables.documents(spark, sfDir).count() / 2).toInt
+        val sq = tf.where(col("id") < sparseNq)
+          .select(col("id").as("qid"), col("dim"), col("v").as("qv"))
+        val truth = graft.operators.Sparse.mips(sq, tf, 10).cache()
+        truth.count()
+        Seq(16, 64, 256, 1024).foreach { m =>
+          val got = graft.operators.Sparse.budgetedMips(sq, tf, 10, m)
+          println(f"[sparse] m=$m%5d recall=${graft.operators.Recall.mean(got, truth, 10)}%.4f")
+        }
       case "queries" => // time named SparkEntry queries: queries q1 q2 ...
         args.drop(1).foreach { name =>
           val t0 = System.nanoTime()

@@ -49,4 +49,52 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(r.where($"out_width" > $"width" || $"out_height" > $"height").count() === 0)
     assert(r.where($"out_width" > 48 && $"out_height" > 48).count() === 0)
   }
+
+  test("real PNG decode: ImageIO round-trips the synthesized pattern exactly") {
+    // payloads are genuine PNG containers; stats must equal the closed-form
+    // pattern, which only a real decode of the container bytes can produce
+    val imgs = Multimodal.syntheticImages(docs.limit(50)).cache()
+    // the payload really is a PNG file (magic bytes)
+    val magic = imgs.select("payload").as[Array[Byte]].head()
+    assert(magic.take(8).toSeq ===
+      Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val got = Multimodal.imageStats(imgs).collect()
+      .map(s => s.asset_id -> s).toMap
+    assert(got.size === 50)
+    got.values.foreach { s =>
+      val w = (8 + s.asset_id % 5).toInt
+      val h = (8 + (s.asset_id * 3) % 5).toInt
+      assert((s.width, s.height) === ((w, h)))
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.patternPixel(s.asset_id, x, y)
+        er += r; eg += g; eb += b
+      }
+      assert((s.sum_r, s.sum_g, s.sum_b) === ((er, eg, eb)),
+        s"asset ${s.asset_id}")
+    }
+  }
+
+  test("codec boundary: non-image payloads skip imageStats and stub-decode in features") {
+    // text bytes are not a decodable image
+    assert(Multimodal.decodeImage("not a png".getBytes("UTF-8")).isEmpty)
+    val textAssets = assets.limit(20)
+    assert(Multimodal.imageStats(textAssets).count() === 0) // decode-or-skip
+    // real image payloads flow through decodeFeatures' REAL pixel branch
+    val imgAssets = Multimodal.syntheticImages(docs.limit(10))
+      .withColumn("kind", lit("image"))
+    val feats = Multimodal.decodeFeatures(imgAssets, dim = 8).collect()
+    feats.foreach { f =>
+      val w = (8 + f.asset_id % 5).toInt
+      val h = (8 + (f.asset_id * 3) % 5).toInt
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.patternPixel(f.asset_id, x, y)
+        sum += r + g + b
+      }
+      val expected = sum.toDouble / (3L * w * h)
+      assert(math.abs(f.mean_byte - expected) < 1e-12,
+        s"asset ${f.asset_id}: pixel mean expected, got byte-stub value?")
+    }
+  }
 }
