@@ -81,7 +81,8 @@ final class HnswResident(spark: SparkSession,
     * dist, rank), sorted by (qid, rank). */
   def probeBatch(qs: Array[(Long, Array[Float])], k: Int, efSearch: Int = 64,
                  tombstones: Set[Long] = Set.empty,
-                 delta: Array[(Long, Array[Float])] = Array.empty): Array[(Long, Long, Double, Long)] = {
+                 delta: Array[(Long, Array[Float])] = Array.empty,
+                 treeMergeAt: Int = 64): Array[(Long, Long, Double, Long)] = {
     val bq = spark.sparkContext.broadcast(qs)
     val bt = spark.sparkContext.broadcast(tombstones)
     // delta buffer: rows inserted since the resident generation was built,
@@ -117,18 +118,16 @@ final class HnswResident(spark: SparkSession,
           .iterator.filter { case (id, _) => dup.add(id) }
           .take(k).map { case (id, d) => (qid, id, d) }
       }
-    }.collect()
+    }
+    // per-query merge with id-dedup (an id can arrive from both the graph
+    // and the delta with bit-identical distance): driver merge at serving
+    // partition counts, two-level treeAggregate past `treeMergeAt` shards
+    // (see [[ProbeMerge]]) — the driver stops being the fan-in ceiling
+    val out = ProbeMerge.topK(local, k, treeMergeAt)
     // a serving loop issues many batches against one resident index: drop
     // the per-batch broadcasts eagerly or the driver accumulates them
     bq.destroy(); bt.destroy(); bd.destroy()
-    local.groupBy(_._1).iterator.flatMap { case (qid, cand) =>
-      // an id can arrive from both the graph and the delta (re-insert of a
-      // graph-resident id) with bit-identical distance — keep one
-      val seen = scala.collection.mutable.HashSet.empty[Long]
-      cand.sortBy(c => (c._3, c._2)).iterator
-        .filter(c => seen.add(c._2)).take(k).zipWithIndex
-        .map { case ((_, id, d), i) => (qid, id, d, (i + 1).toLong) }
-    }.toArray.sortBy(r => (r._1, r._4))
+    out
   }
 
   /** [[probeBatch]] with DataFrame plumbing on both ends. Results equal

@@ -1,0 +1,97 @@
+package graft.index
+
+import org.apache.spark.rdd.RDD
+import scala.collection.mutable
+
+/** Per-query top-k merge for resident serving probes (graph, scan,
+  * postings): every probe fans out to P resident partitions, each returning
+  * at most k candidates per query, and the k·nq·P candidate rows must merge
+  * to one ranked top-k per query.
+  *
+  * Two regimes:
+  *  - small P: collect the candidates and merge on the driver — one narrow
+  *    stage, no exchange, k·nq·P rows are driver-sized (this is the serving
+  *    fast path, same as the reference collecting per-thread heaps);
+  *  - large P (a thousand-shard cluster): the driver merge becomes the
+  *    serving ceiling, so a `treeAggregate` combines per-executor FIRST and
+  *    the driver only merges O(√P) pre-reduced maps (two-level merge).
+  *
+  * Both paths produce IDENTICAL rows: a duplicate id always carries an
+  * identical distance (distance is a pure function of the query and the
+  * id's vector, wherever the id is resident), so bounded top-k with
+  * id-dedup is associative and commutative — merge order cannot change the
+  * result. Ordering is (dist asc, id asc), ranks 1..k, output sorted by
+  * (qid, rank) — the contract every probeBatch documents. */
+private[index] object ProbeMerge {
+
+  /** Merge two (id, dist) arrays, each sorted by (dist asc, id asc), into
+    * one: dedup by id, truncate to k. */
+  private def mergeTwo(a: Array[(Long, Double)], b: Array[(Long, Double)],
+                       k: Int): Array[(Long, Double)] = {
+    if (b.isEmpty && a.length <= k) return a
+    if (a.isEmpty && b.length <= k) return b
+    val out = new mutable.ArrayBuffer[(Long, Double)](
+      math.min(a.length + b.length, k))
+    val seen = mutable.HashSet.empty[Long]
+    var i = 0
+    var j = 0
+    while (out.length < k && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length || (i < a.length &&
+        (a(i)._2 < b(j)._2 || (a(i)._2 == b(j)._2 && a(i)._1 <= b(j)._1)))
+      val c = if (takeA) { i += 1; a(i - 1) } else { j += 1; b(j - 1) }
+      if (seen.add(c._1)) out += c
+    }
+    out.toArray
+  }
+
+  private def sortCands(cand: Array[(Long, Double)]): Array[(Long, Double)] =
+    cand.sortBy(c => (c._2, c._1))
+
+  private def finish(m: mutable.LongMap[Array[(Long, Double)]],
+                     k: Int): Array[(Long, Long, Double, Long)] = {
+    val out = Array.newBuilder[(Long, Long, Double, Long)]
+    m.toSeq.sortBy(_._1).foreach { case (qid, cand) =>
+      var r = 0
+      while (r < cand.length && r < k) {
+        out += ((qid, cand(r)._1, cand(r)._2, (r + 1).toLong))
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Merge `(qid, id, dist)` candidate rows to ranked per-query top-k.
+    * Driver merge below `treeAt` resident partitions, two-level
+    * treeAggregate at or above it. */
+  def topK(candidates: RDD[(Long, Long, Double)], k: Int,
+           treeAt: Int = 64): Array[(Long, Long, Double, Long)] = {
+    if (candidates.getNumPartitions < treeAt) {
+      val local = candidates.collect()
+      val m = mutable.LongMap.empty[Array[(Long, Double)]]
+      local.groupBy(_._1).foreach { case (qid, cand) =>
+        m(qid) = mergeTwo(
+          sortCands(cand.map(c => (c._2, c._3))), Array.empty, k)
+      }
+      finish(m, k)
+    } else {
+      // seqOp folds one partition's candidates into a partition-local map
+      // (each partition contributes ≤ k per qid, so maps stay nq·k-bounded);
+      // combOp merges maps pairwise up a depth-2 tree before the driver
+      val merged = candidates.treeAggregate(
+        mutable.LongMap.empty[Array[(Long, Double)]])(
+        seqOp = { (m, c) =>
+          m(c._1) = mergeTwo(m.getOrElse(c._1, Array.empty),
+            Array((c._2, c._3)), k)
+          m
+        },
+        combOp = { (m1, m2) =>
+          m2.foreach { case (qid, cand) =>
+            m1(qid) = mergeTwo(m1.getOrElse(qid, Array.empty), cand, k)
+          }
+          m1
+        },
+        depth = 2)
+      finish(merged, k)
+    }
+  }
+}

@@ -34,7 +34,8 @@ final class ResidentScan(spark: SparkSession, rdd: RDD[ScanShard],
     * Returns (qid, id, dist, rank) sorted by (qid, rank); ranking is
     * (dist asc, id asc), identical to the dataflow path. */
   def probeBatch(qs: Array[(Long, Array[Float], Array[Int], Long)],
-                 k: Int): Array[(Long, Long, Double, Long)] = {
+                 k: Int,
+                 treeMergeAt: Int = 64): Array[(Long, Long, Double, Long)] = {
     val bq = spark.sparkContext.broadcast(qs)
     val ip = ipMetric
     val local = rdd.flatMap { shard =>
@@ -87,12 +88,12 @@ final class ResidentScan(spark: SparkSession, rdd: RDD[ScanShard],
         }
         (0 until filled).iterator.map(i => (qid, bi(i), bd(i)))
       }
-    }.collect()
+    }
+    // driver merge at serving partition counts, two-level tree past
+    // `treeMergeAt` shards (ProbeMerge) — identical rows either way
+    val out = ProbeMerge.topK(local, k, treeMergeAt)
     bq.destroy() // serving loop: don't accumulate per-batch broadcasts
-    local.groupBy(_._1).iterator.flatMap { case (qid, cand) =>
-      cand.sortBy(c => (c._3, c._2)).take(k).iterator.zipWithIndex
-        .map { case ((_, id, d), i) => (qid, id, d, (i + 1).toLong) }
-    }.toArray.sortBy(t => (t._1, t._4))
+    out
   }
 
   /** Exact top-k over the rows whose id falls in one of `ranges` (disjoint,
@@ -101,7 +102,8 @@ final class ResidentScan(spark: SparkSession, rdd: RDD[ScanShard],
     * and signatures are ignored; ranking is (dist asc, id asc), identical
     * to [[graft.operators.Knn.knnJoin]]. */
   def probeBatchRanges(qs: Array[(Long, Array[Float])], k: Int,
-                       ranges: Array[(Long, Long)]): Array[(Long, Long, Double, Long)] = {
+                       ranges: Array[(Long, Long)],
+                       treeMergeAt: Int = 64): Array[(Long, Long, Double, Long)] = {
     val bq = spark.sparkContext.broadcast(qs)
     val br = spark.sparkContext.broadcast(ranges)
     val ip = ipMetric
@@ -149,12 +151,10 @@ final class ResidentScan(spark: SparkSession, rdd: RDD[ScanShard],
         }
         (0 until filled).iterator.map(i => (qid, bi(i), bd(i)))
       }
-    }.collect()
+    }
+    val out = ProbeMerge.topK(local, k, treeMergeAt)
     bq.destroy(); br.destroy()
-    local.groupBy(_._1).iterator.flatMap { case (qid, cand) =>
-      cand.sortBy(c => (c._3, c._2)).take(k).iterator.zipWithIndex
-        .map { case ((_, id, d), i) => (qid, id, d, (i + 1).toLong) }
-    }.toArray.sortBy(t => (t._1, t._4))
+    out
   }
 
   /** [[probeBatch]] with DataFrame plumbing on both ends; results equal

@@ -419,6 +419,39 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(r >= 0.9, s"planner recall $r")
   }
 
+  test("tree-merged resident probes equal the driver merge row-for-row") {
+    // treeMergeAt = 1 forces the two-level treeAggregate fan-in; bounded
+    // dedup-top-k is associative (duplicate ids carry identical distances),
+    // so the rows must match the driver merge exactly — including under
+    // tombstones + a delta whose ids overlap graph residents
+    val path = java.nio.file.Files.createTempDirectory("graft-treemerge")
+      .resolve("idx").toString
+    HnswKnn.buildAndSave(base, path, numPartitions = 8)
+    val res = HnswKnn.loadResident(spark, path)
+    val qs = queries.select($"qid".cast("long"), $"qvec")
+      .as[(Long, Array[Float])].collect()
+    assert(res.probeBatch(qs, 10, 16).toSeq ===
+      res.probeBatch(qs, 10, 16, treeMergeAt = 1).toSeq)
+    val dead = (0L until 50L).toSet
+    val delta = base.where($"id" < 100)
+      .select($"id".cast("long"), $"vec")
+      .as[(Long, Array[Float])].collect() // 50..99 duplicate graph residents
+    assert(res.probeBatch(qs, 10, 16, dead, delta).toSeq ===
+      res.probeBatch(qs, 10, 16, dead, delta, treeMergeAt = 1).toSeq)
+    res.unload()
+    // scan serving form, filtered and range-masked probes
+    val scan = ResidentScan.load(TagFilter.withTags(emb), numPartitions = 8)
+    val sq = TagFilter.withSignature(TagFilter.tagQueries(emb, 20), "qtags")
+      .select($"qid".cast("long"), $"qvec", $"qtags", $"sig".cast("long"))
+      .as[(Long, Array[Float], Array[Int], Long)].collect()
+    assert(scan.probeBatch(sq, 10).toSeq ===
+      scan.probeBatch(sq, 10, treeMergeAt = 1).toSeq)
+    val ranges = Array((10L, 60L), (100L, 150L))
+    assert(scan.probeBatchRanges(qs, 10, ranges).toSeq ===
+      scan.probeBatchRanges(qs, 10, ranges, treeMergeAt = 1).toSeq)
+    scan.unload()
+  }
+
   test("per-hot-tag subindexes: membership is exact, recall matches the filtered scan") {
     val b = TagFilter.withTags(emb).cache()
     // file:-prefixed URI: the registry listing must go through the Hadoop
