@@ -249,11 +249,17 @@ object Dedup {
     *
     * Scale note: 8-bit bands give ≤ 4·256 distinct bucket keys, so bucket
     * populations grow with n/256 and the within-bucket pair check grows
-    * quadratically in them — fine to tens of millions of docs, after which
-    * the lossless-hamming construction needs longer signatures with more
-    * bands (multi-index hashing), or switch to [[minhashLsh]], whose
-    * content-derived band keys keep buckets corpus-size-independent. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    * quadratically in them — after tens of millions of docs the
+    * lossless-hamming construction needs longer signatures with more bands
+    * (multi-index hashing), or switch to [[minhashLsh]], whose
+    * content-derived band keys keep buckets corpus-size-independent. That
+    * boundary is ENFORCED, not just documented: before the join runs, the
+    * bucket histogram estimates the candidate-pair volume (Σ count² over
+    * buckets — one cheap aggregation), and past `candidateCap` the operator
+    * raises with the hand-off instruction rather than launching a join
+    * whose cost the caller didn't sign up for. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+                   candidateCap: Long = 100000000L): DataFrame = {
     require(maxHamming <= 3,
       s"4-byte pigeonhole banding is lossless only for hamming <= 3, got $maxHamming")
     val sig = simhash(docs)
@@ -261,10 +267,23 @@ object Dedup {
       struct(lit(b).as("band"),
         expr(s"(simhash >> ${8 * b}) & 255").as("bval"))
     }
+    // plan leaf: the guard aggregation below materializes the bands once;
+    // the join then reuses the same rows instead of recomputing the
+    // signature aggregation twice
     val bands = sig.select(col("doc_id"), col("simhash"),
         explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.bval").as("bval"))
+      .localCheckpoint()
+    val estPairs = bands.groupBy("band", "bval")
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * col("c")), lit(0L)))
+      .head().getLong(0)
+    require(estPairs <= candidateCap,
+      s"simhashPairs bucket histogram estimates $estPairs candidate pairs " +
+        s"(cap $candidateCap): this corpus is past the 4x256-bucket " +
+        "pigeonhole regime — use minhashLsh (content-derived band keys) " +
+        "or raise candidateCap explicitly")
     bands.select(col("doc_id").as("a_id"), col("simhash").as("sa"),
         col("band"), col("bval"))
       .join(bands.select(col("doc_id").as("b_id"), col("simhash").as("sb"),

@@ -64,24 +64,33 @@ object StreamingDedup {
     * confirmation needs the two docs' shingle sets, which would bloat
     * per-bucket state from O(ids) to O(corpus text). The streaming job
     * emits candidates continuously; a periodic batch join verifies them
-    * (candidate-first, like minhashLsh's verify stage). State per bucket is
-    * the member id list — bounded by bucket size, which the banding scheme
-    * itself keeps small on non-pathological corpora; pathological buckets
-    * (boilerplate bands shared by everything) are the same hot keys the
-    * batch path caps with maxDf, and a `maxBucket` cap here would mirror it. */
-  def lshCandidateStream(bands: Dataset[BandIn]): Dataset[CandPair] = {
+    * (candidate-first, like minhashLsh's verify stage).
+    *
+    * `maxBucket` bounds per-bucket state AND emission on a long-running
+    * stream — the streaming mirror of the batch path's `maxDf` hot-shingle
+    * cap: a bucket that reaches the cap is a boilerplate band shared by
+    * "everything" (a stopword-like key whose pairs are near-worthless as
+    * candidates and quadratic in cost), so it SATURATES — later arrivals
+    * neither extend its state nor emit pairs against it. Buckets under the
+    * cap behave exactly like the batch self-join. */
+  def lshCandidateStream(bands: Dataset[BandIn],
+                         maxBucket: Int = 1024): Dataset[CandPair] = {
     import bands.sparkSession.implicits._
     bands.groupByKey(b => (b.band, b.bkey))
       .flatMapGroupsWithState[Seq[Long], CandPair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: (Int, String), batch: Iterator[BandIn], state: GroupState[Seq[Long]]) =>
           val existing = state.getOption.getOrElse(Seq.empty)
-          val arriving = batch.map(_.doc_id).toSeq.distinct.sorted
-            .filterNot(existing.contains)
-          if (arriving.nonEmpty) state.update(existing ++ arriving)
-          arriving.iterator.zipWithIndex.flatMap { case (nid, i) =>
-            (existing.iterator ++ arriving.iterator.take(i)).map { other =>
-              CandPair(math.min(nid, other), math.max(nid, other))
+          if (existing.size >= maxBucket) Iterator.empty // saturated bucket
+          else {
+            val arriving = batch.map(_.doc_id).toSeq.distinct.sorted
+              .filterNot(existing.contains)
+              .take(math.max(0, maxBucket - existing.size))
+            if (arriving.nonEmpty) state.update(existing ++ arriving)
+            arriving.iterator.zipWithIndex.flatMap { case (nid, i) =>
+              (existing.iterator ++ arriving.iterator.take(i)).map { other =>
+                CandPair(math.min(nid, other), math.max(nid, other))
+              }
             }
           }
       }

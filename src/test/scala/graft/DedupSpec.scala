@@ -89,6 +89,18 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(p.where($"hamming" > 2).count() === 0)
   }
 
+  test("simhashPairs regime guard raises before a quadratic bucket join") {
+    // the bucket histogram on this corpus estimates > 1 candidate pair, so
+    // a cap of 1 must refuse to launch the join and name the hand-off
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, 2, candidateCap = 1L)
+    }
+    assert(e.getMessage.contains("minhashLsh"))
+    // and under the default cap the operator still runs (same rows as ever)
+    assert(Dedup.simhashPairs(docs, 2).count() ===
+      Dedup.simhashPairs(docs, 2, candidateCap = Long.MaxValue).count())
+  }
+
   test("dupClusters: components labeled by min id; singletons self-labeled") {
     val d = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")

@@ -568,6 +568,34 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSet === expected)
   }
 
+  test("streaming LSH maxBucket cap saturates hot buckets, leaves cold ones exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // one boilerplate bucket everyone shares + one small genuine bucket
+    val hot = (1L to 10L).map(id => StreamingDedup.BandIn(id, 0, "boiler"))
+    val cold = Seq(StreamingDedup.BandIn(100L, 1, "rare"),
+      StreamingDedup.BandIn(101L, 1, "rare"))
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val in = MemoryStream[StreamingDedup.BandIn]
+    val q = StreamingDedup.lshCandidateStream(in.toDS(), maxBucket = 3)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingDedup.CandPair], _: Long) =>
+        got ++= b.collect().map(p => (p.a_id, p.b_id)); ()
+      }
+      .start()
+    // split across micro-batches so saturation must come from STATE
+    in.addData(hot.take(2) ++ cold); q.processAllAvailable()
+    in.addData(hot.drop(2)); q.processAllAvailable()
+    q.stop()
+    // cold bucket is exact; hot bucket emitted only its first 3 members'
+    // pairs (C(3,2) = 3), then saturated — state growth and emission both
+    // stop at the cap
+    val hotPairs = got.filter(_._1 <= 10L)
+    assert(got((100L, 101L)))
+    assert(hotPairs.size === 3, s"got $hotPairs")
+    assert(hotPairs.forall { case (a, b) => a <= 3 && b <= 3 })
+  }
+
   test("runbook YAML parser handles the reference's format") {
     val yaml =
       """tiny-ds:
