@@ -176,38 +176,118 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
   }
 
   /** Best-first search on one layer from `ep`, beam width `ef`.
-    * Returns (nodeIdx, dist) ascending by dist, at most ef entries. */
+    * Returns (nodeIdx, dist) ascending by (dist, node), at most ef entries.
+    *
+    * Hot kernel: primitive-array binary heaps and a BitSet visited set —
+    * no boxing, no tuple allocation per visited node (the boxed
+    * PriorityQueue version cost ~2× on the serving probe path). Ordering
+    * is (dist, node index) everywhere, so beam membership under distance
+    * ties is DETERMINISTIC, not heap-implementation-defined. */
   private def searchLayer(q: Prep, ep: Int, ef: Int, level: Int): mutable.ArrayBuffer[(Int, Double)] = {
-    val visited = mutable.HashSet[Int](ep)
+    val visited = new java.util.BitSet(size)
+    visited.set(ep)
     val epDist = dist(q, ep)
-    // candidates: min-heap by dist; results: max-heap by dist (bounded by ef)
-    implicit val ordAsc: Ordering[(Int, Double)] = Ordering.by[(Int, Double), Double](_._2).reverse
-    val candidates = mutable.PriorityQueue[(Int, Double)]((ep, epDist))
-    val results = mutable.PriorityQueue[(Int, Double)]((ep, epDist))(Ordering.by(_._2))
-    while (candidates.nonEmpty) {
-      val (c, cDist) = candidates.dequeue()
-      if (cDist > results.head._2 && results.size >= ef) {
-        candidates.clear()
-      } else {
-        val neigh = if (level < links(c).length) links(c)(level) else mutable.ArrayBuffer.empty[Int]
+
+    // candidate MIN-heap on (dist, node)
+    var cDist = new Array[Double](math.max(ef * 2, 16))
+    var cNode = new Array[Int](cDist.length)
+    var cSize = 0
+    def cLess(i: Int, j: Int): Boolean =
+      cDist(i) < cDist(j) || (cDist(i) == cDist(j) && cNode(i) < cNode(j))
+    def cSwap(i: Int, j: Int): Unit = {
+      val d = cDist(i); cDist(i) = cDist(j); cDist(j) = d
+      val n = cNode(i); cNode(i) = cNode(j); cNode(j) = n
+    }
+    def cPush(node: Int, d: Double): Unit = {
+      if (cSize == cDist.length) {
+        cDist = java.util.Arrays.copyOf(cDist, cSize * 2)
+        cNode = java.util.Arrays.copyOf(cNode, cSize * 2)
+      }
+      cDist(cSize) = d; cNode(cSize) = node; cSize += 1
+      var i = cSize - 1
+      while (i > 0 && cLess(i, (i - 1) / 2)) { cSwap(i, (i - 1) / 2); i = (i - 1) / 2 }
+    }
+    def cPop(): Unit = { // caller reads index 0 first
+      cSize -= 1
+      if (cSize > 0) {
+        cDist(0) = cDist(cSize); cNode(0) = cNode(cSize)
         var i = 0
-        while (i < neigh.length) {
-          val e = neigh(i)
-          if (!visited.contains(e)) {
-            visited += e
-            val d = dist(q, e)
-            if (results.size < ef || d < results.head._2) {
-              candidates.enqueue((e, d))
-              results.enqueue((e, d))
-              if (results.size > ef) results.dequeue()
-            }
-          }
-          i += 1
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1; val r = l + 1
+          var m = i
+          if (l < cSize && cLess(l, m)) m = l
+          if (r < cSize && cLess(r, m)) m = r
+          if (m == i) done = true else { cSwap(i, m); i = m }
         }
       }
     }
-    val out = mutable.ArrayBuffer.from(results)
-    out.sortInPlaceBy(_._2)
+
+    // result MAX-heap on (dist, node), bounded by ef; index 0 = worst kept
+    val rDist = new Array[Double](ef + 1)
+    val rNode = new Array[Int](ef + 1)
+    var rSize = 0
+    def rGreater(i: Int, j: Int): Boolean =
+      rDist(i) > rDist(j) || (rDist(i) == rDist(j) && rNode(i) > rNode(j))
+    def rSwap(i: Int, j: Int): Unit = {
+      val d = rDist(i); rDist(i) = rDist(j); rDist(j) = d
+      val n = rNode(i); rNode(i) = rNode(j); rNode(j) = n
+    }
+    def rSiftDown(): Unit = {
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < rSize && rGreater(l, m)) m = l
+        if (r < rSize && rGreater(r, m)) m = r
+        if (m == i) done = true else { rSwap(i, m); i = m }
+      }
+    }
+    def rPush(node: Int, d: Double): Unit = {
+      rDist(rSize) = d; rNode(rSize) = node; rSize += 1
+      var i = rSize - 1
+      while (i > 0 && rGreater(i, (i - 1) / 2)) { rSwap(i, (i - 1) / 2); i = (i - 1) / 2 }
+      if (rSize > ef) { // evict the worst
+        rSize -= 1
+        rDist(0) = rDist(rSize); rNode(0) = rNode(rSize)
+        rSiftDown()
+      }
+    }
+    // would (d, node) enter the bounded result set?
+    def rAdmits(node: Int, d: Double): Boolean =
+      rSize < ef || d < rDist(0) || (d == rDist(0) && node < rNode(0))
+
+    cPush(ep, epDist)
+    rPush(ep, epDist)
+    while (cSize > 0) {
+      val c = cNode(0); val d0 = cDist(0)
+      // best candidate worse than the worst kept result ⇒ beam exhausted
+      if (rSize >= ef &&
+          (d0 > rDist(0) || (d0 == rDist(0) && c > rNode(0)))) cSize = 0
+      else {
+        cPop()
+        val linksC = links(c)
+        if (level < linksC.length) {
+          val neigh = linksC(level)
+          var i = 0
+          while (i < neigh.length) {
+            val e = neigh(i)
+            if (!visited.get(e)) {
+              visited.set(e)
+              val d = dist(q, e)
+              if (rAdmits(e, d)) { cPush(e, d); rPush(e, d) }
+            }
+            i += 1
+          }
+        }
+      }
+    }
+    val out = new mutable.ArrayBuffer[(Int, Double)](rSize)
+    var i = 0
+    while (i < rSize) { out += ((rNode(i), rDist(i))); i += 1 }
+    out.sortInPlaceWith((a, b) =>
+      a._2 < b._2 || (a._2 == b._2 && a._1 < b._1))
   }
 
   /** Greedy single-step descent used on layers above the target. */

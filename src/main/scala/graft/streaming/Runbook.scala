@@ -70,19 +70,46 @@ object Runbook {
     * doesn't. */
   def liveRanges(ops: Seq[RunbookStep]): Array[(Long, Long)] = {
     val ranged = ops.filter(s => s.op == "insert" || s.op == "delete")
-    val bounds = ranged.flatMap(s => Seq(s.start, s.end)).distinct.sorted
+    val bounds = ranged.flatMap(s => Seq(s.start, s.end)).distinct.sorted.toArray
+    val nSeg = math.max(bounds.length - 1, 0)
+    // adjacent boundaries ⇒ every op either fully covers a segment or
+    // misses it; the LAST covering op in sequence order decides liveness.
+    // Reverse paint with union-find skip pointers: walk ops latest-first,
+    // painting only still-unpainted segments in each op's boundary span and
+    // jumping over painted runs — O(#ops · α), not a reverse scan per
+    // segment (which made a delete-heavy interval's consolidation sweep
+    // quadratic in the op count).
+    val segLive = new Array[Byte](nSeg) // 0 undecided, 1 live, 2 dead
+    val next = Array.tabulate(nSeg + 1)(identity) // next undecided ≥ i
+    def findNext(i: Int): Int = {
+      var r = i
+      while (next(r) != r) r = next(r)
+      var c = i
+      while (next(c) != r) { val t = next(c); next(c) = r; c = t } // path halving
+      r
+    }
+    var painted = 0
+    var oi = ranged.length - 1
+    while (oi >= 0 && painted < nSeg) {
+      val op = ranged(oi)
+      var si = java.util.Arrays.binarySearch(bounds, op.start) // exact: a boundary
+      val endSeg = java.util.Arrays.binarySearch(bounds, op.end)
+      si = findNext(si)
+      while (si < endSeg) {
+        segLive(si) = if (op.op == "insert") 1 else 2
+        painted += 1
+        next(si) = si + 1
+        si = findNext(si + 1)
+      }
+      oi -= 1
+    }
     val live = Array.newBuilder[(Long, Long)]
     var curStart = -1L
     var curEnd = -1L
     var bi = 0
-    while (bi + 1 < bounds.length) {
-      val lo = bounds(bi); val hi = bounds(bi + 1)
-      // adjacent boundaries ⇒ every op either fully covers [lo,hi) or
-      // misses it; the LAST covering op in sequence order decides liveness
-      val isLive = ranged.reverseIterator
-        .find(s => s.start <= lo && s.end >= hi)
-        .exists(_.op == "insert")
-      if (isLive) {
+    while (bi < nSeg) {
+      if (segLive(bi) == 1) {
+        val lo = bounds(bi); val hi = bounds(bi + 1)
         if (curEnd == lo) curEnd = hi // extend the open segment
         else {
           if (curStart >= 0) live += ((curStart, curEnd))
