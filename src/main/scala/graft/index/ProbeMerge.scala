@@ -60,6 +60,83 @@ private[index] object ProbeMerge {
     out.result()
   }
 
+  /** [[topK]] for integer-score candidates ranked (score DESC, id asc) —
+    * the sparse postings serving domain, kept in exact Long arithmetic
+    * (scores are sums of tf products; a double round-trip could lose
+    * precision past 2^53). Implemented by order reversal: merge on
+    * negated scores, emit the originals. */
+  def topKByScore(candidates: RDD[(Long, Long, Long)], k: Int,
+                  treeAt: Int = 64): Array[(Long, Long, Long, Long)] = {
+    // Long.MinValue can't negate; scores here are non-negative sums, but
+    // guard the domain explicitly rather than silently corrupting ranks
+    val asDist = candidates.map { case (qid, id, s) =>
+      require(s != Long.MinValue, "score domain")
+      (qid, id, -s)
+    }
+    topKLong(asDist, k, treeAt).map { case (qid, id, negS, r) =>
+      (qid, id, -negS, r)
+    }
+  }
+
+  /** Exact-Long variant of [[topK]]: same two regimes, (dist asc, id asc)
+    * over Long distances. */
+  private def topKLong(candidates: RDD[(Long, Long, Long)], k: Int,
+                       treeAt: Int): Array[(Long, Long, Long, Long)] = {
+    def mergeTwoL(a: Array[(Long, Long)], b: Array[(Long, Long)],
+                  k: Int): Array[(Long, Long)] = {
+      if (b.isEmpty && a.length <= k) return a
+      if (a.isEmpty && b.length <= k) return b
+      val out = new mutable.ArrayBuffer[(Long, Long)](
+        math.min(a.length + b.length, k))
+      val seen = mutable.HashSet.empty[Long]
+      var i = 0
+      var j = 0
+      while (out.length < k && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length &&
+          (a(i)._2 < b(j)._2 || (a(i)._2 == b(j)._2 && a(i)._1 <= b(j)._1)))
+        val c = if (takeA) { i += 1; a(i - 1) } else { j += 1; b(j - 1) }
+        if (seen.add(c._1)) out += c
+      }
+      out.toArray
+    }
+    def finishL(m: mutable.LongMap[Array[(Long, Long)]]): Array[(Long, Long, Long, Long)] = {
+      val out = Array.newBuilder[(Long, Long, Long, Long)]
+      m.toSeq.sortBy(_._1).foreach { case (qid, cand) =>
+        var r = 0
+        while (r < cand.length && r < k) {
+          out += ((qid, cand(r)._1, cand(r)._2, (r + 1).toLong))
+          r += 1
+        }
+      }
+      out.result()
+    }
+    if (candidates.getNumPartitions < treeAt) {
+      val local = candidates.collect()
+      val m = mutable.LongMap.empty[Array[(Long, Long)]]
+      local.groupBy(_._1).foreach { case (qid, cand) =>
+        m(qid) = mergeTwoL(
+          cand.map(c => (c._2, c._3)).sortBy(c => (c._2, c._1)),
+          Array.empty, k)
+      }
+      finishL(m)
+    } else {
+      finishL(candidates.treeAggregate(
+        mutable.LongMap.empty[Array[(Long, Long)]])(
+        seqOp = { (m, c) =>
+          m(c._1) = mergeTwoL(m.getOrElse(c._1, Array.empty),
+            Array((c._2, c._3)), k)
+          m
+        },
+        combOp = { (m1, m2) =>
+          m2.foreach { case (qid, cand) =>
+            m1(qid) = mergeTwoL(m1.getOrElse(qid, Array.empty), cand, k)
+          }
+          m1
+        },
+        depth = 2))
+    }
+  }
+
   /** Merge `(qid, id, dist)` candidate rows to ranked per-query top-k.
     * Driver merge below `treeAt` resident partitions, two-level
     * treeAggregate at or above it. */

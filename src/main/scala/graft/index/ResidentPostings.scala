@@ -35,7 +35,8 @@ final class ResidentPostings(spark: SparkSession, rdd: RDD[PostingShard]) {
     * least one surviving posting dim with the query appear (join
     * semantics, like the dataflow path). */
   def probeBatch(qs: Array[(Long, Array[String], Array[Long])],
-                 k: Int): Array[(Long, Long, Long, Long)] = {
+                 k: Int,
+                 treeMergeAt: Int = 64): Array[(Long, Long, Long, Long)] = {
     val bq = spark.sparkContext.broadcast(qs)
     val local = rdd.flatMap { shard =>
       bq.value.iterator.flatMap { case (qid, qdims, qvs) =>
@@ -73,12 +74,12 @@ final class ResidentPostings(spark: SparkSession, rdd: RDD[PostingShard]) {
         }
         (0 until filled).iterator.map(i => (qid, bi(i), bs(i)))
       }
-    }.collect()
+    }
+    // (score desc, id asc) merge in exact Long arithmetic: driver merge at
+    // serving shard counts, two-level tree past `treeMergeAt` (ProbeMerge)
+    val out = ProbeMerge.topKByScore(local, k, treeMergeAt)
     bq.destroy() // serving loop: don't accumulate per-batch broadcasts
-    local.groupBy(_._1).iterator.flatMap { case (qid, cand) =>
-      cand.sortBy(c => (-c._3, c._2)).take(k).iterator.zipWithIndex
-        .map { case ((_, id, s), i) => (qid, id, s, (i + 1).toLong) }
-    }.toArray.sortBy(t => (t._1, t._4))
+    out
   }
 
   /** [[probeBatch]] with DataFrame plumbing on both ends; `queries` is the

@@ -129,6 +129,20 @@ class SparseSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("resident postings: tree merge equals the driver merge row-for-row") {
+    // treeMergeAt = 1 forces the two-level Long-exact fan-in (ProbeMerge)
+    val served = graft.index.ResidentPostings.load(tf, 16, numPartitions = 7)
+    try {
+      val qs = tf.where($"id" < 20)
+        .select($"id".cast("long"), $"dim".cast("string"), $"v".cast("long"))
+        .as[(Long, String, Long)].collect()
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map { case (qid, rows) => (qid, rows.map(_._2), rows.map(_._3)) }
+      assert(served.probeBatch(qs, 10).toSeq ===
+        served.probeBatch(qs, 10, treeMergeAt = 1).toSeq)
+    } finally served.unload()
+  }
+
   test("resident postings: query with no surviving dims yields no rows") {
     val served = graft.index.ResidentPostings.load(tf, 4, numPartitions = 2)
     try {
