@@ -762,6 +762,13 @@ object SparkEntry {
     "mm_decode" -> ((s, dir) =>
       Multimodal.imageStats(
         Multimodal.syntheticImages(Tables.documents(s, dir))).toDF()),
+    // real pixel RESIZE: decode → nearest-neighbor downscale → re-encode →
+    // re-decode; output dims and channel sums oracle-checked against the
+    // closed-form source pattern mapped through the integer scaler
+    "mm_resize_px" -> ((s, dir) =>
+      Multimodal.resizeImages(
+        Multimodal.syntheticImages(Tables.documents(s, dir)), maxSide = 6)
+        .toDF()),
 
     // -- relational analytics (joins, windows, JSON) -------------------------
     "q3_revenue" -> ((s, dir) =>
@@ -1338,6 +1345,28 @@ object SparkEntry {
         |       CAST(sum((doc_id*13 + x*5 + y*2) % 256) AS BIGINT) AS sum_g,
         |       CAST(sum((doc_id*3 + x + y*7) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3
+        |""".stripMargin,
+    // the source pattern mapped through the nearest-neighbor integer
+    // scaler (sx = x*w/ow, sy = y*h/oh, floor division) — no codec needed
+    "mm_resize_px" ->
+      """WITH ids AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + (doc_id*3) % 5 AS h
+        |             FROM documents),
+        |dims AS (SELECT doc_id, w, h, GREATEST(w, h) AS den,
+        |                LEAST(6, GREATEST(w, h)) AS num FROM ids),
+        |od AS (SELECT doc_id, w, h,
+        |              GREATEST(1, w * num // den) AS ow,
+        |              GREATEST(1, h * num // den) AS oh FROM dims),
+        |px AS (SELECT o.doc_id, o.w, o.h, o.ow, o.oh, xs.x, ys.y
+        |       FROM od o, generate_series(0, 11) xs(x), generate_series(0, 11) ys(y)
+        |       WHERE xs.x < o.ow AND ys.y < o.oh),
+        |src AS (SELECT doc_id, ow, oh,
+        |               (x * w // ow) AS sx, (y * h // oh) AS sy FROM px)
+        |SELECT doc_id AS asset_id,
+        |       CAST(ow AS INTEGER) AS width, CAST(oh AS INTEGER) AS height,
+        |       CAST(sum((doc_id*7 + sx*3 + sy*11) % 256) AS BIGINT) AS sum_r,
+        |       CAST(sum((doc_id*13 + sx*5 + sy*2) % 256) AS BIGINT) AS sum_g,
+        |       CAST(sum((doc_id*3 + sx + sy*7) % 256) AS BIGINT) AS sum_b
+        |FROM src GROUP BY 1, 2, 3
         |""".stripMargin,
 
     "q3_revenue" ->

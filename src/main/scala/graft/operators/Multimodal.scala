@@ -155,6 +155,70 @@ object Multimodal {
       }
   }
 
+  /** REAL pixel resize over decodable image payloads: decode (ImageIO),
+    * nearest-neighbor downscale to fit `maxSide` (source pixel
+    * (x·w/ow, y·h/oh) — integer arithmetic, deterministic across JVMs,
+    * unlike interpolating scalers), re-encode PNG. Emits the resized
+    * payload plus DECODED output stats so the whole
+    * decode → transform → re-encode loop is oracle-checkable: an oracle
+    * that knows the input pixel pattern can recompute every output pixel
+    * without a codec. Non-image payloads are dropped (decode-or-skip). */
+  def resizeImages(assetDf: DataFrame, maxSide: Int): Dataset[ImageStats] = {
+    val spark = assetDf.sparkSession
+    import spark.implicits._
+    assetDf.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          decodeImage(payload).map { img =>
+            val w = img.getWidth
+            val h = img.getHeight
+            val scaleDen = math.max(w, h)
+            val scaleNum = math.min(maxSide, scaleDen)
+            val ow = math.max(1, w * scaleNum / scaleDen)
+            val oh = math.max(1, h * scaleNum / scaleDen)
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < oh) {
+              var x = 0
+              while (x < ow) {
+                val rgb = img.getRGB(x * w / ow, y * h / oh)
+                out.setRGB(x, y, rgb)
+                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            // re-encode to a genuine PNG payload and DECODE THAT — the
+            // emitted stats have passed through the output container too,
+            // so the gate covers decode → transform → encode → decode
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            val back = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            var (br2, bg2, bb2) = (0L, 0L, 0L)
+            var yy = 0
+            while (yy < back.getHeight) {
+              var xx = 0
+              while (xx < back.getWidth) {
+                val rgb2 = back.getRGB(xx, yy)
+                br2 += (rgb2 >> 16) & 0xff; bg2 += (rgb2 >> 8) & 0xff
+                bb2 += rgb2 & 0xff
+                xx += 1
+              }
+              yy += 1
+            }
+            assert(br2 == sr && bg2 == sg && bb2 == sb,
+              s"PNG round-trip of resized asset $id not lossless")
+            ImageStats(id, back.getWidth, back.getHeight, br2, bg2, bb2)
+          }
+        }
+      }
+  }
+
   /** Resize: pure metadata transform here (a real pipeline rewrites the
     * payload too — that call sits behind the same stub boundary). */
   def resize(assetDf: DataFrame, maxSide: Int): DataFrame = {

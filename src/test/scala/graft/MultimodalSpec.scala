@@ -75,6 +75,30 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("real pixel resize: decode, NN-downscale, re-encode round-trips the mapped pattern") {
+    val imgs = Multimodal.syntheticImages(docs.limit(30))
+    val got = Multimodal.resizeImages(imgs, maxSide = 6).collect()
+      .map(s => s.asset_id -> s).toMap
+    assert(got.size === 30)
+    got.values.foreach { s =>
+      val w = (8 + s.asset_id % 5).toInt
+      val h = (8 + (s.asset_id * 3) % 5).toInt
+      val den = math.max(w, h)
+      val num = math.min(6, den)
+      val ow = math.max(1, w * num / den)
+      val oh = math.max(1, h * num / den)
+      assert((s.width, s.height) === ((ow, oh)))
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until oh; x <- 0 until ow) {
+        val (r, g, b) =
+          Multimodal.patternPixel(s.asset_id, x * w / ow, y * h / oh)
+        er += r; eg += g; eb += b
+      }
+      assert((s.sum_r, s.sum_g, s.sum_b) === ((er, eg, eb)),
+        s"asset ${s.asset_id}")
+    }
+  }
+
   test("codec boundary: non-image payloads skip imageStats and stub-decode in features") {
     // text bytes are not a decodable image
     assert(Multimodal.decodeImage("not a png".getBytes("UTF-8")).isEmpty)
