@@ -174,6 +174,11 @@ object SparkEntry {
         docs.where(col("doc_id") % 20 =!= 0),
         docs.where(col("doc_id") % 20 === 0), n = 3)
     }),
+    // ExactSubstr-style repeated-span signal: per-doc budget of length-5
+    // token windows whose text recurs in another document (position
+    // semantics, min≠max per-gram cross-doc flag — no self-join)
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(Tables.documents(s, dir), n = 5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 2)),
@@ -994,6 +999,21 @@ object SparkEntry {
          |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
          |WHERE (10000 * i) // (sa.nsh + sb.nsh - i) >= 5000
          |""".stripMargin,
+    // repeated spans: positional length-5 windows; a gram is shared iff
+    // its min and max doc differ (≥ 2 distinct docs)
+    "dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |wins AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+        |         FROM toks, generate_series(1, 1024) s(i)
+        |         WHERE i <= len(t) - 4),
+        |gdf AS (SELECT gram, (min(doc_id) <> max(doc_id)) AS shared
+        |        FROM wins GROUP BY gram)
+        |SELECT w.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_windows,
+        |       CAST(sum(CASE WHEN g.shared THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |       CAST((10000 * sum(CASE WHEN g.shared THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS shared_bp
+        |FROM wins w JOIN gdf g USING (gram) GROUP BY 1
+        |""".stripMargin,
     "dedup_decontam" ->
       s"""WITH $shinglesCte,
          |bg AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),

@@ -73,6 +73,36 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
+  /** Cross-document repeated token spans — the ExactSubstr dedup signal
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499) at token-window granularity: every length-n
+    * token window of every doc, flagged when the identical window text
+    * occurs in at least one OTHER document. Returns one row per doc with
+    * windows: (doc_id, n_windows, n_shared, shared_bp) — the per-doc
+    * repeated-span budget a span-level trimmer would act on.
+    *
+    * Scale shape: windows explode map-side (position semantics — duplicate
+    * grams within a doc count per occurrence, unlike [[shingles]]); the
+    * only shuffle keys on the gram, and the cross-doc flag is
+    * min(doc_id) ≠ max(doc_id) per gram — a partial-combining min/max agg,
+    * NOT a countDistinct and never a self-join, so a boilerplate gram in a
+    * billion docs costs two longs, not a fan-out. */
+  def repeatedSpans(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val wins = docs.select(col("doc_id"),
+      explode(when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - n + 1),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val gdf = wins.groupBy("gram")
+      .agg((min("doc_id") =!= max("doc_id")).as("shared"))
+    wins.join(gdf, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("shared"), 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_bp", expr("(10000 * n_shared) div n_windows"))
+  }
+
   /** All-pairs n-gram Jaccard similarity join: pairs (a_id < b_id) with
     * Jaccard ≥ minBp basis points. Shuffle is keyed on shingle; a shingle
     * appearing in d docs contributes d² join rows, so at scale drop

@@ -81,6 +81,30 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(all.count() === 0)
   }
 
+  test("repeatedSpans: positional window counts and cross-doc sharing by hand") {
+    val hand = Seq(
+      (1L, "a b c d e f"),      // windows: "a b c", "b c d", "c d e", "d e f"
+      (2L, "x y z a b c"),      // shares "a b c" with doc 1
+      (3L, "p q r s"),          // windows: "p q r", "q r s" — unique
+      (4L, "k k k k"),          // "k k k" twice (positional), within-doc only
+      (5L, "u v")               // too short: no windows, no row
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(hand, n = 3)
+      .select("doc_id", "n_windows", "n_shared", "shared_bp")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got(1L) === ((1L, 4L, 1L, 2500L)))
+    assert(got(2L) === ((2L, 4L, 1L, 2500L)))
+    assert(got(3L) === ((3L, 2L, 0L, 0L)))
+    // within-doc repetition is NOT cross-doc sharing (min == max doc)
+    assert(got(4L) === ((4L, 2L, 0L, 0L)))
+    // corpus sanity: budgets well-formed
+    val c = Dedup.repeatedSpans(docs, n = 5).cache()
+    assert(c.where($"n_shared" > $"n_windows").count() === 0)
+    assert(c.where($"shared_bp" < 0 || $"shared_bp" > 10000).count() === 0)
+    c.unpersist()
+  }
+
   test("simhash is deterministic and pairs respect the hamming bound") {
     val s1 = Dedup.simhash(docs).orderBy("doc_id").collect()
     val s2 = Dedup.simhash(docs).orderBy("doc_id").collect()
