@@ -488,6 +488,17 @@ object SparkEntry {
       knnResult(graft.index.TagSubindexes.probePairs(s, path, q, k = 10,
         efSearch = 1 << 20))
     }),
+    // the resident-ADC serving form at its exact-degenerate point: lossless
+    // codebook ⇒ the pinned-code gather-scan is exact squared-L2 and the
+    // served batch hash-matches brute force — the serving twin of
+    // ann_pq_exact (codes in memory, floats touched only by the re-rank).
+    "ann_pq_served_exact" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val cb = graft.index.Pq.trainLossless(b, m = 4)
+      val served = graft.index.ResidentAdc.load(b, cb, numPartitions = 4)
+      try knnResult(served.probeLocal(embQueries(s, dir, 10), 10, rerank = 20))
+      finally served.unload()
+    }),
     // save → load → probe through the VectorIndex registry with the
     // lossless codebook: persistence must not change the exact result
     // (S7/X4 parity, same contract as ann_ivf_persisted).
@@ -855,6 +866,8 @@ object SparkEntry {
     // PQ-ADC with a lossless codebook: exact → same oracle as knn_l2
     "ann_pq_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_pq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // resident-ADC serving with the lossless codebook: exact, same oracle
+    "ann_pq_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_ivfpq_residual_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_ivfpq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "knn_ip" -> knnOracle(10, 10, dotSql, "DESC"),

@@ -114,15 +114,20 @@ object Pq {
   /** Lossless codebook: every distinct subvector becomes a centroid
     * (deterministic lexicographic order), so encoding round-trips exactly.
     * This is the hash-gate/test path — at scale you'd train [[train]] on a
-    * sample instead. */
+    * sample instead. All m subspaces dedupe in ONE exploded distinct pass
+    * (m separate distinct jobs cost m corpus scans). */
   def trainLossless(base: DataFrame, m: Int): Codebook = {
     val d = dim(base)
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val dsub = d / m
+    val rows = base.select(posexplode(
+      expr(s"transform(sequence(0, ${m - 1}), j -> slice(vec, j * $dsub + 1, $dsub))"))
+      .as(Seq("sub", "svec")))
+      .distinct()
+      .collect()
     val books = Array.tabulate(m) { j =>
-      val distinct = base.select(subCol(j, dsub).as("sub")).distinct()
-        .collect()
-        .map(_.getSeq[Float](0).toArray)
+      val distinct = rows.filter(_.getInt(0) == j)
+        .map(_.getSeq[Float](1).toArray)
       require(distinct.length <= Short.MaxValue,
         s"subspace $j has ${distinct.length} distinct subvectors — too many for SHORT codes")
       distinct.sortWith { (a, b) =>
@@ -178,33 +183,43 @@ object Pq {
     val stride = cb.stride
     val ip = metric == Metric.Ip
     val mk = udf { (qvec: Seq[Float]) =>
-      val q = qvec.toArray
-      val lut = Array.fill(books.length * stride)(Double.MaxValue)
-      var j = 0
-      while (j < books.length) {
-        val off = j * dsub
-        val bk = books(j)
-        var c = 0
-        while (c < bk.length) {
-          val cent = bk(c)
-          var acc = 0.0
-          var i = 0
-          while (i < dsub) {
-            if (ip) acc -= q(off + i).toDouble * cent(i).toDouble
-            else {
-              val t = q(off + i).toDouble - cent(i).toDouble
-              acc += t * t
-            }
-            i += 1
-          }
-          lut(j * stride + c) = acc
-          c += 1
-        }
-        j += 1
-      }
-      lut
+      lutOf(qvec.toArray, books, dsub, stride, ip)
     }
     mk(qvecCol)
+  }
+
+  /** Driver/executor-local LUT builder — the same table [[lutCol]] computes
+    * inside the plan, for serving paths that prepare query batches outside
+    * it ([[ResidentAdc]]). */
+  def lutLocal(q: Array[Float], cb: Codebook, metric: String): Array[Double] =
+    lutOf(q, cb.books, cb.dsub, cb.stride, metric == Metric.Ip)
+
+  private def lutOf(q: Array[Float], books: Array[Array[Array[Float]]],
+                    dsub: Int, stride: Int, ip: Boolean): Array[Double] = {
+    val lut = Array.fill(books.length * stride)(Double.MaxValue)
+    var j = 0
+    while (j < books.length) {
+      val off = j * dsub
+      val bk = books(j)
+      var c = 0
+      while (c < bk.length) {
+        val cent = bk(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          if (ip) acc -= q(off + i).toDouble * cent(i).toDouble
+          else {
+            val t = q(off + i).toDouble - cent(i).toDouble
+            acc += t * t
+          }
+          i += 1
+        }
+        lut(j * stride + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    lut
   }
 
   /** PQ-ADC kNN with exact re-rank: gather-score all codes per query (O(m)

@@ -122,6 +122,35 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(r >= 0.85, s"recall $r below 0.85")
   }
 
+  test("resident ADC serving: exact at the lossless point, recall >= dataflow when lossy") {
+    // lossless: the served batch must equal brute force rank-for-rank
+    val cbL = Pq.trainLossless(base, m = 4)
+    val servedL = graft.index.ResidentAdc.load(base, cbL, numPartitions = 4)
+    try {
+      val truth = Knn.knnJoin(queries, base, 10, Metric.L2)
+      assert(ids(servedL.probeLocal(queries, 10, rerank = 20)) === ids(truth))
+      // tree-merge parity on the serving fan-in
+      val qs = queries.select(col("qid").cast("long"), col("qvec"))
+        .as[(Long, Array[Float])].collect()
+      assert(servedL.probeBatch(qs, 10, 20).toSeq ===
+        servedL.probeBatch(qs, 10, 20, treeMergeAt = 1).toSeq)
+    } finally servedL.unload()
+    // trained (lossy): per-shard rerank buffers union to a SUPERSET of the
+    // dataflow's global rerank set, so serving recall >= the dataflow's
+    val cb = Pq.train(base, m = 8, ksub = 32, iters = 3)
+    val served = graft.index.ResidentAdc.load(base, cb, numPartitions = 4)
+    try {
+      val truth = Knn.knnJoin(queries, base, 10, Metric.L2)
+      val flowR = Recall.mean(
+        Pq.adcKnnCodes(queries, Pq.encode(base, cb).select("id", "codes"),
+          base, cb, 10, rerank = 40), truth, 10)
+      val servedR = Recall.mean(served.probeLocal(queries, 10, rerank = 40),
+        truth, 10)
+      assert(servedR >= flowR, s"served $servedR < dataflow $flowR")
+      assert(servedR >= 0.9, s"served recall $servedR")
+    } finally served.unload()
+  }
+
   test("ADC invariant: distance equals exact distance to the PQ reconstruction") {
     // the property that DEFINES ADC: for any query and any coded row,
     // gathering the LUT by the row's codes must equal the true distance
