@@ -179,6 +179,10 @@ object SparkEntry {
     // semantics, min≠max per-gram cross-doc flag — no self-join)
     "dedup_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(Tables.documents(s, dir), n = 5)),
+    // the trimming ACTION on those spans: drop covered tokens, re-join
+    // survivors in order — cleaned text + kept-token accounting per doc
+    "dedup_spans_trim" -> ((s, dir) =>
+      Dedup.trimSharedSpans(Tables.documents(s, dir), n = 5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 2)),
@@ -1026,6 +1030,28 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN g.shared THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
         |       CAST((10000 * sum(CASE WHEN g.shared THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS shared_bp
         |FROM wins w JOIN gdf g USING (gram) GROUP BY 1
+        |""".stripMargin,
+    // trim: anti-join tokens against the expanded coverage of shared
+    // windows, string_agg the survivors in position order
+    "dedup_spans_trim" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, i - 1 AS ti, t[i] AS tok
+        |        FROM toks, generate_series(1, 1024) s(i) WHERE i <= len(t)),
+        |wins AS (SELECT doc_id, i - 1 AS wi, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+        |         FROM toks, generate_series(1, 1024) s(i) WHERE i <= len(t) - 4),
+        |gdf AS (SELECT gram FROM wins GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |cov AS (SELECT DISTINCT w.doc_id, w.wi + o.o AS ti
+        |        FROM wins w JOIN gdf USING (gram), generate_series(0, 4) o(o)),
+        |kept AS (SELECT t.doc_id, t.ti, t.tok FROM tok t
+        |         ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.ti = c.ti),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |               string_agg(tok, ' ' ORDER BY ti) AS txt
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(a.txt, '') AS text_clean
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
         |""".stripMargin,
     "dedup_decontam" ->
       s"""WITH $shinglesCte,

@@ -103,6 +103,47 @@ object Dedup {
       .withColumn("shared_bp", expr("(10000 * n_shared) div n_windows"))
   }
 
+  /** Span TRIMMING — the action half of ExactSubstr dedup
+    * (arXiv:2107.06499 removes the repeated spans it finds): drop every
+    * token covered by any length-n window whose text recurs in another
+    * document, and re-join the survivors in order. Returns every doc:
+    * (doc_id, n_tokens, n_kept, text_clean) — text_clean = '' when the
+    * whole doc was cross-doc boilerplate.
+    *
+    * Same scale shape as [[repeatedSpans]]: the only shuffle keys on the
+    * gram (min≠max flag); coverage expansion (window → its n token
+    * positions) is map-side; the rebuild is one per-doc aggregation of the
+    * kept tokens. */
+  def trimSharedSpans(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val tokens = docs.select(col("doc_id"),
+      posexplode(toks).as(Seq("ti", "tok"))) // ti 0-based
+    val wins = docs.select(col("doc_id"),
+      posexplode(grams).as(Seq("wi", "gram"))) // wi 0-based
+    val sharedGrams = wins.groupBy("gram")
+      .agg((min("doc_id") =!= max("doc_id")).as("shared"))
+      .where(col("shared")).select("gram")
+    val covered = wins.join(sharedGrams, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("wi"), col("wi") + (n - 1))).as("ti"))
+      .distinct()
+    val kept = tokens.join(covered, Seq("doc_id", "ti"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ti"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_clean"))
+    docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** All-pairs n-gram Jaccard similarity join: pairs (a_id < b_id) with
     * Jaccard ≥ minBp basis points. Shuffle is keyed on shingle; a shingle
     * appearing in d docs contributes d² join rows, so at scale drop

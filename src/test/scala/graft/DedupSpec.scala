@@ -105,6 +105,29 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     c.unpersist()
   }
 
+  test("trimSharedSpans: covered tokens drop, survivors keep order, full-boilerplate empties") {
+    val hand = Seq(
+      (1L, "a b c d e f"),     // "a b c" shared with doc 2: tokens 0..2 drop
+      (2L, "x y z a b c"),     // "a b c" at positions 3..5 drops
+      (3L, "p q r s"),         // untouched
+      (4L, "a b c")            // the whole doc is the shared span → empty
+    ).toDF("doc_id", "text")
+    val got = Dedup.trimSharedSpans(hand, n = 3)
+      .select("doc_id", "n_tokens", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 6L, 3L, "d e f")))
+    assert(got(2L) === ((2L, 6L, 3L, "x y z")))
+    assert(got(3L) === ((3L, 4L, 4L, "p q r s")))
+    assert(got(4L) === ((4L, 3L, 0L, "")))
+    // corpus invariants: kept <= tokens; untouched docs round-trip verbatim
+    val c = Dedup.trimSharedSpans(docs, n = 5).cache()
+    assert(c.where($"n_kept" > $"n_tokens").count() === 0)
+    val verbatim = c.where($"n_kept" === $"n_tokens")
+      .join(docs, "doc_id").where($"text_clean" =!= $"text")
+    assert(verbatim.count() === 0)
+    c.unpersist()
+  }
+
   test("simhash is deterministic and pairs respect the hamming bound") {
     val s1 = Dedup.simhash(docs).orderBy("doc_id").collect()
     val s2 = Dedup.simhash(docs).orderBy("doc_id").collect()
