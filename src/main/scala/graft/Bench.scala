@@ -278,7 +278,7 @@ object Bench {
     // quantized serving form: PQ codes pinned resident (m·2 bytes/row — the
     // memory shape that still fits at 100 TB), ADC gather-scan + in-shard
     // float re-rank. Trained codebook, so recall is reported alongside.
-    val (adcQps, adcSpread, adcRecall) = {
+    val (adcQps, adcSpread, adcRecall, adcSweep) = {
       import spark.implicits._
       val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val cb = index.Pq.train(base, m = 8, ksub = 32, iters = 3)
@@ -292,8 +292,16 @@ object Bench {
       val truth = operators.Knn.knnJoin(queries, base, 10, operators.Metric.L2)
       val recall = operators.Recall.mean(
         served.probeLocal(queries, 10, rerank = 40), truth, 10)
+      // refine-budget sweep: rerank is the ADC knob (faiss's k_factor)
+      val sweep = Seq(20, 40, 80).map { r =>
+        val (sv, _) = qpsBatch(() =>
+          served.probeBatch(qs, k = 10, rerank = r).length, nRuns = 5)
+        val rc = operators.Recall.mean(
+          served.probeLocal(queries, 10, rerank = r), truth, 10)
+        (r, sv, rc)
+      }
       served.unload()
-      (v, sp, recall)
+      (v, sp, recall, sweep)
     }
     val (annQps, annSpread, annRecall, annSweep) =
       residentQps("l2", sweepEfs = Seq(8, 16, 32))
@@ -336,7 +344,7 @@ object Bench {
       pts.map { case (v, q, r) =>
         s"""{"$knob":$v,"qps":$q,"recall":$r}""" }.mkString("[", ",", "]")
     val sweep =
-      s"""{"ann_hnsw_probe":${sweepJson("efSearch", annSweep)},"sparse_budget_served":${sweepJson("m", sparseSweep)},"ann_hnsw_probe_routed":${sweepJson("nprobe", rtSweep)}}"""
+      s"""{"ann_hnsw_probe":${sweepJson("efSearch", annSweep)},"sparse_budget_served":${sweepJson("m", sparseSweep)},"ann_hnsw_probe_routed":${sweepJson("nprobe", rtSweep)},"ann_adc_served":${sweepJson("rerank", adcSweep)}}"""
     val qpsJson =
       s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"sparse_budget_served":$sparseServedQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"ann_hnsw_probe_mutated":$mutQps,"ann_adc_served":$adcQps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"sparse_budget_served":$sparseServedSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread,"ann_hnsw_probe_mutated":$mutSpread,"ann_adc_served":$adcSpread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall},"sweep":$sweep,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
     val line =
