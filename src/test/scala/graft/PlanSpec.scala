@@ -149,6 +149,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("repeated-span plans: gram-keyed shuffle only — no self-join, no countDistinct") {
+    for (q <- Seq("dedup_spans", "dedup_spans_trim")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$q has an all-pairs join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+      // the cross-doc flag is min/max per gram, never a distinct-count
+      // (a boilerplate gram in a billion docs must cost two longs)
+      assert(!p.toLowerCase.contains("distinct_count") && !p.contains("count(distinct"),
+        s"$q counts distinct docs per gram:\n$p")
+    }
+  }
+
   test("minhash LSH verification never shuffles materialized shingle sets") {
     val p = plan(SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir))
     assert(!p.contains("collect_set"),
