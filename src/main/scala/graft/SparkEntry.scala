@@ -503,6 +503,19 @@ object SparkEntry {
       try knnResult(served.probeLocal(embQueries(s, dir, 10), 10, rerank = 20))
       finally served.unload()
     }),
+    // the reference BASELINE's full composition (IVF coarse route × in-RAM
+    // codes × float refine, config.yaml:50-53) served resident, at its
+    // exact-degenerate point: nprobe = C scans every cluster, the lossless
+    // codebook makes ADC exact — hash-matches brute force end to end.
+    "ann_ivfadc_served_exact" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val ivf = graft.index.IvfIndex.build(b, c = 8, iters = 3)
+      val cb = graft.index.Pq.trainLossless(b, m = 4)
+      val served = graft.index.ResidentIvfAdc.load(b, ivf, cb, numPartitions = 4)
+      try knnResult(served.probeLocal(embQueries(s, dir, 10), 10,
+        nprobe = served.numClusters, rerank = 20))
+      finally served.unload()
+    }),
     // save → load → probe through the VectorIndex registry with the
     // lossless codebook: persistence must not change the exact result
     // (S7/X4 parity, same contract as ann_ivf_persisted).
@@ -872,6 +885,8 @@ object SparkEntry {
     "ann_pq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     // resident-ADC serving with the lossless codebook: exact, same oracle
     "ann_pq_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // routed resident ADC at nprobe = C + lossless codes: exact
+    "ann_ivfadc_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_ivfpq_residual_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_ivfpq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "knn_ip" -> knnOracle(10, 10, dotSql, "DESC"),

@@ -1,0 +1,175 @@
+package graft.index
+
+import graft.operators.Metric
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** One executor-resident coarse-routed code shard: this partition's rows
+  * grouped by their IVF cluster, each cluster a struct-of-arrays block
+  * (ids, flat codes, floats for the refine). Rows hash-shard by id — every
+  * shard holds a slice of MANY clusters, so cluster skew spreads across
+  * the fleet instead of pinning one hot executor. */
+final case class IvfAdcShard(
+    clusters: Map[Int, (Array[Long], Array[Short], Array[Array[Float]])],
+    m: Int)
+
+/** The reference baseline's FULL index composition, served resident:
+  * `indexkey=IVF16384,SQ8` + refine
+  * (/root/reference/filter/faiss/config.yaml:50-53) = coarse quantizer
+  * routing × in-RAM codes × float re-rank — here as IVF routing over
+  * PQ-ADC shards. A probe batch routes each query to its `nprobe` nearest
+  * centroids ON THE CLIENT (the centroid table is tiny), broadcasts
+  * (query, LUT, routed clusters), and one narrow job ADC-scans ONLY the
+  * routed clusters' rows in each shard, float-refines the `rerank` best
+  * in-shard, and fans in through [[ProbeMerge]].
+  *
+  * Per-query work is bounded by the routed clusters' population —
+  * independent of corpus size at fixed routing selectivity, which is the
+  * economics that make IVF the 100 TB default. At nprobe = C with a
+  * lossless codebook every row is scanned exactly → the served batch
+  * hash-matches brute force (the degenerate-point gate). */
+final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
+                           cb: Pq.Codebook,
+                           centroids: Array[(Int, Array[Float])],
+                           metric: String) {
+
+  def numClusters: Int = centroids.length
+
+  /** Route one query: the `nprobe` nearest centroids by L2 (the coarse
+    * quantizer's own metric, as in faiss). */
+  private def route(qv: Array[Float], nprobe: Int): Array[Int] =
+    centroids.map { case (cid, cvec) =>
+      var acc = 0.0
+      var i = 0
+      val n = math.min(qv.length, cvec.length)
+      while (i < n) { val t = qv(i).toDouble - cvec(i).toDouble; acc += t * t; i += 1 }
+      (cid, acc)
+    }.sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
+
+  /** Serving-form batch probe: (qid, qvec) in, (qid, id, dist, rank) out,
+    * dist = exact metric distance of the refined rows, (dist asc, id asc)
+    * ranking. */
+  def probeBatch(qs: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+                 rerank: Int,
+                 treeMergeAt: Int = 64): Array[(Long, Long, Double, Long)] = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val stride = cb.stride
+    val ip = metric == Metric.Ip
+    val routed = qs.map { case (qid, qv) =>
+      (qid, qv, Pq.lutLocal(qv, cb, metric), route(qv, nprobe))
+    }
+    val bq = spark.sparkContext.broadcast(routed)
+    val local = rdd.flatMap { shard =>
+      val m = shard.m
+      bq.value.iterator.flatMap { case (qid, qv, lut, cids) =>
+        val r = rerank
+        val bd = new Array[Double](r)
+        val bId = new Array[Long](r)
+        val bVec = new Array[Array[Float]](r)
+        var filled = 0
+        var ci = 0
+        while (ci < cids.length) {
+          shard.clusters.get(cids(ci)) match {
+            case Some((ids, codes, vecs)) =>
+              val n = ids.length
+              var row = 0
+              while (row < n) {
+                val off = row * m
+                var acc = 0.0
+                var j = 0
+                while (j < m) {
+                  acc += lut(j * stride + codes(off + j))
+                  j += 1
+                }
+                val id = ids(row)
+                if (filled < r || acc < bd(filled - 1) ||
+                    (acc == bd(filled - 1) && id < bId(filled - 1))) {
+                  var pos = math.min(filled, r - 1)
+                  while (pos > 0 && (bd(pos - 1) > acc ||
+                         (bd(pos - 1) == acc && bId(pos - 1) > id))) {
+                    bd(pos) = bd(pos - 1); bId(pos) = bId(pos - 1)
+                    bVec(pos) = bVec(pos - 1); pos -= 1
+                  }
+                  bd(pos) = acc; bId(pos) = id; bVec(pos) = vecs(row)
+                  if (filled < r) filled += 1
+                }
+                row += 1
+              }
+            case None =>
+          }
+          ci += 1
+        }
+        // float refine of the survivors (the reference's refine step)
+        (0 until filled).iterator.map { i =>
+          val v = bVec(i)
+          val d0 = math.min(qv.length, v.length)
+          var acc = 0.0
+          var x = 0
+          if (ip) {
+            while (x < d0) { acc += qv(x).toDouble * v(x).toDouble; x += 1 }
+            acc = -acc
+          } else {
+            while (x < d0) {
+              val t = qv(x).toDouble - v(x).toDouble; acc += t * t; x += 1
+            }
+          }
+          (qid, bId(i), acc)
+        }
+      }
+    }
+    val out = ProbeMerge.topK(local, k, treeMergeAt)
+    bq.destroy() // serving loop: don't accumulate per-batch broadcasts
+    out
+  }
+
+  /** [[probeBatch]] with DataFrame plumbing on both ends. */
+  def probeLocal(queries: DataFrame, k: Int, nprobe: Int,
+                 rerank: Int): DataFrame = {
+    import spark.implicits._
+    val qs = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect()
+    spark.createDataFrame(probeBatch(qs, k, nprobe, rerank).toSeq)
+      .toDF("qid", "id", "dist", "rank")
+  }
+
+  def unload(): Unit = rdd.unpersist()
+}
+
+object ResidentIvfAdc {
+  /** Assign `base` = (id, vec) to `ivf`'s clusters, encode with `cb`, and
+    * pin cluster-grouped code shards resident. Build once, probe many. */
+  def load(base: DataFrame, ivf: IvfIndex, cb: Pq.Codebook,
+           numPartitions: Int, metric: String = Metric.L2): ResidentIvfAdc = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val m = cb.m
+    val cents = ivf.centroids
+      .select(col("cid").cast("int"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val rows = ivf.assigned.select(col("id").cast("long"), col("cid").cast("int"))
+      .join(base.select(col("id").cast("long"), col("vec")), "id")
+    val rdd = Pq.encode(rows, cb)
+      .select(col("id"), col("cid"), col("vec"), col("codes"))
+      .repartition(numPartitions, col("id"))
+      .as[(Long, Int, Array[Float], Array[Short])].rdd
+      .mapPartitions { it =>
+        val byCid = it.toArray.groupBy(_._2)
+        val clusters = byCid.map { case (cid, rs) =>
+          val codes = new Array[Short](rs.length * m)
+          var r = 0
+          while (r < rs.length) {
+            System.arraycopy(rs(r)._4, 0, codes, r * m, m)
+            r += 1
+          }
+          cid -> ((rs.map(_._1), codes, rs.map(_._3)))
+        }
+        Iterator.single(IvfAdcShard(clusters, m))
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // materialize before the first probe
+    new ResidentIvfAdc(spark, rdd, cb, cents, metric)
+  }
+}

@@ -151,6 +151,31 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     } finally served.unload()
   }
 
+  test("routed resident ADC: exact at nprobe=C lossless; recall monotone in nprobe") {
+    val ivf = IvfIndex.build(base, c = 8, iters = 3)
+    val cbL = Pq.trainLossless(base, m = 4)
+    val served = graft.index.ResidentIvfAdc.load(base, ivf, cbL, numPartitions = 4)
+    try {
+      val truth = Knn.knnJoin(queries, base, 10, Metric.L2)
+      // degenerate point: every cluster scanned, codes lossless → exact
+      assert(ids(served.probeLocal(queries, 10, served.numClusters, 20)) ===
+        ids(truth))
+      // tree-merge parity on the routed fan-in
+      val qs = queries.select(col("qid").cast("long"), col("qvec"))
+        .as[(Long, Array[Float])].collect()
+      assert(served.probeBatch(qs, 10, served.numClusters, 20).toSeq ===
+        served.probeBatch(qs, 10, served.numClusters, 20, treeMergeAt = 1).toSeq)
+      // partial routing prunes scan volume at bounded recall cost, and
+      // recall is monotone in nprobe (more clusters ⇒ superset candidates)
+      val r2 = Recall.mean(served.probeLocal(queries, 10, 2, 20), truth, 10)
+      val r4 = Recall.mean(served.probeLocal(queries, 10, 4, 20), truth, 10)
+      val r8 = Recall.mean(served.probeLocal(queries, 10, 8, 20), truth, 10)
+      assert(r2 <= r4 + 1e-9 && r4 <= r8 + 1e-9, s"recall not monotone: $r2 $r4 $r8")
+      assert(r8 === 1.0)
+      assert(r4 >= 0.5, s"nprobe=4 recall $r4")
+    } finally served.unload()
+  }
+
   test("ADC invariant: distance equals exact distance to the PQ reconstruction") {
     // the property that DEFINES ADC: for any query and any coded row,
     // gathering the LUT by the row's codes must equal the true distance
