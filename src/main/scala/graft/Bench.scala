@@ -303,6 +303,27 @@ object Bench {
       served.unload()
       (v, sp, recall, sweep)
     }
+    // the baseline's full composition (IVF route × resident codes × float
+    // refine) served at a partial-routing operating point; recall reported
+    // alongside, as for every approximate row
+    val (ivfAdcQps, ivfAdcSpread, ivfAdcRecall) = {
+      import spark.implicits._
+      val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val ivf = index.IvfIndex.build(base, c = 8, iters = 3)
+      val cb = index.Pq.train(base, m = 8, ksub = 32, iters = 3)
+      val served = index.ResidentIvfAdc.load(base, ivf, cb, numPartitions = 8)
+      val queries = emb.where(col("vec_id") < nq)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val qs = queries.select(col("qid").cast("long"), col("qvec"))
+        .as[(Long, Array[Float])].collect()
+      val (v, sp) = qpsBatch(() =>
+        served.probeBatch(qs, k = 10, nprobe = 6, rerank = 40).length)
+      val truth = operators.Knn.knnJoin(queries, base, 10, operators.Metric.L2)
+      val recall = operators.Recall.mean(
+        served.probeLocal(queries, 10, nprobe = 6, rerank = 40), truth, 10)
+      served.unload()
+      (v, sp, recall)
+    }
     val (annQps, annSpread, annRecall, annSweep) =
       residentQps("l2", sweepEfs = Seq(8, 16, 32))
     val (annIpQps, annIpSpread, annIpRecall, _) = residentQps("ip")
@@ -346,7 +367,7 @@ object Bench {
     val sweep =
       s"""{"ann_hnsw_probe":${sweepJson("efSearch", annSweep)},"sparse_budget_served":${sweepJson("m", sparseSweep)},"ann_hnsw_probe_routed":${sweepJson("nprobe", rtSweep)},"ann_adc_served":${sweepJson("rerank", adcSweep)}}"""
     val qpsJson =
-      s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"sparse_budget_served":$sparseServedQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"ann_hnsw_probe_mutated":$mutQps,"ann_adc_served":$adcQps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"sparse_budget_served":$sparseServedSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread,"ann_hnsw_probe_mutated":$mutSpread,"ann_adc_served":$adcSpread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall},"sweep":$sweep,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
+      s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"sparse_budget_served":$sparseServedQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"ann_hnsw_probe_mutated":$mutQps,"ann_adc_served":$adcQps,"ann_ivfadc_served":$ivfAdcQps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"sparse_budget_served":$sparseServedSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread,"ann_hnsw_probe_mutated":$mutSpread,"ann_adc_served":$adcSpread,"ann_ivfadc_served":$ivfAdcSpread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall},"sweep":$sweep,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qpsJson,"sf":"$sfDir"}"""
     // stdout scraping truncated BENCH_r04's tail mid-JSON ("parsed": null):
