@@ -516,6 +516,22 @@ object SparkEntry {
         nprobe = served.numClusters, rerank = 20))
       finally served.unload()
     }),
+    // faiss's true IVFPQ (codes quantize the residual against the routed
+    // centroid) served resident, at ITS exact-degenerate point: lossless
+    // residual codebook + nprobe = C + per-(query, cluster) LUTs → the
+    // served batch hash-matches brute force. Gates the residual LUT
+    // plumbing of the resident form end to end; reuses the built index's
+    // codes (loading is a join, not a re-encode).
+    "ann_ivfadc_residual_served_exact" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val idx = graft.index.IvfPq.buildResidual(b, c = 8, iters = 3, m = 4,
+        ksub = 0, lossless = true)
+      val served = graft.index.ResidentIvfAdc.loadResidual(b, idx,
+        numPartitions = 4)
+      try knnResult(served.probeLocal(embQueries(s, dir, 10), 10,
+        nprobe = served.numClusters, rerank = 20))
+      finally served.unload()
+    }),
     // save → load → probe through the VectorIndex registry with the
     // lossless codebook: persistence must not change the exact result
     // (S7/X4 parity, same contract as ann_ivf_persisted).
@@ -686,6 +702,38 @@ object SparkEntry {
       val routed = graft.index.HnswRouted.loadResident(s, path)
       val out = knnResult(routed.probeLocal(embQueries(s, dir, 10), k = 10,
         efSearch = 1 << 20, nprobe = 8))
+      routed.unload()
+      out
+    }),
+    // mass-adaptive routing at the degenerate point: minMass = 1 walks the
+    // centroid ranking until the routed clusters hold the whole corpus =
+    // full fan-out, and the exhaustive beam makes each cluster scan exact →
+    // hash-checked against the same L2 oracle as knn_l2.
+    "ann_hnsw_routed_auto_exact" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-hnsw-rta")
+        .resolve("idx").toString
+      graft.index.HnswRouted.buildAndSave(embBase(s, dir), path, c = 8,
+        kmIters = 3)
+      val routed = graft.index.HnswRouted.loadResident(s, path)
+      val out = knnResult(routed.probeLocalAuto(embQueries(s, dir, 10),
+        k = 10, efSearch = 1 << 20, minMass = 1.0))
+      routed.unload()
+      out
+    }),
+    // mass-adaptive routing at a real operating point: each query probes
+    // nearest clusters until they hold ≥ 3/4 of the corpus — the
+    // population-denominated form of the nprobe knob (per-query probe count
+    // adapts to cluster skew). Approximate → rows-only driver check; the
+    // mass target, recall monotonicity, and skew adaptivity are asserted in
+    // IndexSpec.
+    "ann_hnsw_routed_auto" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-hnsw-rtau")
+        .resolve("idx").toString
+      graft.index.HnswRouted.buildAndSave(embBase(s, dir), path, c = 8,
+        kmIters = 3)
+      val routed = graft.index.HnswRouted.loadResident(s, path)
+      val out = knnResult(routed.probeLocalAuto(embQueries(s, dir, 10),
+        k = 10, efSearch = 64, minMass = 0.75))
       routed.unload()
       out
     }),
@@ -880,6 +928,8 @@ object SparkEntry {
         filterSql = "e.label = q.qlabel AND e.vec_id % 7 = (q.qid * 3 + 1) % 7"),
     // routed graphs at nprobe = C + exhaustive beam: exact brute force
     "ann_hnsw_routed_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // mass-adaptive routing at minMass = 1 + exhaustive beam: exact
+    "ann_hnsw_routed_auto_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     // PQ-ADC with a lossless codebook: exact → same oracle as knn_l2
     "ann_pq_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_pq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
@@ -887,6 +937,8 @@ object SparkEntry {
     "ann_pq_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     // routed resident ADC at nprobe = C + lossless codes: exact
     "ann_ivfadc_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // residual-coded resident ADC at its degenerate point: exact
+    "ann_ivfadc_residual_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_ivfpq_residual_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_ivfpq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "knn_ip" -> knnOracle(10, 10, dotSql, "DESC"),

@@ -25,28 +25,71 @@ import org.apache.spark.storage.StorageLevel
 final class HnswRouted(spark: SparkSession,
                        rdd: RDD[(Int, HnswIndex)],
                        val centroids: Array[(Int, Array[Float])],
-                       ipMetric: Boolean) {
+                       ipMetric: Boolean,
+                       val clusterSizes: Map[Int, Long] = Map.empty) {
 
-  /** Route one query: the `nprobe` cluster ids nearest by the index metric
-    * (L2, or negated dot under ip — MIPS routes to the centroids of max
-    * inner product, the IVF-MIPS convention). Ties break to the lower cid. */
-  private def route(qv: Array[Float], nprobe: Int): Array[Int] =
+  /** Rank every centroid by the index metric (L2, or negated dot under ip —
+    * MIPS routes to the centroids of max inner product, the IVF-MIPS
+    * convention). Ties break to the lower cid. */
+  private def rankCentroids(qv: Array[Float]): Array[(Double, Int)] =
     centroids.map { case (cid, c) =>
       var acc = 0.0; var i = 0
       val n = math.min(qv.length, c.length)
       if (ipMetric) { while (i < n) { acc -= qv(i).toDouble * c(i).toDouble; i += 1 } }
       else { while (i < n) { val d = qv(i).toDouble - c(i).toDouble; acc += d * d; i += 1 } }
       (acc, cid)
-    }.sortBy(identity).take(nprobe).map(_._2)
+    }.sortBy(identity)
+
+  /** Route one query: the `nprobe` nearest cluster ids. */
+  private def route(qv: Array[Float], nprobe: Int): Array[Int] =
+    rankCentroids(qv).take(nprobe).map(_._2)
+
+  /** Mass-adaptive routing: walk centroids in metric order and stop once
+    * the probed clusters hold ≥ `minMass` of the corpus (or `maxNprobe`
+    * clusters, whichever first). A fixed nprobe probes a data-dependent
+    * row count — under cluster skew a query near a giant cluster wastes
+    * probes and a query in a sparse region starves. Population is the
+    * quantity recall actually trades against, so the knob is a corpus
+    * fraction; minMass = 1.0 degenerates to the full fan-out (exact with
+    * an exhaustive beam). Needs `clusterSizes` (loadResident records them;
+    * one aggregate over the node layout). */
+  private[graft] def routeByMass(qv: Array[Float], minMass: Double,
+                                 maxNprobe: Int): Array[Int] = {
+    require(clusterSizes.nonEmpty, "mass routing needs clusterSizes")
+    val total = clusterSizes.valuesIterator.sum.toDouble
+    val ranked = rankCentroids(qv)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var mass = 0.0
+    var i = 0
+    while (i < ranked.length && out.length < maxNprobe &&
+           (out.isEmpty || mass < minMass * total)) {
+      val cid = ranked(i)._2
+      out += cid
+      mass += clusterSizes.getOrElse(cid, 0L).toDouble
+      i += 1
+    }
+    out.toArray
+  }
 
   /** Serving-form batch probe: query array in, (qid, id, dist, rank) out,
     * sorted by (qid, rank). One broadcast + one narrow job per batch; a
     * graph only evaluates the queries routed to it. */
   def probeBatch(qs: Array[(Long, Array[Float])], k: Int, efSearch: Int = 64,
-                 nprobe: Int = 2): Array[(Long, Long, Double, Long)] = {
+                 nprobe: Int = 2): Array[(Long, Long, Double, Long)] =
+    probeRouted(qs, qv => route(qv, nprobe), k, efSearch)
+
+  /** [[probeBatch]] with mass-adaptive routing instead of a fixed nprobe. */
+  def probeBatchAuto(qs: Array[(Long, Array[Float])], k: Int,
+                     efSearch: Int = 64, minMass: Double = 0.5,
+                     maxNprobe: Int = Int.MaxValue): Array[(Long, Long, Double, Long)] =
+    probeRouted(qs, qv => routeByMass(qv, minMass, maxNprobe), k, efSearch)
+
+  private def probeRouted(qs: Array[(Long, Array[Float])],
+                          routeFn: Array[Float] => Array[Int], k: Int,
+                          efSearch: Int): Array[(Long, Long, Double, Long)] = {
     val byPart = scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
     qs.iterator.zipWithIndex.foreach { case ((_, qv), qi) =>
-      route(qv, nprobe).foreach { cid =>
+      routeFn(qv).foreach { cid =>
         byPart.getOrElseUpdate(cid, scala.collection.mutable.ArrayBuffer.empty) += qi
       }
     }
@@ -78,6 +121,18 @@ final class HnswRouted(spark: SparkSession,
     val qs = queries.select(col("qid").cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect()
     spark.createDataFrame(probeBatch(qs, k, efSearch, nprobe).toSeq)
+      .toDF("qid", "id", "dist", "rank")
+  }
+
+  /** [[probeBatchAuto]] with DataFrame plumbing on both ends. */
+  def probeLocalAuto(queries: DataFrame, k: Int, efSearch: Int = 64,
+                     minMass: Double = 0.5,
+                     maxNprobe: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    val qs = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect()
+    spark.createDataFrame(
+      probeBatchAuto(qs, k, efSearch, minMass, maxNprobe).toSeq)
       .toDF("qid", "id", "dist", "rank")
   }
 
@@ -139,6 +194,10 @@ object HnswRouted {
     val centroids = spark.read.parquet(path + ".centroids")
       .select(col("cid").cast("int"), col("cvec"))
       .as[(Int, Array[Float])].collect().sortBy(_._1)
-    new HnswRouted(spark, rdd, centroids, metric == "ip")
+    // cluster populations for mass-adaptive routing: one aggregate over the
+    // partition column — parquet answers it from footer row counts
+    val sizes = spark.read.parquet(path).groupBy(col("part"))
+      .count().as[(Int, Long)].collect().toMap
+    new HnswRouted(spark, rdd, centroids, metric == "ip", sizes)
   }
 }

@@ -33,9 +33,12 @@ final case class IvfAdcShard(
 final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
                            cb: Pq.Codebook,
                            centroids: Array[(Int, Array[Float])],
-                           metric: String) {
+                           metric: String,
+                           residual: Boolean = false) {
 
   def numClusters: Int = centroids.length
+
+  private lazy val centMap: Map[Int, Array[Float]] = centroids.toMap
 
   /** Route one query: the `nprobe` nearest centroids by L2 (the coarse
     * quantizer's own metric, as in faiss). */
@@ -57,13 +60,28 @@ final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
     require(rerank >= k, s"rerank $rerank must be >= k $k")
     val stride = cb.stride
     val ip = metric == Metric.Ip
+    // residual mode: codes quantize (x − c), so the LUT must be built from
+    // the query's residual against EACH routed centroid — one LUT per
+    // (query, routed cluster), nq·nprobe·m·stride doubles, still broadcast-
+    // sized. Plain mode shares one LUT across the routes.
     val routed = qs.map { case (qid, qv) =>
-      (qid, qv, Pq.lutLocal(qv, cb, metric), route(qv, nprobe))
+      val cids = route(qv, nprobe)
+      val luts: Array[Array[Double]] =
+        if (residual) cids.map { cid =>
+          val cv = centMap(cid)
+          val rq = new Array[Float](qv.length)
+          var i = 0
+          val n = math.min(qv.length, cv.length)
+          while (i < n) { rq(i) = qv(i) - cv(i); i += 1 }
+          Pq.lutLocal(rq, cb, metric)
+        }
+        else { val l = Pq.lutLocal(qv, cb, metric); Array.fill(cids.length)(l) }
+      (qid, qv, luts, cids)
     }
     val bq = spark.sparkContext.broadcast(routed)
     val local = rdd.flatMap { shard =>
       val m = shard.m
-      bq.value.iterator.flatMap { case (qid, qv, lut, cids) =>
+      bq.value.iterator.flatMap { case (qid, qv, luts, cids) =>
         val r = rerank
         val bd = new Array[Double](r)
         val bId = new Array[Long](r)
@@ -71,6 +89,7 @@ final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
         var filled = 0
         var ci = 0
         while (ci < cids.length) {
+          val lut = luts(ci)
           shard.clusters.get(cids(ci)) match {
             case Some((ids, codes, vecs)) =>
               val n = ids.length
@@ -142,16 +161,41 @@ object ResidentIvfAdc {
     * pin cluster-grouped code shards resident. Build once, probe many. */
   def load(base: DataFrame, ivf: IvfIndex, cb: Pq.Codebook,
            numPartitions: Int, metric: String = Metric.L2): ResidentIvfAdc = {
-    val spark = base.sparkSession
+    val rows = ivf.assigned.select(col("id").cast("long"), col("cid").cast("int"))
+      .join(base.select(col("id").cast("long"), col("vec")), "id")
+    fromCoded(Pq.encode(rows, cb), ivf, cb, numPartitions, metric,
+      residual = false)
+  }
+
+  /** Serve faiss's TRUE IVFPQ composition resident: `idx`'s codes quantize
+    * each row's residual against its cluster centroid (residuals
+    * concentrate near zero — a fixed code budget quantizes them much
+    * finer than raw vectors), probes build one LUT per (query, routed
+    * cluster). Reuses the already-encoded [[IvfPq.IvfPqIndex]] codes —
+    * loading is a join, not a re-encode. L2 only, like
+    * [[IvfPq.knnResidual]]: the residual identity ‖(q−c)−(x−c)‖ = ‖q−x‖
+    * has no ip analog here. With a lossless residual codebook + nprobe = C
+    * the probe is EXACT (the degenerate-point hash gate). */
+  def loadResidual(base: DataFrame, idx: IvfPq.IvfPqIndex,
+                   numPartitions: Int): ResidentIvfAdc = {
+    val coded = idx.codes
+      .select(col("id").cast("long"), col("cid").cast("int"), col("codes"))
+      .join(base.select(col("id").cast("long"), col("vec")), "id")
+    fromCoded(coded, idx.ivf, idx.cb, numPartitions, Metric.L2,
+      residual = true)
+  }
+
+  private def fromCoded(coded: DataFrame, ivf: IvfIndex, cb: Pq.Codebook,
+                        numPartitions: Int, metric: String,
+                        residual: Boolean): ResidentIvfAdc = {
+    val spark = coded.sparkSession
     import spark.implicits._
     val m = cb.m
     val cents = ivf.centroids
       .select(col("cid").cast("int"), col("cvec")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    val rows = ivf.assigned.select(col("id").cast("long"), col("cid").cast("int"))
-      .join(base.select(col("id").cast("long"), col("vec")), "id")
-    val rdd = Pq.encode(rows, cb)
+    val rdd = coded
       .select(col("id"), col("cid"), col("vec"), col("codes"))
       .repartition(numPartitions, col("id"))
       .as[(Long, Int, Array[Float], Array[Short])].rdd
@@ -170,6 +214,6 @@ object ResidentIvfAdc {
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     rdd.count() // materialize before the first probe
-    new ResidentIvfAdc(spark, rdd, cb, cents, metric)
+    new ResidentIvfAdc(spark, rdd, cb, cents, metric, residual)
   }
 }

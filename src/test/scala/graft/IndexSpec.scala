@@ -279,6 +279,57 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     routed.unload()
   }
 
+  test("mass-adaptive routing: exact at minMass=1, mass target met, recall monotone") {
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw-rta")
+      .resolve("idx").toString
+    HnswRouted.buildAndSave(base, path, c = 8, kmIters = 2)
+    val routed = HnswRouted.loadResident(spark, path)
+    // loadResident records cluster populations; they partition the corpus
+    assert(routed.clusterSizes.values.sum === base.count())
+    // minMass = 1 + exhaustive beam: full fan-out = brute force
+    val got = routed.probeLocalAuto(queries, 10, efSearch = 1 << 20, minMass = 1.0)
+      .select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    val t = truth.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(got === t)
+    // every route reaches the mass target (no cap in the way)
+    val total = routed.clusterSizes.values.sum.toDouble
+    val qs = queries.select($"qid".cast("long"), $"qvec")
+      .as[(Long, Array[Float])].collect()
+    qs.foreach { case (_, qv) =>
+      val r = routed.routeByMass(qv, 0.5, Int.MaxValue)
+      val mass = r.map(routed.clusterSizes.getOrElse(_, 0L)).sum.toDouble
+      assert(mass >= 0.5 * total, s"routed mass $mass < half of $total")
+    }
+    // maxNprobe caps the walk even short of the mass target
+    assert(routed.routeByMass(qs.head._2, 1.0, 2).length === 2)
+    // recall trades monotonically against the mass knob, like nprobe
+    def r(mm: Double) = Recall.mean(
+      routed.probeLocalAuto(queries, 10, efSearch = 64, minMass = mm), truth, 10)
+    val (lo, hi) = (r(0.3), r(0.9))
+    assert(hi >= lo, s"recall must not decrease with mass: $lo -> $hi")
+    assert(hi >= 0.9, s"minMass=0.9 recall $hi")
+    routed.unload()
+  }
+
+  test("mass routing adapts the probe count to cluster skew") {
+    // routing is a pure function of (centroids, sizes) — pin a skewed
+    // layout directly: one giant cluster at the origin, a tail of small
+    // ones marching away. A fixed nprobe over-probes queries near the
+    // giant and starves queries in the tail; the mass walk adapts.
+    val centroids = Array.tabulate(4)(c => (c, Array.fill(4)(10f * c)))
+    val sizes = Map(0 -> 900L, 1 -> 50L, 2 -> 30L, 3 -> 20L)
+    val routed = new HnswRouted(spark,
+      spark.sparkContext.emptyRDD[(Int, HnswIndex)], centroids,
+      ipMetric = false, clusterSizes = sizes)
+    // near the giant: its 90% mass clears the target in one probe
+    val nBlob = routed.routeByMass(Array.fill(4)(0f), 0.4, Int.MaxValue).length
+    // deep in the tail: 20 + 30 + 50 of 1000 never reach 40% — the walk
+    // must run all the way back to the giant
+    val nOut = routed.routeByMass(Array.fill(4)(30f), 0.4, Int.MaxValue).length
+    assert(nBlob === 1, s"blob probes $nBlob")
+    assert(nOut === 4, s"outlier probes $nOut")
+  }
+
   test("routed graphs under ip route by max inner product and stay exact at the degenerate point") {
     val path = java.nio.file.Files.createTempDirectory("graft-hnsw-rtip")
       .resolve("idx").toString

@@ -176,6 +176,38 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     } finally served.unload()
   }
 
+  test("residual resident ADC: exact at nprobe=C lossless; lossy residual codes beat raw codes at equal budget") {
+    val truth = Knn.knnJoin(queries, base, 10, Metric.L2)
+    // lossless residual codebook + full routing: the per-(query, cluster)
+    // residual LUTs must reproduce brute force rank-for-rank
+    val idxL = IvfPq.buildResidual(base, c = 8, iters = 3, m = 4, ksub = 0,
+      lossless = true)
+    val servedL = graft.index.ResidentIvfAdc.loadResidual(base, idxL,
+      numPartitions = 4)
+    try assert(ids(servedL.probeLocal(queries, 10, servedL.numClusters, 20)) ===
+      ids(truth))
+    finally servedL.unload()
+    // trained codes at a tight budget: residuals concentrate near zero, so
+    // residual codes carry more information than raw-vector codes from the
+    // same (m, ksub) — serving recall must reflect that ordering
+    val idx = IvfPq.buildResidual(base, c = 8, iters = 3, m = 4, ksub = 16)
+    val served = graft.index.ResidentIvfAdc.loadResidual(base, idx,
+      numPartitions = 4)
+    val cbRaw = Pq.train(base, m = 4, ksub = 16, iters = 3)
+    val servedRaw = graft.index.ResidentIvfAdc.load(base, idx.ivf, cbRaw,
+      numPartitions = 4)
+    try {
+      val rRes = Recall.mean(
+        served.probeLocal(queries, 10, served.numClusters, rerank = 20),
+        truth, 10)
+      val rRaw = Recall.mean(
+        servedRaw.probeLocal(queries, 10, served.numClusters, rerank = 20),
+        truth, 10)
+      assert(rRes >= rRaw, s"residual $rRes < raw $rRaw at equal budget")
+      assert(rRes >= 0.9, s"residual served recall $rRes")
+    } finally { served.unload(); servedRaw.unload() }
+  }
+
   test("ADC invariant: distance equals exact distance to the PQ reconstruction") {
     // the property that DEFINES ADC: for any query and any coded row,
     // gathering the LUT by the row's codes must equal the true distance
