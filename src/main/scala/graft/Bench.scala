@@ -211,7 +211,7 @@ object Bench {
     // this one is near-uniform), so the reported operating point is the
     // measured nprobe that clears 0.9 recall — the knob, its cost, and its
     // recall are all explicit.
-    def routedQps(sweepNprobes: Seq[Int] = Seq.empty): (Double, Double, Double, Seq[(Int, Double, Double)]) = {
+    def routedQps(sweepNprobes: Seq[Int] = Seq.empty): (Double, Double, Double, Seq[(Int, Double, Double)], Double, Double, Double, Seq[(Int, Double, Double)]) = {
       val path = java.nio.file.Files.createTempDirectory("graft-bench-rt")
         .resolve("idx").toString
       val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -238,8 +238,25 @@ object Bench {
           routed.probeLocal(queries, 10, 32, nprobe = np), truth, 10)
         (np, sv, r)
       }
+      // mass-adaptive routing on the same index: the knob is a corpus
+      // fraction, so per-query probe counts adapt to cluster skew instead
+      // of over/under-probing at a fixed nprobe. Swept over minMass (per
+      // cent, to keep the sweep schema integer-knobbed like the others).
+      val (autoV, autoSp) = qpsBatch(() =>
+        routed.probeBatchAuto(qs, k = 10, efSearch = 32, minMass = 0.75).length)
+      val autoRecall = operators.Recall.mean(
+        routed.probeLocalAuto(queries, 10, 32, minMass = 0.75), truth, 10)
+      val autoSweep = Seq(50, 75, 90).map { pct =>
+        val mm = pct / 100.0
+        val (sv, _) = qpsBatch(() =>
+          routed.probeBatchAuto(qs, k = 10, efSearch = 32, minMass = mm).length,
+          nRuns = 5)
+        val r = operators.Recall.mean(
+          routed.probeLocalAuto(queries, 10, 32, minMass = mm), truth, 10)
+        (pct, sv, r)
+      }
       routed.unload()
-      (v, sp, recall, sweep)
+      (v, sp, recall, sweep, autoV, autoSp, autoRecall, autoSweep)
     }
     // serving UNDER MUTATION — the steady state of the streaming track
     // between consolidations: a resident generation probed with a live
@@ -324,10 +341,34 @@ object Bench {
       served.unload()
       (v, sp, recall)
     }
+    // residual variant of the same composition — faiss's TRUE IVFPQ (codes
+    // quantize x − centroid, per-(query, cluster) LUTs). Same knobs as the
+    // raw-coded row above so the two are directly comparable: the residual
+    // codes buy recall at the same (m, ksub) byte budget.
+    val (ivfAdcResQps, ivfAdcResSpread, ivfAdcResRecall) = {
+      import spark.implicits._
+      val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val idx = index.IvfPq.buildResidual(base, c = 8, iters = 3, m = 8,
+        ksub = 32)
+      val served = index.ResidentIvfAdc.loadResidual(base, idx,
+        numPartitions = 8)
+      val queries = emb.where(col("vec_id") < nq)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val qs = queries.select(col("qid").cast("long"), col("qvec"))
+        .as[(Long, Array[Float])].collect()
+      val (v, sp) = qpsBatch(() =>
+        served.probeBatch(qs, k = 10, nprobe = 6, rerank = 40).length)
+      val truth = operators.Knn.knnJoin(queries, base, 10, operators.Metric.L2)
+      val recall = operators.Recall.mean(
+        served.probeLocal(queries, 10, nprobe = 6, rerank = 40), truth, 10)
+      served.unload()
+      (v, sp, recall)
+    }
     val (annQps, annSpread, annRecall, annSweep) =
       residentQps("l2", sweepEfs = Seq(8, 16, 32))
     val (annIpQps, annIpSpread, annIpRecall, _) = residentQps("ip")
-    val (rtQps, rtSpread, rtRecall, rtSweep) =
+    val (rtQps, rtSpread, rtRecall, rtSweep,
+         rtaQps, rtaSpread, rtaRecall, rtaSweep) =
       routedQps(sweepNprobes = Seq(4, 6, 8))
     val (mutQps, mutSpread, mutRecall) = mutatedQps()
     // streaming track (BASELINE row 4's unit — checkpoint recall + wall
@@ -365,9 +406,9 @@ object Bench {
       pts.map { case (v, q, r) =>
         s"""{"$knob":$v,"qps":$q,"recall":$r}""" }.mkString("[", ",", "]")
     val sweep =
-      s"""{"ann_hnsw_probe":${sweepJson("efSearch", annSweep)},"sparse_budget_served":${sweepJson("m", sparseSweep)},"ann_hnsw_probe_routed":${sweepJson("nprobe", rtSweep)},"ann_adc_served":${sweepJson("rerank", adcSweep)}}"""
+      s"""{"ann_hnsw_probe":${sweepJson("efSearch", annSweep)},"sparse_budget_served":${sweepJson("m", sparseSweep)},"ann_hnsw_probe_routed":${sweepJson("nprobe", rtSweep)},"ann_hnsw_probe_routed_auto":${sweepJson("minMassPct", rtaSweep)},"ann_adc_served":${sweepJson("rerank", adcSweep)}}"""
     val qpsJson =
-      s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"sparse_budget_served":$sparseServedQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"ann_hnsw_probe_mutated":$mutQps,"ann_adc_served":$adcQps,"ann_ivfadc_served":$ivfAdcQps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"sparse_budget_served":$sparseServedSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread,"ann_hnsw_probe_mutated":$mutSpread,"ann_adc_served":$adcSpread,"ann_ivfadc_served":$ivfAdcSpread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall},"sweep":$sweep,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
+      s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"sparse_budget_served":$sparseServedQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"ann_hnsw_probe_routed_auto":$rtaQps,"ann_hnsw_probe_mutated":$mutQps,"ann_adc_served":$adcQps,"ann_ivfadc_served":$ivfAdcQps,"ann_ivfadc_residual_served":$ivfAdcResQps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"sparse_budget_served":$sparseServedSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread,"ann_hnsw_probe_routed_auto":$rtaSpread,"ann_hnsw_probe_mutated":$mutSpread,"ann_adc_served":$adcSpread,"ann_ivfadc_served":$ivfAdcSpread,"ann_ivfadc_residual_served":$ivfAdcResSpread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall},"sweep":$sweep,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qpsJson,"sf":"$sfDir"}"""
     // stdout scraping truncated BENCH_r04's tail mid-JSON ("parsed": null):
