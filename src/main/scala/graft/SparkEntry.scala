@@ -149,6 +149,10 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       Text.repetition(Tables.documents(s, dir), n = 2)),
     "text_fingerprint" -> ((s, dir) => Text.fingerprint(Tables.documents(s, dir))),
+    // corpus-trained bigram-LM familiarity (the CCNet-style quality signal,
+    // count-mean surrogate → ratio-of-integers, oracle-exact)
+    "text_lm_familiarity" -> ((s, dir) =>
+      Text.lmFamiliarity(Tables.documents(s, dir))),
     "text_tokens_bpe" -> ((s, dir) => Text.bpeishCounts(Tables.documents(s, dir))),
 
     // -- dedup family (training-data pipeline ops) ---------------------------
@@ -475,6 +479,21 @@ object SparkEntry {
       knnResult(graft.index.Pq.adcKnn(
         embQueries(s, dir, 10), b, cb, k = 10, rerank = 20))
     }),
+    // OPQ-style rotated PQ (Ge et al. CVPR'13 eigenvalue allocation) at its
+    // exact-degenerate point: the ADC scan runs in PCA-rotated space, the
+    // re-rank recomputes original-space distances, and the lossless rotated
+    // codebook makes the rotated scan exact — so the top-k hash-matches the
+    // same brute-force oracle as knn_l2. Gates the covariance pass, the
+    // driver-local eigendecomposition, the allocator, and the rotated
+    // encode/LUT plumbing end to end; the recall BENEFIT of rotation on a
+    // correlated corpus is OpqSpec's job (this synthetic corpus is
+    // near-uniform, where rotation is a no-op by design).
+    "ann_opq_exact" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val (rot, cb) = graft.index.Opq.trainRotatedLossless(b, m = 4)
+      knnResult(graft.index.Opq.adcKnnRotated(
+        embQueries(s, dir, 10), b, rot, cb, k = 10, rerank = 20))
+    }),
     // X8's second half — hot tag-PAIR subindexes (faiss.py:268-337 builds
     // pair indexes too): every co-occurring pair gets a graph over docs
     // holding BOTH tags; 2-tag queries route to their pair's graph and at
@@ -557,6 +576,16 @@ object SparkEntry {
       val q = embQueries(s, dir, 10)
       val cb = graft.index.Pq.train(b, m = 8, ksub = 32, iters = 3)
       val got = graft.index.Pq.adcKnn(q, b, cb, k = 10, rerank = 100)
+      Recall.perQuery(got, Knn.knnJoin(q, b, 10, Metric.L2), 10)
+    }),
+    // trained OPQ at the same (m, ksub, rerank) budget as recall_pq — the
+    // two reports side by side show what the rotation buys on THIS corpus
+    // (near-uniform synthetic: little; OpqSpec's correlated corpus: a lot)
+    "recall_opq" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val q = embQueries(s, dir, 10)
+      val (rot, cb) = graft.index.Opq.trainRotated(b, m = 8, ksub = 32, iters = 3)
+      val got = graft.index.Opq.adcKnnRotated(q, b, rot, cb, k = 10, rerank = 100)
       Recall.perQuery(got, Knn.knnJoin(q, b, 10, Metric.L2), 10)
     }),
     // residual-encoded IVF-PQ (faiss's true IVFPQ: codes quantize the
@@ -932,6 +961,9 @@ object SparkEntry {
     "ann_hnsw_routed_auto_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     // PQ-ADC with a lossless codebook: exact → same oracle as knn_l2
     "ann_pq_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // rotated (OPQ) ADC, lossless rotated codebook + original-space
+    // re-rank: exact → same oracle as knn_l2
+    "ann_opq_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_pq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     // resident-ADC serving with the lossless codebook: exact, same oracle
     "ann_pq_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
@@ -1027,6 +1059,20 @@ object SparkEntry {
          |       max_hits
          |FROM mx
          |""".stripMargin,
+    "text_lm_familiarity" ->
+      """WITH g AS (SELECT doc_id,
+        |           unnest(list_transform(range(1, len(l)),
+        |                  i -> array_to_string(l[i:i+1], ' '))) AS gram
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+        |model AS (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1),
+        |dg AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf
+        |       FROM g GROUP BY 1, 2)
+        |SELECT dg.doc_id,
+        |       CAST(sum(dg.tf) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(dg.tf * model.c) AS BIGINT) AS fam_sum,
+        |       CAST((100 * sum(dg.tf * model.c)) // sum(dg.tf) AS BIGINT) AS centi_fam
+        |FROM dg JOIN model USING (gram) GROUP BY dg.doc_id
+        |""".stripMargin,
     "text_repetition" ->
       """WITH g AS (SELECT doc_id,
         |           unnest(list_transform(range(1, len(l)),
