@@ -72,6 +72,39 @@ object Text {
       .withColumn("rep_bp", expr("(10000 * top_tf) div n_grams"))
   }
 
+  /** Corpus-trained bigram-LM familiarity — the CCNet-shaped quality
+    * signal (Wenzek et al. 2019 bucket documents by LM perplexity; the
+    * public recipe trains the LM on a reference corpus): train bigram
+    * counts over the corpus in one keyed agg, then score each document by
+    * the MEAN CORPUS FREQUENCY of its word transitions. High = common,
+    * fluent/boilerplate transitions; low = rare transitions (garbled text,
+    * noise, off-domain). The count-mean surrogate keeps the score a ratio
+    * of integers (`centi_fam` via integer division) so the driver's
+    * cross-engine hash compare is exact — a true log-perplexity would put
+    * a transcendental in the gate; the RANKING use (threshold/bucket docs)
+    * is the same. Docs under 2 tokens have no transitions and drop out
+    * (same convention as [[repetition]]).
+    *
+    * Scale shape: the bigram vocabulary is corpus-sized, so the model
+    * table JOINS on gram (shuffle both sides), never broadcasts; both
+    * inputs are keyed counts with map-side partial aggregation, and the
+    * per-doc reduce is a second keyed agg — no all-pairs, no driver state. */
+  def lmFamiliarity(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = docs.select(col("doc_id"),
+      explode(when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val model = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+    val docGrams = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    docGrams.join(model, "gram")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("c")).as("fam_sum"))
+      .withColumn("centi_fam", expr("(100 * fam_sum) div n_bigrams"))
+  }
+
   /** Stopword list shared with the oracle SQL. */
   val StopWords: Seq[String] = Seq("the", "a")
 

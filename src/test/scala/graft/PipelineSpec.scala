@@ -93,6 +93,35 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     rep.unpersist()
   }
 
+  test("lmFamiliarity: handcrafted scores and ranking behavior") {
+    // corpus: "a b" appears in docs 1 and 2 (3 occurrences total), every
+    // other transition once — docs made of common transitions score high
+    val tiny = Seq(
+      (1L, "a b a b"),   // grams: ab, ba, ab → fam (3+1+3)/3
+      (2L, "a b"),       // gram: ab → fam 3/1
+      (3L, "p q"),       // gram: pq → fam 1/1
+      (4L, "z"))         // < 2 tokens → drops out
+      .toDF("doc_id", "text")
+    val r = graft.operators.Text.lmFamiliarity(tiny)
+      .select($"doc_id", $"n_bigrams", $"fam_sum", $"centi_fam")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) === ((1L, 3L, 7L, 233L)))
+    assert(r(2L) === ((2L, 1L, 3L, 300L)))
+    assert(r(3L) === ((3L, 1L, 1L, 100L)))
+    assert(!r.contains(4L))
+    // the common-transition docs outrank the rare-transition doc — the
+    // thresholding use a CCNet-style quality funnel puts it to
+    assert(r(2L)._4 > r(3L)._4 && r(1L)._4 > r(3L)._4)
+    // corpus invariants: every score ≥ 100 (each gram counts itself),
+    // and docs with ≥2 tokens are all present
+    val fam = graft.operators.Text.lmFamiliarity(docs).cache()
+    assert(fam.where($"centi_fam" < 100).count() === 0)
+    val withGrams = graft.operators.Text.tokenStats(docs)
+      .where($"n_tokens" >= 2)
+    assert(fam.count() === withGrams.count())
+    fam.unpersist()
+  }
+
   test("distributed prefix-sum packing equals the single-window form exactly") {
     // packShards composes per-partition offsets (two-pass distributed
     // prefix sum); the single-task global window is the semantic reference
