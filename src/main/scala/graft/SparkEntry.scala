@@ -522,6 +522,19 @@ object SparkEntry {
       try knnResult(served.probeLocal(embQueries(s, dir, 10), 10, rerank = 20))
       finally served.unload()
     }),
+    // the OPQ rotation served resident: shards hold rotated codes + the
+    // ORIGINAL floats, probes build rotated LUTs and re-rank original-space
+    // — lossless rotated codebook ⇒ hash-matches brute force (the same
+    // degenerate-point contract as ann_pq_served_exact, with the rotation
+    // plumbing in the loop).
+    "ann_opq_served_exact" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val (rot, cb) = graft.index.Opq.trainRotatedLossless(b, m = 4)
+      val served = graft.index.ResidentAdc.loadRotated(b, rot, cb,
+        numPartitions = 4)
+      try knnResult(served.probeLocal(embQueries(s, dir, 10), 10, rerank = 20))
+      finally served.unload()
+    }),
     // the reference BASELINE's full composition (IVF coarse route × in-RAM
     // codes × float refine, config.yaml:50-53) served resident, at its
     // exact-degenerate point: nprobe = C scans every cluster, the lossless
@@ -599,6 +612,28 @@ object SparkEntry {
       knnResult(graft.index.IvfPq.knnResidual(embQueries(s, dir, 10), b,
         k = 10, c = 8, iters = 2, nprobe = 8, m = 4, ksub = 0, rerank = n,
         lossless = true))
+    }),
+    // faiss's full OPQ...IVFPQ chain (OPQ pre-transform, then IVF + residual
+    // codes IN THE ROTATED SPACE) at its degenerate point: the rotated
+    // residual probe supplies candidates, the final re-rank recomputes
+    // ORIGINAL-space distances, and with a lossless residual codebook +
+    // nprobe = C the top-k hash-matches the brute-force oracle. Gates the
+    // three-stage composition (rotate → route → residual-code) end to end.
+    "ann_opq_ivfpq_exact" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val q = embQueries(s, dir, 10)
+      val rot = graft.index.Opq.trainRotation(b, m = 4)
+      val rbase = b.select(col("id"), graft.index.Opq.rotateCol(rot, col("vec")).as("vec"))
+      val rq = q.select(col("qid"), graft.index.Opq.rotateCol(rot, col("qvec")).as("qvec"))
+      val idx = graft.index.IvfPq.buildResidual(rbase, c = 8, iters = 2,
+        m = 4, ksub = 0, lossless = true)
+      val cand = idx.probe(rq, rbase, k = 20, nprobe = 8, rerank = 20)
+        .select("qid", "id")
+      val exact = cand
+        .join(b.select(col("id"), col("vec")), "id")
+        .join(broadcast(q.select(col("qid"), col("qvec"))), "qid")
+        .withColumn("dist", Metric.distColumn(Metric.L2, col("qvec"), col("vec")))
+      knnResult(TopK.aggTopK(exact, "qid", "id", "dist", 10))
     }),
     // the residual composition persisted and reloaded through the registry
     // (S7 parity for IVFPQ): persistence must not change the exact result.
@@ -973,6 +1008,11 @@ object SparkEntry {
     "ann_ivfadc_residual_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_ivfpq_residual_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_ivfpq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // OPQ rotation in front of the residual IVFPQ chain, original-space
+    // re-rank at the degenerate point: exact
+    "ann_opq_ivfpq_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // rotated codes served resident, original-space re-rank: exact
+    "ann_opq_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "knn_ip" -> knnOracle(10, 10, dotSql, "DESC"),
     // IVF probed exhaustively under ip: same oracle as knn_ip
     "ann_ivf_ip" -> knnOracle(10, 10, dotSql, "DESC"),

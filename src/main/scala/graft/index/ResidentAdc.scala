@@ -36,7 +36,8 @@ final case class AdcShard(ids: Array[Long], codes: Array[Short], m: Int,
   * queries broadcast; k·nq·P candidates fan in (tree-merged past 64
   * shards). */
 final class ResidentAdc(spark: SparkSession, rdd: RDD[AdcShard],
-                        cb: Pq.Codebook, metric: String) {
+                        cb: Pq.Codebook, metric: String,
+                        rot: Option[Opq.Rotation] = None) {
 
   /** Serving-form batch probe: (qid, qvec) rows in, (qid, id, dist, rank)
     * out, dist = the exact metric distance of the re-ranked rows, ordering
@@ -47,8 +48,13 @@ final class ResidentAdc(spark: SparkSession, rdd: RDD[AdcShard],
     val stride = cb.stride
     val ip = metric == Metric.Ip
     // per-query LUTs prepared once per batch, client-side (the reference
-    // computes its query-side tables outside the scan too)
-    val luts = qs.map { case (qid, qv) => (qid, qv, Pq.lutLocal(qv, cb, metric)) }
+    // computes its query-side tables outside the scan too). Under an OPQ
+    // rotation the LUT is built from the ROTATED query (codes live in the
+    // rotated space) while qv stays original — the re-rank floats are
+    // original-space, so rotation never touches the reported distances.
+    val luts = qs.map { case (qid, qv) =>
+      (qid, qv, Pq.lutLocal(rot.map(_(qv)).getOrElse(qv), cb, metric))
+    }
     val bq = spark.sparkContext.broadcast(luts)
     val local = rdd.flatMap { shard =>
       val m = shard.m
@@ -121,11 +127,34 @@ object ResidentAdc {
   /** Encode `base` = (id, vec) with `cb` and pin code+float shards
     * resident. Build once, probe many. */
   def load(base: DataFrame, cb: Pq.Codebook, numPartitions: Int,
-           metric: String = Metric.L2): ResidentAdc = {
+           metric: String = Metric.L2): ResidentAdc =
+    loadImpl(base, cb, numPartitions, metric, rot = None)
+
+  /** [[load]] with an OPQ rotation: shards hold ROTATED codes (what the
+    * gather-scan reads) next to the ORIGINAL floats (what the re-rank
+    * reads), so served answers carry original-space distances — with a
+    * lossless rotated codebook they hash-match brute force exactly, the
+    * same contract as the unrotated ann_pq_served_exact gate. Works for ip
+    * too (an orthonormal rotation preserves inner products). */
+  def loadRotated(base: DataFrame, rot: Opq.Rotation, cb: Pq.Codebook,
+                  numPartitions: Int, metric: String = Metric.L2): ResidentAdc =
+    loadImpl(base, cb, numPartitions, metric, rot = Some(rot))
+
+  private def loadImpl(base: DataFrame, cb: Pq.Codebook, numPartitions: Int,
+                       metric: String, rot: Option[Opq.Rotation]): ResidentAdc = {
     val spark = base.sparkSession
     import spark.implicits._
     val m = cb.m
-    val rdd = Pq.encode(base.select(col("id").cast("long"), col("vec")), cb)
+    val coded = rot match {
+      case Some(r) =>
+        // encode the rotated view, keep the original floats for the refine
+        Pq.encode(base.select(col("id").cast("long"),
+            Opq.rotateCol(r, col("vec")).as("vec"), col("vec").as("ovec")), cb)
+          .select(col("id"), col("ovec").as("vec"), col("codes"))
+      case None =>
+        Pq.encode(base.select(col("id").cast("long"), col("vec")), cb)
+    }
+    val rdd = coded
       .select(col("id"), col("vec"), col("codes"))
       .repartition(numPartitions, col("id"))
       .as[(Long, Array[Float], Array[Short])].rdd
@@ -141,6 +170,6 @@ object ResidentAdc {
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     rdd.count() // materialize before the first probe
-    new ResidentAdc(spark, rdd, cb, metric)
+    new ResidentAdc(spark, rdd, cb, metric, rot)
   }
 }

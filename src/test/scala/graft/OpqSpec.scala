@@ -88,6 +88,23 @@ class OpqSpec extends AnyFunSuite with SparkSuite {
     assert(ids(got) === ids(truth))
   }
 
+  test("rotated resident ADC equals brute force at the lossless point (original-space distances)") {
+    val (rot, cb) = Opq.trainRotatedLossless(base, m = 4)
+    val served = graft.index.ResidentAdc.loadRotated(base, rot, cb,
+      numPartitions = 4)
+    try {
+      val got = served.probeLocal(queries, 10, rerank = 20)
+      val truth = Knn.knnJoin(queries, base, 10, Metric.L2)
+      assert(ids(got) === ids(truth))
+      // the reported distances are original-space: bit-equal to the exact kernel
+      val gd = got.select(col("qid").cast("long"), col("id").cast("long"), col("dist"))
+        .as[(Long, Long, Double)].collect().map { case (q, i, d) => ((q, i), d) }.toMap
+      val td = truth.select(col("qid").cast("long"), col("id").cast("long"), col("dist"))
+        .as[(Long, Long, Double)].collect().map { case (q, i, d) => ((q, i), d) }.toMap
+      assert(gd === td)
+    } finally served.unload()
+  }
+
   test("on a cross-subspace-correlated corpus, rotated codes beat raw codes at equal budget") {
     // x(i) = z(i mod 8)·8 + noise: every subspace of the raw layout sees
     // the SAME 8 latent coordinates, so plain PQ re-encodes identical
