@@ -72,6 +72,13 @@ object SparkEntry {
     // J1+J5: exact brute-force L2 top-k join (ood/filter exact path).
     "knn_l2" -> ((s, dir) =>
       knnResult(Knn.knnJoin(embQueries(s, dir, 10), embBase(s, dir), 10, Metric.L2))),
+    // exact range search (faiss range_search shape): data-dependent answer
+    // size, filter evaluated on the scored join, no top-k state. The
+    // boundary compare is safe cross-engine because both engines compute
+    // the identical double sum (the rank gates already prove bit-equality).
+    "knn_range" -> ((s, dir) =>
+      knnResult(Knn.rangeJoin(embQueries(s, dir, 10), embBase(s, dir),
+        radius = 1.5, Metric.L2))),
 
     // J6-style dense MIPS top-k.
     "knn_ip" -> ((s, dir) =>
@@ -578,6 +585,23 @@ object SparkEntry {
       knnResult(graft.index.VectorIndex.load(s, path, rerank = 20)
         .probe(embQueries(s, dir, 10), 10))
     }),
+    // the OPQ family through the registry: rotation + codebook + rotated
+    // codes saved, reloaded by kind dispatch, probed — persistence must not
+    // change the exact result (S7/X4 parity, same contract as the pq row).
+    "ann_opq_persisted_exact" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val (rot, cb) = graft.index.Opq.trainRotatedLossless(b, m = 4)
+      val rotated = b.select(col("id"),
+        graft.index.Opq.rotateCol(rot, col("vec")).as("vec"))
+      val idx = new graft.index.OpqVectorIndex(s, rot, cb,
+        graft.index.Pq.encode(rotated, cb).select("id", "codes"), b,
+        rerank = 20)
+      val path = java.nio.file.Files.createTempDirectory("graft-opq")
+        .resolve("idx").toString
+      idx.save(path)
+      knnResult(graft.index.VectorIndex.load(s, path, rerank = 20)
+        .probe(embQueries(s, dir, 10), 10))
+    }),
     // PQ at a real operating point (m=8 × ksub=32 codebooks, 3 Lloyd
     // iters, exact re-rank of 100) — recall-graded rows-only; the threshold
     // is asserted in PqSpec. These near-uniform synthetic embeddings are
@@ -974,6 +998,18 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |""".stripMargin,
     "knn_l2" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // range search: all rows within squared-L2 1.5, ranked per query
+    "knn_range" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 10),
+         |pairs AS (SELECT q.qid, e.vec_id AS nid,
+         |                 unnest(e.embedding) AS x, unnest(q.qv) AS y
+         |          FROM embeddings e CROSS JOIN q),
+         |scored AS (SELECT qid, nid, $l2Sql AS d FROM pairs GROUP BY qid, nid)
+         |SELECT qid, nid AS neighbor_id,
+         |       row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid) AS rank
+         |FROM scored WHERE d <= 1.5
+         |""".stripMargin,
     // .fbin round-trip is bit-exact: same oracle as knn_l2
     "knn_l2_fbin" -> knnOracle(10, 10, l2Sql, "ASC"),
     // graph path at the exact-degenerate point: same oracle as knn_l2
@@ -1013,6 +1049,8 @@ object SparkEntry {
     "ann_opq_ivfpq_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     // rotated codes served resident, original-space re-rank: exact
     "ann_opq_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // OPQ through the registry (save → kind dispatch → probe): exact
+    "ann_opq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "knn_ip" -> knnOracle(10, 10, dotSql, "DESC"),
     // IVF probed exhaustively under ip: same oracle as knn_ip
     "ann_ivf_ip" -> knnOracle(10, 10, dotSql, "DESC"),

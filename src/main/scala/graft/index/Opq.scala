@@ -236,9 +236,17 @@ object Opq {
     * L2 only: the rotation argument is ‖R(q−x)‖ = ‖q−x‖. */
   def adcKnnRotated(queries: DataFrame, base: DataFrame, rot: Rotation,
                     cb: Pq.Codebook, k: Int, rerank: Int): DataFrame = {
-    require(rerank >= k, s"rerank $rerank must be >= k $k")
     val rbase = base.select(col("id"), rotateCol(rot, col("vec")).as("vec"))
-    val codes = Pq.encode(rbase, cb).select("id", "codes")
+    adcKnnRotatedCodes(queries, Pq.encode(rbase, cb).select("id", "codes"),
+      base, rot, cb, k, rerank)
+  }
+
+  /** [[adcKnnRotated]] over PRE-ENCODED rotated codes (the persisted-index
+    * probe path — encoding happened at build time). */
+  def adcKnnRotatedCodes(queries: DataFrame, codes: DataFrame,
+                         base: DataFrame, rot: Rotation, cb: Pq.Codebook,
+                         k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
     val q = queries.select(col("qid"),
       Pq.lutCol(rotateCol(rot, col("qvec")), cb, Metric.L2).as("lut"))
     val scored = codes.crossJoin(broadcast(q))
@@ -249,5 +257,22 @@ object Opq {
       .join(broadcast(queries.select("qid", "qvec")), "qid")
       .withColumn("dist", Metric.distColumn(Metric.L2, col("qvec"), col("vec")))
     TopK.aggTopK(exact, "qid", "id", "dist", k)
+  }
+
+  /** Persist a rotation as a tiny (r, rvec) parquet — KBs at any corpus
+    * size (S7 parity for the OPQ family, like [[Pq.saveArtifacts]]). */
+  def saveRotation(spark: org.apache.spark.sql.SparkSession, rot: Rotation,
+                   path: String): Unit = {
+    import spark.implicits._
+    rot.rows.zipWithIndex.map { case (row, r) => (r, row) }.toSeq
+      .toDF("r", "rvec").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadRotation(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Rotation = {
+    import spark.implicits._
+    Rotation(spark.read.parquet(path)
+      .select(col("r").cast("int"), col("rvec"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2))
   }
 }

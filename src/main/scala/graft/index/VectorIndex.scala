@@ -128,6 +128,27 @@ final class PqVectorIndex(spark: SparkSession, cb: Pq.Codebook,
   }
 }
 
+/** OPQ-rotated PQ (faiss's OPQx,PQy pre-transform): codes live in the
+  * PCA-rotated space, probes build rotated LUTs, the re-rank reports
+  * ORIGINAL-space distances. Rotation + codebook + codes persist together;
+  * with a lossless rotated codebook probes are exact. Filtered probes
+  * route to the exact conjunctive path over the base. */
+final class OpqVectorIndex(spark: SparkSession, rot: Opq.Rotation,
+                           cb: Pq.Codebook, codes: DataFrame,
+                           base: DataFrame, rerank: Int) extends VectorIndex {
+  def probe(queries: DataFrame, k: Int): DataFrame =
+    Opq.adcKnnRotatedCodes(queries.select("qid", "qvec"), codes,
+      base.select("id", "vec"), rot, cb, k, math.max(rerank, k))
+  def probeFiltered(queries: DataFrame, k: Int): DataFrame =
+    TagFilter.filteredKnn(queries, base, k)
+  def save(path: String): Unit = {
+    VectorIndex.writeKind(spark, path, "opq")
+    Opq.saveRotation(spark, rot, s"$path/rotation")
+    Pq.saveArtifacts(spark, cb, codes, s"$path/pq")
+    base.write.mode("overwrite").parquet(s"$path/base")
+  }
+}
+
 /** Residual IVF-PQ (faiss's IVFx,PQy): coarse routing over residual-coded
   * lists, per-route ADC LUTs, exact re-rank. Filtered probes route to the
   * exact conjunctive path over the base, as with the other coded kinds. */
@@ -200,6 +221,15 @@ object VectorIndex {
       base, rerank)
   }
 
+  def opq(base: DataFrame, m: Int = 8, ksub: Int = 32, iters: Int = 3,
+          rerank: Int = 100): VectorIndex = {
+    val (rot, cb) = Opq.trainRotated(base.select("id", "vec"), m, ksub, iters)
+    val rotated = base.select(col("id"),
+      Opq.rotateCol(rot, col("vec")).as("vec"))
+    new OpqVectorIndex(base.sparkSession, rot, cb,
+      Pq.encode(rotated, cb).select("id", "codes"), base, rerank)
+  }
+
   def ivfPq(base: DataFrame, c: Int = 8, iters: Int = 3, m: Int = 8,
             ksub: Int = 32, nprobe: Int = 4, rerank: Int = 100): VectorIndex =
     new IvfPqVectorIndex(
@@ -232,6 +262,10 @@ object VectorIndex {
         val (cb, codes) = Pq.load(spark, s"$path/pq")
         new PqVectorIndex(spark, cb, codes,
           spark.read.parquet(s"$path/base"), rerank)
+      case "opq" =>
+        val (cb, codes) = Pq.load(spark, s"$path/pq")
+        new OpqVectorIndex(spark, Opq.loadRotation(spark, s"$path/rotation"),
+          cb, codes, spark.read.parquet(s"$path/base"), rerank)
       case "ivfpq" =>
         new IvfPqVectorIndex(IvfPq.load(spark, s"$path/ivfpq"),
           spark.read.parquet(s"$path/base"), nprobe, rerank)

@@ -73,4 +73,34 @@ object Knn {
       k: Int,
       metric: String = Metric.L2): DataFrame =
     knnJoin(queries, base, k, metric, Some(col("qlabel") === col("label")))
+
+  /** Exact range search (faiss's range_search shape): every base row
+    * within `radius` of each query under the metric's dist convention
+    * (squared L2 ascending, ip/cosine negated — so the predicate is
+    * uniformly dist ≤ radius). Rows come back ranked (dist asc, id
+    * tie-break) per query; queries with no rows in range simply have none.
+    * Unlike top-k, the answer size is DATA-dependent — the filter sits
+    * directly on the scored join, Catalyst evaluates it before the
+    * per-query window, and no top-k heap state exists at all. The scale
+    * path for huge corpora is candidates-first pruning (the hyperplane-LSH
+    * bucketing of [[graft.operators.Dedup.embedNearDups]]) feeding this
+    * exact predicate as the verify step. */
+  def rangeJoin(
+      queries: DataFrame,
+      base: DataFrame,
+      radius: Double,
+      metric: String = Metric.L2,
+      predicate: Option[Column] = None): DataFrame = {
+    val joined = predicate match {
+      case Some(p) => base.join(broadcast(queries), p)
+      case None    => base.crossJoin(broadcast(queries))
+    }
+    val inRange = joined
+      .withColumn("dist", Metric.distColumn(metric, col("qvec"), col("vec")))
+      .where(col("dist") <= lit(radius))
+    import org.apache.spark.sql.expressions.Window
+    inRange.withColumn("rank",
+      row_number().over(Window.partitionBy("qid").orderBy(col("dist"), col("id"))))
+      .select("qid", "id", "dist", "rank")
+  }
 }

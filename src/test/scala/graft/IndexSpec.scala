@@ -627,6 +627,15 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     val loaded8 = VectorIndex.load(spark, p8, efSearch = 64, rerank = 40)
     assert(rs(loaded8.probe(queries, 10)) === rs(sq8.probe(queries, 10)))
 
+    // OPQ kind: trained rotation + codes round-trip through kind dispatch;
+    // probe parity before/after persistence, filtered = exact conjunctive
+    val opq = VectorIndex.opq(tagged, m = 8, ksub = 32, rerank = 100)
+    assert(rs(opq.probeFiltered(tq, 10)) === exactF)
+    val pOpq = dir.resolve("opq").toString
+    opq.save(pOpq)
+    val loadedOpq = VectorIndex.load(spark, pOpq, rerank = 100)
+    assert(rs(loadedOpq.probe(queries, 10)) === rs(opq.probe(queries, 10)))
+
     // centroid-routed kind: exhaustive nprobe agrees with flat; round-trips
     val rtWork = dir.resolve("hnsw-rt-work").toString
     val rt = VectorIndex.hnswRouted(tagged, rtWork, c = 4, nprobe = 4,

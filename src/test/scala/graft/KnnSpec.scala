@@ -87,4 +87,26 @@ class KnnSpec extends AnyFunSuite with SparkSuite {
       .select("qid", "id").as[(Long, Long)].collect()
     r1.foreach { case (qid, id) => assert(qid === id) }
   }
+
+  test("rangeJoin: exactly the full-ranking rows within the radius, ranks preserved") {
+    val e = Tables.embeddings(spark, sfDir)
+    val b = e.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val q = e.where($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val radius = 1.6
+    val got = Knn.rangeJoin(q, b, radius)
+      .select($"qid".cast("long"), $"id".cast("long"), $"rank".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    // semantic reference: rank the WHOLE corpus per query, keep the prefix
+    // inside the radius — in-range rows are exactly a rank prefix
+    val n = b.count().toInt
+    val full = Knn.knnJoin(q, b, n)
+    val want = full.where($"dist" <= radius)
+      .select($"qid".cast("long"), $"id".cast("long"), $"rank".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty, "radius too small for the fixture")
+    // every query's own vector is in range at distance 0, rank 1
+    assert((0L until 5L).forall(qid => got.contains((qid, qid, 1L))))
+  }
 }

@@ -43,6 +43,31 @@ class OpqSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("jacobiEig on random symmetric matrices: reconstruction and orthonormality") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 20) {
+      val d = 2 + rnd.nextInt(11)
+      val a = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- i until d) {
+        val x = rnd.nextGaussian(); a(i)(j) = x; a(j)(i) = x
+      }
+      val (eigvals, v) = Opq.jacobiEig(a)
+      // descending order
+      assert(eigvals.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+      // rows orthonormal and A v_i = λ_i v_i (residual small)
+      for (i <- 0 until d) {
+        var nrm = 0.0
+        for (t <- 0 until d) nrm += v(i)(t) * v(i)(t)
+        assert(math.abs(nrm - 1.0) < 1e-9)
+        for (t <- 0 until d) {
+          val av = (0 until d).map(u => a(t)(u) * v(i)(u)).sum
+          assert(math.abs(av - eigvals(i) * v(i)(t)) < 1e-7,
+            s"d=$d eigenpair $i residual at row $t")
+        }
+      }
+    }
+  }
+
   test("trained rotation is orthonormal and preserves pair distances") {
     val rot = Opq.trainRotation(base, m = 8)
     val d = rot.d

@@ -196,6 +196,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"pq_adc_dist fell out of whole-stage codegen:\n${adcLine.get}\n$p")
   }
 
+  test("range search ranks per query — no single-partition global window") {
+    val e = Tables.embeddings(spark, sfDir)
+    val p = plan(Knn.rangeJoin(
+      e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      radius = 1.6))
+    assert(p.contains("hashpartitioning(qid"),
+      s"the rank window must partition by query:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no stage may funnel the in-range rows through one task:\n$p")
+  }
+
   test("broadcast kNN join does not shuffle the base table") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.where(col("vec_id") < 10)
