@@ -160,6 +160,22 @@ object SparkEntry {
     // count-mean surrogate → ratio-of-integers, oracle-exact)
     "text_lm_familiarity" -> ((s, dir) =>
       Text.lmFamiliarity(Tables.documents(s, dir))),
+    // quality deciles over the LM-familiarity order: exact global ranking
+    // via the distributed two-pass prefix sum (NO single-task window), then
+    // engine-portable integer N-tile — the curriculum/mixture selection
+    // pass ("train on the top deciles first").
+    "pipeline_quality_deciles" -> ((s, dir) => {
+      val fam = Text.lmFamiliarity(Tables.documents(s, dir))
+        .select(col("doc_id"), col("centi_fam"))
+      Pipeline.ntileExact(fam, Seq(col("centi_fam").desc, col("doc_id")), 10)
+        .select(col("doc_id"), col("centi_fam"), col("grank"),
+          col("bucket").as("decile"))
+    }),
+    // exact per-stratum sampling: first 30 docs of every language in
+    // salted-md5 order — deterministic eval-set construction.
+    "pipeline_stratified" -> ((s, dir) =>
+      Pipeline.stratifiedTake(Tables.documents(s, dir), "lang", "doc_id", 30)
+        .select(col("doc_id"), col("lang"), col("samp_rank").cast("long"))),
     "text_tokens_bpe" -> ((s, dir) => Text.bpeishCounts(Tables.documents(s, dir))),
 
     // -- dedup family (training-data pipeline ops) ---------------------------
@@ -1150,6 +1166,33 @@ object SparkEntry {
         |       CAST(sum(dg.tf * model.c) AS BIGINT) AS fam_sum,
         |       CAST((100 * sum(dg.tf * model.c)) // sum(dg.tf) AS BIGINT) AS centi_fam
         |FROM dg JOIN model USING (gram) GROUP BY dg.doc_id
+        |""".stripMargin,
+    "pipeline_quality_deciles" ->
+      """WITH g AS (SELECT doc_id,
+        |           unnest(list_transform(range(1, len(l)),
+        |                  i -> array_to_string(l[i:i+1], ' '))) AS gram
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+        |model AS (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1),
+        |dg AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf
+        |       FROM g GROUP BY 1, 2),
+        |f AS (SELECT dg.doc_id,
+        |             CAST((100 * sum(dg.tf * model.c)) // sum(dg.tf) AS BIGINT) AS centi_fam
+        |      FROM dg JOIN model USING (gram) GROUP BY dg.doc_id),
+        |r AS (SELECT doc_id, centi_fam,
+        |             row_number() OVER (ORDER BY centi_fam DESC, doc_id) AS grank,
+        |             count(*) OVER () AS total
+        |      FROM f)
+        |SELECT doc_id, centi_fam, CAST(grank AS BIGINT) AS grank,
+        |       CAST(((grank - 1) * 10) // total AS BIGINT) AS decile
+        |FROM r
+        |""".stripMargin,
+    "pipeline_stratified" ->
+      """SELECT doc_id, lang, samp_rank FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strata'), doc_id)
+        |           AS samp_rank
+        |  FROM documents) WHERE samp_rank <= 30
         |""".stripMargin,
     "text_repetition" ->
       """WITH g AS (SELECT doc_id,

@@ -77,6 +77,66 @@ object Pipeline {
           col("contaminated") === 0 && col("sample_keep") === 1).cast("int"))
   }
 
+  /** Exact global rank of every row under `order` (append the id as the
+    * last sort key for total determinism) WITHOUT a single-task window:
+    * range-repartition + in-partition sort puts rows in global order
+    * across partitions, one tiny job counts per-partition rows, and the
+    * ranked pass adds each partition's broadcast offset — the same
+    * distributed two-pass prefix-sum as [[packShards]]. The global sort is
+    * Spark's scalable range shuffle; no stage funnels the corpus through
+    * one task (a bare `row_number() OVER (ORDER BY …)` does, which is why
+    * this exists). Appends `grank` (1-based). */
+  def rankGlobal(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val partCounts = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var c = 0L; it.foreach(_ => c += 1); Iterator((i, c))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partCounts.scanLeft(0L)(_ + _))
+    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var running = offsets.value(i)
+      it.map { r =>
+        running += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ running)
+      }
+    }
+    spark.createDataFrame(rows,
+      sorted.schema.add("grank", org.apache.spark.sql.types.LongType))
+  }
+
+  /** Exact N-tile bucketing over a global order — quality-percentile
+    * assignment for curriculum/mixture selection ("train on the top
+    * deciles first"): bucket = (grank−1)·n div total, so bucket sizes
+    * differ by at most one and the assignment is engine-portable integer
+    * arithmetic (SQL's NTILE distributes remainders differently engine to
+    * engine — the explicit formula sidesteps that). Appends (grank,
+    * bucket). */
+  def ntileExact(df: DataFrame, order: Seq[Column], n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val ranked = rankGlobal(df, order)
+    val total = math.max(ranked.count(), 1L)
+    ranked.withColumn("bucket", expr(s"((grank - 1) * $n) div $total"))
+  }
+
+  /** Exact per-stratum sampling: the first `n` rows of each stratum in
+    * md5-of-salted-id order — the eval-set construction pass ("30 docs per
+    * language, deterministically"). Unlike [[sampleBySource]]'s rate-based
+    * thinning this takes an exact COUNT per stratum; the window partitions
+    * by stratum (shuffle on the stratum key, per-stratum heap only — no
+    * global order anywhere). Returns the input plus samp_rank, filtered to
+    * the taken rows. */
+  def stratifiedTake(df: DataFrame, strataCol: String, idCol: String, n: Int,
+                     salt: String = ":strata"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("samp_rank", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))),
+            col(idCol))))
+      .where(col("samp_rank") <= n)
+  }
+
   /** Contiguous token-budget shard packing: docs in ascending id order are
     * packed greedily into shards of ≤ `budget` tokens by the cumulative
     * count — shard = floor(cum_before / budget), the deterministic

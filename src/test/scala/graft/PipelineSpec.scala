@@ -122,6 +122,47 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     fam.unpersist()
   }
 
+  test("rankGlobal/ntileExact equal the single-window reference; buckets balanced") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.operators.Text.tokenStats(docs)
+      .select($"doc_id".cast("long"), $"n_tokens".cast("long"))
+    val order = Seq($"n_tokens".desc, $"doc_id".asc)
+    val got = Pipeline.ntileExact(scored, order, 10)
+      .select($"doc_id", $"grank", $"bucket")
+      .as[(Long, Long, Long)].collect().toSet
+    val total = scored.count()
+    val ref = scored
+      .withColumn("grank", row_number().over(
+        Window.orderBy($"n_tokens".desc, $"doc_id".asc)).cast("long"))
+      .withColumn("bucket", expr(s"((grank - 1) * 10) div $total"))
+      .select($"doc_id", $"grank", $"bucket")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === ref)
+    // bucket sizes differ by at most one
+    val sizes = got.groupBy(_._3).map(_._2.size)
+    assert(sizes.max - sizes.min <= 1, s"bucket sizes $sizes")
+    assert(sizes.size === 10)
+  }
+
+  test("stratifiedTake: exact per-stratum counts, deterministic, rerun-stable") {
+    val take = Pipeline.stratifiedTake(docs, "lang", "doc_id", 7)
+    val perLang = take.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val avail = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    avail.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0L) === math.min(n, 7L), lang)
+    }
+    // rerun-stable (hash order, not rand())
+    val a = take.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Pipeline.stratifiedTake(docs, "lang", "doc_id", 7)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // a different salt draws a different sample (the knob is real)
+    val c = Pipeline.stratifiedTake(docs, "lang", "doc_id", 7, salt = ":other")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a !== c)
+  }
+
   test("distributed prefix-sum packing equals the single-window form exactly") {
     // packShards composes per-partition offsets (two-pass distributed
     // prefix sum); the single-task global window is the semantic reference

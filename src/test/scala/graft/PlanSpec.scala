@@ -209,6 +209,28 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"no stage may funnel the in-range rows through one task:\n$p")
   }
 
+  test("global ranking never funnels the corpus through one task") {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    // rankGlobal's ranked output scans an RDD (the prefix-sum pass), so
+    // assert on the stage that establishes the global order: a RANGE
+    // exchange + in-partition sort — never a SinglePartition exchange (the
+    // two-pass prefix sum replaces the global window a naive
+    // row_number() OVER (ORDER BY ...) would need)
+    val order = Seq(col("n_chars").desc, col("doc_id").asc)
+    val p = plan(scored.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global rank must not single-task the corpus:\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"expected a range exchange for the global order:\n$p")
+    // and the ranked output is total: one rank per row (AQE may coalesce
+    // the tiny test corpus to one range partition — partition COUNT is an
+    // AQE decision, the plan shape above is the scale property)
+    val ranked = graft.operators.Pipeline.rankGlobal(scored, order)
+    assert(ranked.count() === scored.count())
+  }
+
   test("broadcast kNN join does not shuffle the base table") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.where(col("vec_id") < 10)
