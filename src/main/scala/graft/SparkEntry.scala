@@ -749,6 +749,14 @@ object SparkEntry {
       knnResult(graft.index.HnswKnn.knn(
         embQueries(s, dir, 10), embBase(s, dir), k = 10,
         efSearch = 1 << 20, numPartitions = 8))),
+    // cosine ANN = ip graph over unit-normalized vectors + exact cosine
+    // re-rank on the originals; at the exhaustive beam this hash-matches
+    // the brute-force cosine oracle (same oracle as knn_cos) — the graph
+    // family now serves all three metrics (l2 / ip / cosine).
+    "ann_hnsw_cos_exact" -> ((s, dir) =>
+      knnResult(graft.index.HnswKnn.knnCosine(
+        embQueries(s, dir, 10), embBase(s, dir), k = 10,
+        efSearch = 1 << 20, numPartitions = 8))),
     // S7/X4: build → save → load → probe. Deterministic builds (id-sorted
     // partitions) make the persisted probe equal the in-memory path exactly
     // (asserted in IndexSpec); rows-only driver check (approximate path).
@@ -1031,6 +1039,11 @@ object SparkEntry {
     // graph path at the exact-degenerate point: same oracle as knn_l2
     "ann_hnsw_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_hnsw_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // cosine graph at the exhaustive beam + exact re-rank: the knn_cos oracle
+    "ann_hnsw_cos_exact" -> knnOracle(10, 10,
+      """sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        | / sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |      * sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))""".stripMargin, "DESC"),
     // tombstoned ids simply vanish from the corpus in the oracle
     "ann_hnsw_tombstone_exact" ->
       knnOracle(10, 10, l2Sql, "ASC", "e.vec_id >= 5"),

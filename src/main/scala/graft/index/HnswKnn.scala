@@ -183,6 +183,39 @@ object HnswKnn {
   /** Plain ANN top-k join: (qid, id, dist, rank). `metric` = l2 | ip
     * (negated max-inner-product — the OOD track's flagship metric,
     * /root/reference/ood/base.py:3, diskann-in-mem.py:48-56). */
+  /** Cosine-metric graph kNN: cos(q, x) = ⟨q̂, x̂⟩, so the ip graph over
+    * unit-normalized vectors IS the cosine index (faiss's
+    * METRIC_INNER_PRODUCT + pre-normalize convention — the reference's
+    * float cosine path normalizes the same way, bindings.cpp:1114-1121).
+    * Norms are precomputed once per row (never per element); candidates
+    * come from the normalized ip graph; the final ranking recomputes EXACT
+    * cosine on the ORIGINAL vectors, so at the exhaustive beam the result
+    * equals the brute-force cosine oracle (hash-gate structure) and at a
+    * modest beam the normalization FP error cannot perturb the reported
+    * ordering. Zero vectors pass through unnormalized (cosine undefined —
+    * they rank by the re-rank kernel like everywhere else). */
+  def knnCosine(queries: DataFrame, base: DataFrame, k: Int, m: Int = 16,
+                efConstruction: Int = 100, efSearch: Int = 64,
+                numPartitions: Int = 8, rerank: Int = 0): DataFrame = {
+    val r = math.max(rerank, 2 * k)
+    def unit(df: DataFrame, vc: String): DataFrame =
+      df.withColumn("_n", sqrt(graft.functions.vectors.vecNorm2(col(vc))))
+        .withColumn(vc, expr(
+          s"transform($vc, x -> CASE WHEN _n = 0 THEN x ELSE CAST(x / _n AS FLOAT) END)"))
+        .drop("_n")
+    val cand = knn(
+      unit(queries.select(col("qid"), col("qvec")), "qvec"),
+      unit(base.select(col("id"), col("vec")), "vec"),
+      k = r, m, efConstruction, efSearch, numPartitions, metric = "ip")
+      .select("qid", "id")
+    val exact = cand
+      .join(base.select(col("id"), col("vec")), "id")
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), "qid")
+      .withColumn("dist", graft.operators.Metric.distColumn(
+        graft.operators.Metric.Cosine, col("qvec"), col("vec")))
+    TopK.aggTopK(exact, "qid", "id", "dist", k)
+  }
+
   def knn(queries: DataFrame, base: DataFrame, k: Int, m: Int = 16,
           efConstruction: Int = 100, efSearch: Int = 64,
           numPartitions: Int = 8, metric: String = "l2"): DataFrame = {

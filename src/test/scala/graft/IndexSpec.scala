@@ -90,6 +90,19 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(r >= 0.95, s"hnsw recall $r at efSearch=48")
   }
 
+  test("cosine HNSW: exhaustive beam equals brute-force cosine; modest beam recalls it") {
+    val truth = Knn.knnJoin(queries, base, 10, Metric.Cosine)
+    def rs(df: DataFrame) = df.select("qid", "id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = HnswKnn.knnCosine(queries, base, 10,
+      efSearch = 1 << 20, numPartitions = 4)
+    assert(rs(exact) === rs(truth))
+    val approx = HnswKnn.knnCosine(queries, base, 10,
+      efSearch = 64, numPartitions = 4)
+    val r = Recall.mean(approx, truth, 10)
+    assert(r >= 0.9, s"cosine graph recall $r")
+  }
+
   test("ip-metric HNSW recalls exact brute-force MIPS") {
     // the OOD track's max-inner-product metric on the graph path
     val ipTruth = Knn.knnJoin(queries, base, 10, Metric.Ip)
