@@ -171,11 +171,13 @@ object SparkEntry {
         .select(col("doc_id"), col("centi_fam"), col("grank"),
           col("bucket").as("decile"))
     }),
-    // exact per-stratum sampling: first 30 docs of every language in
-    // salted-md5 order — deterministic eval-set construction.
+    // exact per-stratum sampling: the 30 docs of every language with the
+    // smallest salted-md5 keys, via the bounded-heap top-k aggregator —
+    // deterministic eval-set construction with no per-stratum sort.
     "pipeline_stratified" -> ((s, dir) =>
       Pipeline.stratifiedTake(Tables.documents(s, dir), "lang", "doc_id", 30)
-        .select(col("doc_id"), col("lang"), col("samp_rank").cast("long"))),
+        .select(col("doc_id").cast("long"), col("lang"),
+          col("samp_rank").cast("long"))),
     "text_tokens_bpe" -> ((s, dir) => Text.bpeishCounts(Tables.documents(s, dir))),
 
     // -- dedup family (training-data pipeline ops) ---------------------------
@@ -1199,11 +1201,15 @@ object SparkEntry {
         |       CAST(((grank - 1) * 10) // total AS BIGINT) AS decile
         |FROM r
         |""".stripMargin,
+    // the sort key mirrors Spark's: first 60 md5 bits as an integer, and
+    // the compare happens in DOUBLE on both sides (the heap aggregator
+    // compares doubles) so rounding ties break identically
     "pipeline_stratified" ->
       """SELECT doc_id, lang, samp_rank FROM (
         |  SELECT doc_id, lang,
         |         row_number() OVER (PARTITION BY lang
-        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strata'), doc_id)
+        |           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strata'), 1, 15))::BIGINT AS DOUBLE),
+        |                    doc_id)
         |           AS samp_rank
         |  FROM documents) WHERE samp_rank <= 30
         |""".stripMargin,

@@ -120,21 +120,24 @@ object Pipeline {
     ranked.withColumn("bucket", expr(s"((grank - 1) * $n) div $total"))
   }
 
-  /** Exact per-stratum sampling: the first `n` rows of each stratum in
-    * md5-of-salted-id order — the eval-set construction pass ("30 docs per
-    * language, deterministically"). Unlike [[sampleBySource]]'s rate-based
-    * thinning this takes an exact COUNT per stratum; the window partitions
-    * by stratum (shuffle on the stratum key, per-stratum heap only — no
-    * global order anywhere). Returns the input plus samp_rank, filtered to
-    * the taken rows. */
+  /** Exact per-stratum sampling: the `n` rows of each stratum with the
+    * smallest salted-md5 keys — the eval-set construction pass ("30 docs
+    * per language, deterministically"). Unlike [[sampleBySource]]'s
+    * rate-based thinning this takes an exact COUNT per stratum, and unlike
+    * a per-stratum window sort it uses the bounded-heap top-k aggregator —
+    * map-side partial heaps of n entries, so a skewed stratum (even one
+    * holding the whole corpus) never sorts its rows in one task. The key
+    * is the first 60 md5 bits as an integer (same engine-portable
+    * construction as [[sampleBucket10k]]; ties — 2⁻⁶⁰ — break to the
+    * lower id). Returns (strataCol, idCol, samp_rank). */
   def stratifiedTake(df: DataFrame, strataCol: String, idCol: String, n: Int,
                      salt: String = ":strata"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.withColumn("samp_rank", row_number().over(
-        Window.partitionBy(col(strataCol))
-          .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))),
-            col(idCol))))
-      .where(col("samp_rank") <= n)
+    val key = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long")
+    TopK.aggTopK(df.withColumn("_sk", key), strataCol, idCol, "_sk", n)
+      .withColumnRenamed("rank", "samp_rank")
+      .drop("_sk")
   }
 
   /** Contiguous token-budget shard packing: docs in ascending id order are
