@@ -86,7 +86,14 @@ object Pipeline {
     * Spark's scalable range shuffle; no stage funnels the corpus through
     * one task (a bare `row_number() OVER (ORDER BY …)` does, which is why
     * this exists). Appends `grank` (1-based). */
-  def rankGlobal(df: DataFrame, order: Seq[Column]): DataFrame = {
+  def rankGlobal(df: DataFrame, order: Seq[Column]): DataFrame =
+    rankGlobalWithTotal(df, order)._1
+
+  /** [[rankGlobal]] plus the total row count — the count is the sum of the
+    * per-partition counts pass 1 already collected, so callers that need
+    * it ([[ntileExact]]) never pay another job over the ranked lineage. */
+  private[graft] def rankGlobalWithTotal(df: DataFrame,
+                                         order: Seq[Column]): (DataFrame, Long) = {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val partCounts = sorted.rdd
@@ -102,8 +109,9 @@ object Pipeline {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ running)
       }
     }
-    spark.createDataFrame(rows,
-      sorted.schema.add("grank", org.apache.spark.sql.types.LongType))
+    (spark.createDataFrame(rows,
+      sorted.schema.add("grank", org.apache.spark.sql.types.LongType)),
+      partCounts.sum)
   }
 
   /** Exact N-tile bucketing over a global order — quality-percentile
@@ -115,8 +123,8 @@ object Pipeline {
     * bucket). */
   def ntileExact(df: DataFrame, order: Seq[Column], n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    val ranked = rankGlobal(df, order)
-    val total = math.max(ranked.count(), 1L)
+    val (ranked, count) = rankGlobalWithTotal(df, order)
+    val total = math.max(count, 1L)
     ranked.withColumn("bucket", expr(s"((grank - 1) * $n) div $total"))
   }
 

@@ -96,8 +96,11 @@ object Text {
         transform(sequence(lit(1), size(toks) - 1),
           i => concat_ws(" ", slice(toks, i, lit(2)))))
         .otherwise(array().cast("array<string>"))).as("gram"))
-    val model = grams.groupBy("gram").agg(count(lit(1)).as("c"))
     val docGrams = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    // fold the corpus model from the per-doc counts (already keyed and far
+    // smaller than the raw gram stream) instead of re-aggregating the
+    // exploded grams a second time
+    val model = docGrams.groupBy("gram").agg(sum(col("tf")).as("c"))
     docGrams.join(model, "gram")
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_bigrams"),
