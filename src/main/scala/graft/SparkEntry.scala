@@ -160,6 +160,10 @@ object SparkEntry {
     // count-mean surrogate → ratio-of-integers, oracle-exact)
     "text_lm_familiarity" -> ((s, dir) =>
       Text.lmFamiliarity(Tables.documents(s, dir))),
+    // whole-corpus budgeting stats (exact; the HLL scale path is
+    // spec-bounded against this answer)
+    "text_corpus_stats" -> ((s, dir) =>
+      Text.corpusStats(Tables.documents(s, dir))),
     // quality deciles over the LM-familiarity order: exact global ranking
     // via the distributed two-pass prefix sum (NO single-task window), then
     // engine-portable integer N-tile — the curriculum/mixture selection
@@ -1182,6 +1186,13 @@ object SparkEntry {
         |       CAST((100 * sum(dg.tf * model.c)) // sum(dg.tf) AS BIGINT) AS centi_fam
         |FROM dg JOIN model USING (gram) GROUP BY dg.doc_id
         |""".stripMargin,
+    "text_corpus_stats" ->
+      s"""WITH $tokensCte
+         |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(count(DISTINCT term) AS BIGINT) AS n_vocab
+         |FROM tok
+         |""".stripMargin,
     "pipeline_quality_deciles" ->
       """WITH g AS (SELECT doc_id,
         |           unnest(list_transform(range(1, len(l)),

@@ -108,6 +108,18 @@ object Text {
       .withColumn("centi_fam", expr("(100 * fam_sum) div n_bigrams"))
   }
 
+  /** Whole-corpus statistics — the numbers a training run budgets against
+    * (docs, token occurrences, vocabulary size). Exact distinct term count
+    * here (oracle-checkable); at 100 TB the vocabulary cardinality comes
+    * from `approx_count_distinct` (HyperLogLog++ — one pass, KBs of sketch,
+    * no shuffle of distinct values), which the spec bounds within 5% of
+    * this exact answer on the test corpus. One row out. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    tokens(docs).agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("term")).as("n_vocab"))
+
   /** Stopword list shared with the oracle SQL. */
   val StopWords: Seq[String] = Seq("the", "a")
 

@@ -122,6 +122,21 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     fam.unpersist()
   }
 
+  test("corpusStats exact counts; HLL vocabulary estimate within 5%") {
+    val stats = graft.operators.Text.corpusStats(docs).head()
+    val nDocs = stats.getLong(0)
+    val nVocab = stats.getLong(2)
+    assert(nDocs === docs.count())
+    assert(stats.getLong(1) > nDocs, "tokens outnumber docs")
+    // the 100 TB cardinality path: HyperLogLog++ sketch, one pass — must
+    // land within its documented error envelope of the exact answer
+    val approx = graft.operators.Text.tokens(docs)
+      .agg(approx_count_distinct(col("term"), 0.02).as("v"))
+      .head().getLong(0)
+    assert(math.abs(approx - nVocab).toDouble / nVocab <= 0.05,
+      s"HLL $approx vs exact $nVocab")
+  }
+
   test("rankGlobal/ntileExact equal the single-window reference; buckets balanced") {
     import org.apache.spark.sql.expressions.Window
     val scored = graft.operators.Text.tokenStats(docs)
