@@ -523,6 +523,16 @@ object SparkEntry {
       knnResult(graft.index.Opq.adcKnnRotated(
         embQueries(s, dir, 10), b, rot, cb, k = 10, rerank = 20))
     }),
+    // the same construction under max-inner-product: an orthonormal
+    // rotation preserves dot products, so the rotated ip LUT + lossless
+    // codebook reproduces exact MIPS (same oracle as knn_ip).
+    "ann_opq_ip_exact" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val (rot, cb) = graft.index.Opq.trainRotatedLossless(b, m = 4)
+      knnResult(graft.index.Opq.adcKnnRotated(
+        embQueries(s, dir, 10), b, rot, cb, k = 10, rerank = 20,
+        metric = Metric.Ip))
+    }),
     // X8's second half — hot tag-PAIR subindexes (faiss.py:268-337 builds
     // pair indexes too): every co-occurring pair gets a graph over docs
     // holding BOTH tags; 2-tag queries route to their pair's graph and at
@@ -1070,6 +1080,8 @@ object SparkEntry {
     // rotated (OPQ) ADC, lossless rotated codebook + original-space
     // re-rank: exact → same oracle as knn_l2
     "ann_opq_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // rotated ADC under max-inner-product: exact → same oracle as knn_ip
+    "ann_opq_ip_exact" -> knnOracle(10, 10, dotSql, "DESC"),
     "ann_pq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     // resident-ADC serving with the lossless codebook: exact, same oracle
     "ann_pq_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),

@@ -233,29 +233,32 @@ object Opq {
     * re-rank the `rerank` best EXACTLY against the original floats — the
     * reported distances are original-space, so the lossless gate
     * hash-matches the same oracle as [[graft.operators.Knn.knnJoin]].
-    * L2 only: the rotation argument is ‖R(q−x)‖ = ‖q−x‖. */
+    * Valid under L2 (‖R(q−x)‖ = ‖q−x‖) AND ip (⟨Rq, Rx⟩ = ⟨q, x⟩ — an
+    * orthonormal rotation preserves inner products too). */
   def adcKnnRotated(queries: DataFrame, base: DataFrame, rot: Rotation,
-                    cb: Pq.Codebook, k: Int, rerank: Int): DataFrame = {
+                    cb: Pq.Codebook, k: Int, rerank: Int,
+                    metric: String = Metric.L2): DataFrame = {
     val rbase = base.select(col("id"), rotateCol(rot, col("vec")).as("vec"))
     adcKnnRotatedCodes(queries, Pq.encode(rbase, cb).select("id", "codes"),
-      base, rot, cb, k, rerank)
+      base, rot, cb, k, rerank, metric)
   }
 
   /** [[adcKnnRotated]] over PRE-ENCODED rotated codes (the persisted-index
     * probe path — encoding happened at build time). */
   def adcKnnRotatedCodes(queries: DataFrame, codes: DataFrame,
                          base: DataFrame, rot: Rotation, cb: Pq.Codebook,
-                         k: Int, rerank: Int): DataFrame = {
+                         k: Int, rerank: Int,
+                         metric: String = Metric.L2): DataFrame = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
     val q = queries.select(col("qid"),
-      Pq.lutCol(rotateCol(rot, col("qvec")), cb, Metric.L2).as("lut"))
+      Pq.lutCol(rotateCol(rot, col("qvec")), cb, metric).as("lut"))
     val scored = codes.crossJoin(broadcast(q))
       .withColumn("dist", pqAdcDist(col("lut"), col("codes"), cb.stride))
     val cand = TopK.aggTopK(scored, "qid", "id", "dist", rerank).select("qid", "id")
     val exact = cand
       .join(base.select("id", "vec"), "id")
       .join(broadcast(queries.select("qid", "qvec")), "qid")
-      .withColumn("dist", Metric.distColumn(Metric.L2, col("qvec"), col("vec")))
+      .withColumn("dist", Metric.distColumn(metric, col("qvec"), col("vec")))
     TopK.aggTopK(exact, "qid", "id", "dist", k)
   }
 

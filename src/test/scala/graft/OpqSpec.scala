@@ -113,6 +113,16 @@ class OpqSpec extends AnyFunSuite with SparkSuite {
     assert(ids(got) === ids(truth))
   }
 
+  test("rotated ADC under ip equals brute-force MIPS at the lossless point") {
+    // an orthonormal rotation preserves inner products, so the rotated ip
+    // LUT ranks identically to exact MIPS when the codebook is lossless
+    val (rot, cb) = Opq.trainRotatedLossless(base, m = 4)
+    val got = Opq.adcKnnRotated(queries, base, rot, cb, k = 10, rerank = 20,
+      metric = Metric.Ip)
+    val truth = Knn.knnJoin(queries, base, 10, Metric.Ip)
+    assert(ids(got) === ids(truth))
+  }
+
   test("rotated resident ADC equals brute force at the lossless point (original-space distances)") {
     val (rot, cb) = Opq.trainRotatedLossless(base, m = 4)
     val served = graft.index.ResidentAdc.loadRotated(base, rot, cb,
