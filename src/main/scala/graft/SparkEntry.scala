@@ -79,6 +79,17 @@ object SparkEntry {
     "knn_range" -> ((s, dir) =>
       knnResult(Knn.rangeJoin(embQueries(s, dir, 10), embBase(s, dir),
         radius = 1.5, Metric.L2))),
+    // late-interaction (ColBERT maxsim) retrieval over synthetic bags:
+    // 4-vector docs, 2-vector queries (two query vectors keep the final
+    // float sum order-independent → hash-safe cross-engine).
+    "knn_maxsim" -> ((s, dir) => {
+      val b = MultiVec.bagged(embBase(s, dir), bag = 4, "doc_id")
+      val q = MultiVec.bagged(
+        embBase(s, dir).where(col("id") < 8), bag = 2, "qid")
+        .select(col("qid"), col("pos"), col("vec").as("qvec"))
+      MultiVec.maxSimJoin(q, b, k = 10)
+        .select(col("qid"), col("doc_id"), col("rank"))
+    }),
 
     // J6-style dense MIPS top-k.
     "knn_ip" -> ((s, dir) =>
@@ -1038,6 +1049,26 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |""".stripMargin,
     "knn_l2" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // late-interaction maxsim: per-(qvec, dvec) dot → max per doc → sum of
+    // the two query-vector maxima → rank desc
+    "knn_maxsim" ->
+      """WITH q AS (SELECT vec_id // 2 AS qid, vec_id AS qvid, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |b AS (SELECT vec_id // 4 AS doc_id, vec_id AS bvid, embedding AS bv
+        |      FROM embeddings),
+        |pairs AS (SELECT q.qid, q.qvid, b.doc_id, b.bvid,
+        |                 unnest(b.bv) AS x, unnest(q.qv) AS y
+        |          FROM b CROSS JOIN q),
+        |dots AS (SELECT qid, qvid, doc_id, bvid,
+        |                sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+        |         FROM pairs GROUP BY 1, 2, 3, 4),
+        |best AS (SELECT qid, qvid, doc_id, max(dot) AS m FROM dots GROUP BY 1, 2, 3),
+        |score AS (SELECT qid, doc_id, sum(m) AS s FROM best GROUP BY 1, 2),
+        |ranked AS (SELECT qid, doc_id,
+        |                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rank
+        |           FROM score)
+        |SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10
+        |""".stripMargin,
     // range search: all rows within squared-L2 1.5, ranked per query
     "knn_range" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv

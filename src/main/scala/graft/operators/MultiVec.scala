@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.functions.vectors._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Late-interaction multi-vector retrieval (the ColBERT scoring model,
+  * Khattab & Zaharia, SIGIR 2020 — public): documents and queries are BAGS
+  * of vectors (one per token/patch), and
+  *
+  *   score(Q, D) = Σ_{q ∈ Q} max_{d ∈ D} ⟨q, d⟩
+  *
+  * — each query vector picks its best-matching document vector, and the
+  * per-query-vector maxima add up. Retrieval-quality-wise this sits
+  * between single-vector dense retrieval (cheap, coarse) and full
+  * cross-attention (accurate, unservable); it is the scoring model modern
+  * retrieval stacks serve at scale.
+  *
+  * The reference is single-vector only — this is a beyond-reference
+  * extension of the join family (J1's multi-vector sibling).
+  *
+  * Spark shape: queries broadcast (bags are small); the doc side never
+  * shuffles raw vectors — similarities reduce FIRST by (query-vector, doc)
+  * max (map-side combining, the corpus-sized reduction), then by
+  * (query, doc) sum (rows ∝ |Q|·candidate docs), then a bounded-heap
+  * top-k. At 100 TB the crossJoin scan becomes an ANN candidate pass per
+  * query vector (PLAID-style: route each query vector through [[graft
+  * .index.HnswRouted]]/IVF, union candidates, exact-maxsim only those) —
+  * the exact reduce here is that pipeline's verify stage unchanged.
+  *
+  * Exactness note for the oracle gate: per-(query-vector, doc-vector)
+  * dots are the same sequential double sum both engines compute; max is
+  * exact selection; and the final Σ adds ONE double per query vector —
+  * with two query vectors the sum is a single a+b, bit-identical
+  * regardless of reduction order, so the driver's hash compare is safe.
+  * (For larger bags the ordering of a multi-term float sum is
+  * engine-dependent; ranks, not hashes, would be the check.) */
+object MultiVec {
+
+  /** Group a flat (id, vec) table into bags: bag id = id div `bag`,
+    * position = id mod `bag` — the deterministic synthetic bagging used by
+    * tests and gates (real corpora carry their own doc/token structure). */
+  def bagged(flat: DataFrame, bag: Int, idOut: String): DataFrame =
+    flat.select(
+      (col("id") / bag).cast("long").as(idOut),
+      pmod(col("id"), lit(bag)).cast("int").as("pos"),
+      col("vec"))
+
+  /** Exact MaxSim top-k join: `queries` = (qid, pos, qvec) bags,
+    * `base` = (doc_id, pos, vec) bags → (qid, doc_id, dist, rank) with
+    * dist = NEGATED maxsim score (one ascending top-k path for every
+    * metric, the [[Metric]] convention). */
+  def maxSimJoin(queries: DataFrame, base: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("qid"), col("pos").as("qpos"), col("qvec"))
+    val sims = base.crossJoin(broadcast(q))
+      .withColumn("sim", vecDot(col("qvec"), col("vec")))
+    // corpus-sized reduction first: best doc vector per (query vector, doc)
+    val best = sims.groupBy("qid", "qpos", "doc_id").agg(max(col("sim")).as("best"))
+    // then |Q| rows per (query, doc) collapse to the late-interaction score
+    val score = best.groupBy("qid", "doc_id").agg(sum(col("best")).as("score"))
+    TopK.aggTopK(score.withColumn("dist", -col("score")),
+      "qid", "doc_id", "dist", k)
+  }
+}

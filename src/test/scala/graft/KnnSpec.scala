@@ -88,6 +88,39 @@ class KnnSpec extends AnyFunSuite with SparkSuite {
     r1.foreach { case (qid, id) => assert(qid === id) }
   }
 
+  test("maxSimJoin: handcrafted bag scores; single-vector bags degenerate to MIPS") {
+    // two docs of two vectors, one query of two vectors, hand-checkable:
+    // doc 0 holds the best match for q-vec 0, doc 1 for q-vec 1
+    val base = Seq(
+      (0L, 0, Array(1f, 0f)), (0L, 1, Array(0.5f, 0.5f)),
+      (1L, 0, Array(0f, 1f)), (1L, 1, Array(0.9f, 0.1f))
+    ).toDF("doc_id", "pos", "vec")
+    val q = Seq((0L, 0, Array(1f, 0f)), (0L, 1, Array(0f, 1f)))
+      .toDF("qid", "pos", "qvec")
+    val got = MultiVec.maxSimJoin(q, base, 2)
+      .select($"qid", $"doc_id", $"dist", $"rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    // doc 0: max(1.0, 0.5) + max(0.0, 0.5) = 1.5; doc 1: 0.9 + 1.0 = 1.9
+    // (expected values go through the same float32 literals the data does)
+    assert(got.map(t => (t._2, -t._3)).toSeq ===
+      Seq((1L, 0.9f.toDouble + 1.0), (0L, 1.5)))
+
+    // 1-vector bags: maxsim == plain MIPS ranking (score = the single dot)
+    val e = Tables.embeddings(spark, sfDir)
+    val flat = e.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val bags = MultiVec.bagged(flat, 1, "doc_id")
+    val qbags = MultiVec.bagged(flat.where($"id" < 5), 1, "qid")
+      .select($"qid", $"pos", $"vec".as("qvec"))
+    val ms = MultiVec.maxSimJoin(qbags, bags, 10)
+      .select($"qid", $"doc_id".as("id"), $"rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val ip = Knn.knnJoin(
+      flat.where($"id" < 5).select($"id".as("qid"), $"vec".as("qvec")),
+      flat, 10, Metric.Ip)
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect().toSet
+    assert(ms === ip)
+  }
+
   test("rangeJoin: exactly the full-ranking rows within the radius, ranks preserved") {
     val e = Tables.embeddings(spark, sfDir)
     val b = e.select($"vec_id".as("id"), $"embedding".as("vec"))
