@@ -90,6 +90,30 @@ object SparkEntry {
       MultiVec.maxSimJoin(q, b, k = 10)
         .select(col("qid"), col("doc_id"), col("rank"))
     }),
+    // the PLAID-style serving path at its degenerate point: candidate
+    // generation through the ip graph with c = every vector + exhaustive
+    // beam makes every doc a candidate, so the ANN composition reproduces
+    // the exact maxsim ranking — same oracle as knn_maxsim.
+    "knn_maxsim_ann_exact" -> ((s, dir) => {
+      val b = MultiVec.bagged(embBase(s, dir), bag = 4, "doc_id")
+      val q = MultiVec.bagged(
+        embBase(s, dir).where(col("id") < 8), bag = 2, "qid")
+        .select(col("qid"), col("pos"), col("vec").as("qvec"))
+      val n = embBase(s, dir).count().toInt
+      MultiVec.maxSimAnn(q, b, k = 10, c = n, efSearch = 1 << 20)
+        .select(col("qid"), col("doc_id"), col("rank"))
+    }),
+    // the same composition at a real operating point (c = 32 vector hits
+    // per query vector, beam 64) — approximate → rows-only driver check;
+    // recall vs exact maxsim is KnnSpec-gated ≥ 0.9.
+    "knn_maxsim_ann" -> ((s, dir) => {
+      val b = MultiVec.bagged(embBase(s, dir), bag = 4, "doc_id")
+      val q = MultiVec.bagged(
+        embBase(s, dir).where(col("id") < 8), bag = 2, "qid")
+        .select(col("qid"), col("pos"), col("vec").as("qvec"))
+      MultiVec.maxSimAnn(q, b, k = 10, c = 32, efSearch = 64)
+        .select(col("qid"), col("doc_id"), col("rank"))
+    }),
 
     // J6-style dense MIPS top-k.
     "knn_ip" -> ((s, dir) =>
@@ -1052,6 +1076,26 @@ object SparkEntry {
     // late-interaction maxsim: per-(qvec, dvec) dot → max per doc → sum of
     // the two query-vector maxima → rank desc
     "knn_maxsim" ->
+      """WITH q AS (SELECT vec_id // 2 AS qid, vec_id AS qvid, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |b AS (SELECT vec_id // 4 AS doc_id, vec_id AS bvid, embedding AS bv
+        |      FROM embeddings),
+        |pairs AS (SELECT q.qid, q.qvid, b.doc_id, b.bvid,
+        |                 unnest(b.bv) AS x, unnest(q.qv) AS y
+        |          FROM b CROSS JOIN q),
+        |dots AS (SELECT qid, qvid, doc_id, bvid,
+        |                sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+        |         FROM pairs GROUP BY 1, 2, 3, 4),
+        |best AS (SELECT qid, qvid, doc_id, max(dot) AS m FROM dots GROUP BY 1, 2, 3),
+        |score AS (SELECT qid, doc_id, sum(m) AS s FROM best GROUP BY 1, 2),
+        |ranked AS (SELECT qid, doc_id,
+        |                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rank
+        |           FROM score)
+        |SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10
+        |""".stripMargin,
+    // ANN maxsim at the degenerate point (every doc a candidate): exact →
+    // identical oracle to knn_maxsim
+    "knn_maxsim_ann_exact" ->
       """WITH q AS (SELECT vec_id // 2 AS qid, vec_id AS qvid, embedding AS qv
         |           FROM embeddings WHERE vec_id < 8),
         |b AS (SELECT vec_id // 4 AS doc_id, vec_id AS bvid, embedding AS bv

@@ -121,6 +121,26 @@ class KnnSpec extends AnyFunSuite with SparkSuite {
     assert(ms === ip)
   }
 
+  test("maxSimAnn: exhaustive candidates equal exact maxsim; operating point recalls it") {
+    val e = Tables.embeddings(spark, sfDir)
+    val flat = e.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val bags = MultiVec.bagged(flat, 4, "doc_id")
+    val qbags = MultiVec.bagged(flat.where($"id" < 8), 2, "qid")
+      .select($"qid", $"pos", $"vec".as("qvec"))
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"doc_id", $"rank").as[(Long, Long, Long)].collect().toSet
+    val exact = MultiVec.maxSimJoin(qbags, bags, 10)
+    val n = flat.count().toInt
+    assert(rs(MultiVec.maxSimAnn(qbags, bags, 10, c = n, efSearch = 1 << 20))
+      === rs(exact))
+    // operating point: 32 vector hits per query vector, beam 64
+    val approx = MultiVec.maxSimAnn(qbags, bags, 10, c = 32, efSearch = 64)
+    val r = Recall.mean(
+      approx.withColumnRenamed("doc_id", "id"),
+      exact.withColumnRenamed("doc_id", "id"), 10)
+    assert(r >= 0.9, s"ANN maxsim recall $r")
+  }
+
   test("rangeJoin: exactly the full-ranking rows within the radius, ranks preserved") {
     val e = Tables.embeddings(spark, sfDir)
     val b = e.select($"vec_id".as("id"), $"embedding".as("vec"))
