@@ -86,6 +86,40 @@ object MultiVec {
     } finally resident.unload()
   }
 
+  /** Serving-form approximate MaxSim from graph hits ALONE — the standard
+    * ColBERT serving shortcut: each query vector contributes the best dot
+    * among its `c` graph hits per document; (query-vector, doc) pairs the
+    * probe never surfaced contribute nothing. One resident-graph probe
+    * batch per query batch, then this driver-side reduce over the
+    * |Q|·c hit rows — no second pass over the corpus at all, which is
+    * exactly what a serving tier wants. Scores are LOWER BOUNDS of the
+    * true maxsim (missing pairs only lose mass), so recall against the
+    * exact ranking is the grade (spec ≥ 0.9 at the operating point).
+    *
+    * `hits` = [[graft.index.HnswKnn.loadResident]].probeBatch output over
+    * composite ids (qid·qmax+pos probing vectors id = doc·bmax+pos, dist =
+    * negated dot under ip). Returns (qid, doc_id, dist = −score, rank). */
+  def maxSimFromHits(hits: Array[(Long, Long, Double, Long)], qmax: Int,
+                     bmax: Int, k: Int): Array[(Long, Long, Double, Long)] = {
+    val best = scala.collection.mutable.HashMap.empty[(Long, Int, Long), Double]
+    hits.foreach { case (cq, vid, dist, _) =>
+      val key = (cq / qmax, (cq % qmax).toInt, vid / bmax)
+      val dot = -dist
+      if (best.getOrElse(key, Double.NegativeInfinity) < dot) best(key) = dot
+    }
+    val score = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+    best.foreach { case ((qid, _, doc), m) =>
+      score((qid, doc)) = score.getOrElse((qid, doc), 0.0) + m
+    }
+    score.toArray
+      .map { case ((qid, doc), s) => (qid, doc, -s) }
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(k).zipWithIndex
+          .map { case ((qid, doc, d), i) => (qid, doc, d, (i + 1).toLong) }
+      }
+  }
+
   private def maxSimScore(queries: DataFrame, base: DataFrame, k: Int,
                           candidates: Option[DataFrame]): DataFrame = {
     val q = queries.select(col("qid"), col("pos").as("qpos"), col("qvec"))
