@@ -364,6 +364,82 @@ object Bench {
       served.unload()
       (v, sp, recall)
     }
+    // late-interaction (MaxSim) serving: one resident ip-graph probe batch
+    // + a driver hit-reduce per query-bag batch — no corpus re-score (the
+    // ColBERT serving shortcut). Scores are lower bounds, so recall vs the
+    // exact maxsim ranking is reported alongside, as for every
+    // approximate row. 4-vector docs, 2-vector queries.
+    val (maxsimQps, maxsimSpread, maxsimRecall) = {
+      import spark.implicits._
+      val flat = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val path = java.nio.file.Files.createTempDirectory("graft-bench-ms")
+        .resolve("idx").toString
+      index.HnswKnn.buildAndSave(flat, path, numPartitions = 8, metric = "ip")
+      val resident = index.HnswKnn.loadResident(spark, path)
+      val nqB = math.min(250L, n / 4).toInt
+      val qbags = operators.MultiVec
+        .bagged(flat.where(col("id") < 2L * nqB), 2, "qid")
+        .select(col("qid"), col("pos"), col("vec").as("qvec"))
+      val qs = qbags.select((col("qid") * 2 + col("pos")).cast("long"), col("qvec"))
+        .as[(Long, Array[Float])].collect()
+      val (v, sp) = qpsBatch(() => operators.MultiVec.maxSimFromHits(
+        resident.probeBatch(qs, k = 128, efSearch = 32), 2, 4, 10).length)
+      val truth = operators.MultiVec.maxSimJoin(
+        qbags, operators.MultiVec.bagged(flat, 4, "doc_id"), 10)
+        .withColumnRenamed("doc_id", "id")
+      val served = operators.MultiVec.maxSimFromHits(
+        resident.probeBatch(qs, k = 128, efSearch = 32), 2, 4, 10)
+      val recall = operators.Recall.mean(
+        spark.createDataFrame(served.toSeq).toDF("qid", "id", "dist", "rank"),
+        truth, 10)
+      resident.unload()
+      (v * nqB / math.max(nq, 1), sp, recall)
+    }
+    // binary sign-hash tier: resident packed-code exact Hamming scan — QPS
+    // plus binarization fidelity (recall of Hamming top-10 vs float-L2
+    // truth; the Hamming ranking itself is exact, see knn_hamming's gate)
+    val (hamQps, hamSpread, hamFidelity, hamFidelityCos) = {
+      import spark.implicits._
+      import graft.functions.vectors._
+      val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val served = index.ResidentBinary.load(base, numPartitions = 8)
+      val queries = emb.where(col("vec_id") < nq)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val qs = queries.select(col("qid").cast("long"),
+        vecSignPack(col("qvec")).as("qcode")).as[(Long, Array[Long])].collect()
+      val (v, sp) = qpsBatch(() => served.probeBatch(qs, k = 10).length)
+      val truth = operators.Knn.knnJoin(queries, base, 10, operators.Metric.L2)
+      val fid = operators.Recall.mean(served.probeLocal(queries, 10), truth, 10)
+      // sign codes are angle-only (norms are gone), so fidelity against the
+      // COSINE truth is the tier's natural grade; L2 fidelity is reported
+      // too as the honest cross-metric number
+      val cosTruth = operators.Knn.knnJoin(queries, base, 10,
+        operators.Metric.Cosine)
+      val fidCos = operators.Recall.mean(
+        served.probeLocal(queries, 10), cosTruth, 10)
+      served.unload()
+      (v, sp, fid, fidCos)
+    }
+    // two-tier resident: binary top-c first pass + in-shard float re-rank —
+    // fidelity is vs exact float L2 (c=50 operating point)
+    val (ham2Qps, ham2Spread, ham2Fidelity) = {
+      import spark.implicits._
+      import graft.functions.vectors._
+      val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val served = index.ResidentBinary.load(base, numPartitions = 8,
+        pinFloats = true)
+      val queries = emb.where(col("vec_id") < nq)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val qs = queries.select(col("qid").cast("long"),
+        vecSignPack(col("qvec")).as("qcode"), col("qvec"))
+        .as[(Long, Array[Long], Array[Float])].collect()
+      val (v, sp) = qpsBatch(() => served.probeBatchRerank(qs, k = 10, c = 50).length)
+      val truth = operators.Knn.knnJoin(queries, base, 10, operators.Metric.L2)
+      val fid = operators.Recall.mean(
+        served.probeLocalRerank(queries, 10, c = 50), truth, 10)
+      served.unload()
+      (v, sp, fid)
+    }
     val (annQps, annSpread, annRecall, annSweep) =
       residentQps("l2", sweepEfs = Seq(8, 16, 32))
     val (annIpQps, annIpSpread, annIpRecall, _) = residentQps("ip")
@@ -408,7 +484,7 @@ object Bench {
     val sweep =
       s"""{"ann_hnsw_probe":${sweepJson("efSearch", annSweep)},"sparse_budget_served":${sweepJson("m", sparseSweep)},"ann_hnsw_probe_routed":${sweepJson("nprobe", rtSweep)},"ann_hnsw_probe_routed_auto":${sweepJson("minMassPct", rtaSweep)},"ann_adc_served":${sweepJson("rerank", adcSweep)}}"""
     val qpsJson =
-      s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"sparse_budget_served":$sparseServedQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"ann_hnsw_probe_routed_auto":$rtaQps,"ann_hnsw_probe_mutated":$mutQps,"ann_adc_served":$adcQps,"ann_ivfadc_served":$ivfAdcQps,"ann_ivfadc_residual_served":$ivfAdcResQps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"sparse_budget_served":$sparseServedSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread,"ann_hnsw_probe_routed_auto":$rtaSpread,"ann_hnsw_probe_mutated":$mutSpread,"ann_adc_served":$adcSpread,"ann_ivfadc_served":$ivfAdcSpread,"ann_ivfadc_residual_served":$ivfAdcResSpread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall},"sweep":$sweep,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
+      s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"sparse_budget_served":$sparseServedQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"ann_hnsw_probe_routed_auto":$rtaQps,"ann_hnsw_probe_mutated":$mutQps,"ann_adc_served":$adcQps,"ann_ivfadc_served":$ivfAdcQps,"ann_ivfadc_residual_served":$ivfAdcResQps,"maxsim_served":$maxsimQps,"hamming_served":$hamQps,"hamming_rerank_served":$ham2Qps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"sparse_budget_served":$sparseServedSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread,"ann_hnsw_probe_routed_auto":$rtaSpread,"ann_hnsw_probe_mutated":$mutSpread,"ann_adc_served":$adcSpread,"ann_ivfadc_served":$ivfAdcSpread,"ann_ivfadc_residual_served":$ivfAdcResSpread,"maxsim_served":$maxsimSpread,"hamming_served":$hamSpread,"hamming_rerank_served":$ham2Spread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall,"maxsim_served":$maxsimRecall,"hamming_served_l2_fidelity":$hamFidelity,"hamming_served_cos_fidelity":$hamFidelityCos,"hamming_rerank_served_l2_fidelity":$ham2Fidelity},"sweep":$sweep,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qpsJson,"sf":"$sfDir"}"""
     // stdout scraping truncated BENCH_r04's tail mid-JSON ("parsed": null):

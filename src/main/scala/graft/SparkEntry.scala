@@ -54,6 +54,18 @@ object SparkEntry {
 
   private val l2Sql = "sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))"
   private val dotSql = "sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+  // Hamming over sign bits: count of coordinates whose signs disagree —
+  // pure integer on both engines, no float accumulation at all
+  private val hammingSql = "sum(CASE WHEN (x > 0) <> (y > 0) THEN 1 ELSE 0 END)"
+  // MIH candidate rule: the pair shares at least one of the 4 disjoint
+  // 16-bit sign substrings (the same boolean-slice equality the Spark side
+  // joins on) — deterministic, so the approximate path gets a FULL hash gate
+  private val mihChunksSql = (0 until 4).map { c =>
+    val lo = c * 16 + 1
+    val hi = c * 16 + 16
+    s"list_transform(e.embedding[$lo:$hi], v -> v > 0) = " +
+      s"list_transform(q.qv[$lo:$hi], v -> v > 0)"
+  }.mkString("(", " OR ", ")")
 
   // -- the operator surface -------------------------------------------------
 
@@ -79,6 +91,50 @@ object SparkEntry {
     "knn_range" -> ((s, dir) =>
       knnResult(Knn.rangeJoin(embQueries(s, dir, 10), embBase(s, dir),
         radius = 1.5, Metric.L2))),
+    // binary sign-hash track (faiss IndexBinaryFlat semantics over sign
+    // codes): pack once, XOR+popcount per pair — pure integer, oracle-exact
+    "knn_hamming" -> ((s, dir) =>
+      knnResult(Knn.knnHamming(embQueries(s, dir, 10), embBase(s, dir), 10))),
+    // multi-index hashing (Norouzi CVPR'12): candidates = equi-join on any
+    // of the 4 disjoint 16-bit substrings (pigeonhole-complete for Hamming
+    // radius ≤ 3), exact popcount re-rank. Deterministic candidate rule, so
+    // the oracle replicates it and the gate is a full hash gate.
+    "knn_hamming_mih" -> ((s, dir) =>
+      knnResult(Knn.knnHammingMih(embQueries(s, dir, 10), embBase(s, dir), 10))),
+    // two-tier binary→float retrieval: Hamming top-50 candidates, exact L2
+    // re-rank — the deterministic selection rule makes the FULL composition
+    // a hash gate (oracle replicates both tiers)
+    "knn_hamming_rerank" -> ((s, dir) =>
+      knnResult(Knn.knnHammingRerank(embQueries(s, dir, 10), embBase(s, dir),
+        k = 10, c = 50))),
+    // exact Hamming range search through the MIH bucket join (complete by
+    // pigeonhole for radius < #chunks). Queries are sign-perturbed copies
+    // (3 flips spanning 3 chunks) so the radius set is non-trivial; the
+    // ORACLE is the plain all-pairs range answer with NO candidate rule —
+    // green means the bucket join provably missed nothing.
+    "knn_hamming_range" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"), (v, i) =>
+            when(i === 0 || i === 21 || i === 43, -v).otherwise(v)).as("qvec"))
+      knnResult(Knn.hammingRange(q, embBase(s, dir), radius = 3))
+    }),
+    // the binary tier's resident serving form — same rows as knn_hamming
+    "knn_hamming_served" -> ((s, dir) => {
+      val served = graft.index.ResidentBinary.load(embBase(s, dir),
+        numPartitions = 4)
+      try knnResult(served.probeLocal(embQueries(s, dir, 10), 10))
+      finally served.unload()
+    }),
+    // the two-tier resident form at its degenerate point: the per-shard
+    // rerank budget covers every row → exact float kNN (knn_l2's oracle)
+    "knn_hamming_rerank_served_exact" -> ((s, dir) => {
+      val served = graft.index.ResidentBinary.load(embBase(s, dir),
+        numPartitions = 4, pinFloats = true)
+      try knnResult(served.probeLocalRerank(embQueries(s, dir, 10), 10,
+        c = Int.MaxValue))
+      finally served.unload()
+    }),
     // late-interaction (ColBERT maxsim) retrieval over synthetic bags:
     // 4-vector docs, 2-vector queries (two query vectors keep the final
     // float sum order-independent → hash-safe cross-engine).
@@ -216,6 +272,20 @@ object SparkEntry {
     "pipeline_stratified" -> ((s, dir) =>
       Pipeline.stratifiedTake(Tables.documents(s, dir), "lang", "doc_id", 30)
         .select(col("doc_id").cast("long"), col("lang"),
+          col("samp_rank").cast("long"))),
+    // temperature-balanced (α=0.5) mixture allocation over sources:
+    // sqrt-smoothed weights + integer largest-remainder apportionment of a
+    // 100k-doc budget — Σ alloc = budget exactly
+    "pipeline_mixture_alloc" -> ((s, dir) =>
+      Pipeline.temperatureAllocate(Tables.documents(s, dir), "source",
+        col("n_chars"), budget = 100000L)),
+    // the materialized mixture: α-smoothed per-source budgets (200 docs
+    // total here, so allocations are non-trivial at this SF) + exact
+    // deterministic per-source selection
+    "pipeline_mixture_take" -> ((s, dir) =>
+      Pipeline.materializeMixture(Tables.documents(s, dir), "source",
+        "doc_id", col("n_chars"), budget = 200L)
+        .select(col("source"), col("doc_id").cast("long"),
           col("samp_rank").cast("long"))),
     "text_tokens_bpe" -> ((s, dir) => Text.bpeishCounts(Tables.documents(s, dir))),
 
@@ -1073,6 +1143,46 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |""".stripMargin,
     "knn_l2" -> knnOracle(10, 10, l2Sql, "ASC"),
+    "knn_hamming" -> knnOracle(10, 10, hammingSql, "ASC"),
+    "knn_hamming_mih" -> knnOracle(10, 10, hammingSql, "ASC",
+      filterSql = mihChunksSql),
+    "knn_hamming_served" -> knnOracle(10, 10, hammingSql, "ASC"),
+    // exact-degenerate two-tier serving = plain exact L2
+    "knn_hamming_rerank_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // both tiers replicated: Hamming top-50 (hd asc, nid asc), then L2
+    // re-rank of exactly those candidates
+    "knn_hamming_rerank" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 10),
+         |pairs AS (SELECT q.qid, e.vec_id AS nid,
+         |                 unnest(e.embedding) AS x, unnest(q.qv) AS y
+         |          FROM embeddings e CROSS JOIN q),
+         |scored AS (SELECT qid, nid, $hammingSql AS hd, $l2Sql AS fd
+         |           FROM pairs GROUP BY qid, nid),
+         |cand AS (SELECT qid, nid, fd,
+         |                row_number() OVER (PARTITION BY qid ORDER BY hd ASC, nid) AS hr
+         |         FROM scored),
+         |ranked AS (SELECT qid, nid,
+         |                  row_number() OVER (PARTITION BY qid ORDER BY fd ASC, nid) AS rank
+         |           FROM cand WHERE hr <= 50)
+         |SELECT qid, nid AS neighbor_id, rank FROM ranked WHERE rank <= 10
+         |""".stripMargin,
+    // all-pairs range truth — deliberately NOT the MIH candidate rule, so
+    // this gate also proves pigeonhole completeness of the bucket join
+    "knn_hamming_range" ->
+      s"""WITH q AS (SELECT vec_id AS qid,
+         |             [-embedding[1]] || embedding[2:21] || [-embedding[22]]
+         |               || embedding[23:43] || [-embedding[44]]
+         |               || embedding[45:64] AS qv
+         |           FROM embeddings WHERE vec_id < 10),
+         |pairs AS (SELECT q.qid, e.vec_id AS nid,
+         |                 unnest(e.embedding) AS x, unnest(q.qv) AS y
+         |          FROM embeddings e CROSS JOIN q),
+         |scored AS (SELECT qid, nid, $hammingSql AS d FROM pairs GROUP BY qid, nid)
+         |SELECT qid, nid AS neighbor_id,
+         |       row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid) AS rank
+         |FROM scored WHERE d <= 3
+         |""".stripMargin,
     // late-interaction maxsim: per-(qvec, dvec) dot → max per doc → sum of
     // the two query-vector maxima → rank desc
     "knn_maxsim" ->
@@ -1310,6 +1420,50 @@ object SparkEntry {
         |                    doc_id)
         |           AS samp_rank
         |  FROM documents) WHERE samp_rank <= 30
+        |""".stripMargin,
+    "pipeline_mixture_alloc" ->
+      """WITH t AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tot
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, tot,
+        |             CAST(floor(sqrt(CAST(tot AS DOUBLE)) * 1000.0) AS BIGINT) AS weight
+        |      FROM t),
+        |s AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+        |b AS (SELECT source, tot, weight,
+        |             CAST((100000 * weight) // wsum AS BIGINT) AS base,
+        |             CAST((100000 * weight) % wsum AS BIGINT) AS rem
+        |      FROM w, s),
+        |k AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS extra FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr
+        |      FROM b)
+        |SELECT source, tot, weight,
+        |       CAST(base + CASE WHEN rr <= (SELECT extra FROM k)
+        |                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r
+        |""".stripMargin,
+    "pipeline_mixture_take" ->
+      """WITH t AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tot
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, tot,
+        |             CAST(floor(sqrt(CAST(tot AS DOUBLE)) * 1000.0) AS BIGINT) AS weight
+        |      FROM t),
+        |s AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+        |b AS (SELECT source, weight,
+        |             CAST((200 * weight) // wsum AS BIGINT) AS base,
+        |             CAST((200 * weight) % wsum AS BIGINT) AS rem
+        |      FROM w, s),
+        |k AS (SELECT CAST(200 - sum(base) AS BIGINT) AS extra FROM b),
+        |a AS (SELECT source,
+        |             base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+        |                         <= (SELECT extra FROM k) THEN 1 ELSE 0 END AS alloc
+        |      FROM b),
+        |ranked AS (SELECT source, doc_id,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15))::BIGINT AS DOUBLE),
+        |                        doc_id) AS samp_rank
+        |           FROM documents)
+        |SELECT r.source, r.doc_id, r.samp_rank
+        |FROM ranked r JOIN a ON r.source = a.source
+        |WHERE r.samp_rank <= a.alloc
         |""".stripMargin,
     "text_repetition" ->
       """WITH g AS (SELECT doc_id,

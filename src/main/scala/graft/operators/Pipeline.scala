@@ -148,6 +148,86 @@ object Pipeline {
       .drop("_sk")
   }
 
+  /** Temperature-balanced mixture allocation — the multilingual/multi-source
+    * sampling pass (the α-smoothed source weighting of the XLM-R /
+    * multilingual-LM lineage, α = 0.5): source s gets a share of the doc
+    * `budget` proportional to tot_s^0.5, flattening the head sources and
+    * boosting the tail relative to natural frequency.
+    *
+    * Engine-portable by construction: arbitrary pow(x, α) is NOT identical
+    * across engines, but IEEE-754 sqrt IS correctly rounded everywhere, so
+    * the weight is floor(sqrt(tot) · 1000) — an integer both engines agree
+    * on bit-for-bit (`sqrtTimes` = 2 gives α = 0.25 as sqrt∘sqrt, still
+    * exact). Seats then apportion by integer largest-remainder (Hamilton):
+    * base = ⌊budget·w / Σw⌋, and the `budget − Σbase` leftover seats go to
+    * the largest remainders (ties → lexicographic source). Everything after
+    * the sqrt is integer arithmetic — fully oracle-checkable.
+    *
+    * Scale shape: one map-side-partial groupBy reduces the corpus to the
+    * SOURCE DIMENSION TABLE (tens of rows); the window and 1-row sum joins
+    * below run on that tiny table, never on the corpus. Returns (source,
+    * tot, weight, alloc) with Σ alloc = budget exactly. */
+  def temperatureAllocate(df: DataFrame, sourceCol: String, measure: Column,
+                          budget: Long, sqrtTimes: Int = 1): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(sqrtTimes >= 1 && sqrtTimes <= 3, s"sqrtTimes in [1,3], got $sqrtTimes")
+    val tot = df.groupBy(col(sourceCol))
+      .agg(sum(measure).cast("long").as("tot"))
+    val rooted = (1 to sqrtTimes)
+      .foldLeft(col("tot").cast("double")) { (c, _) => sqrt(c) }
+    val w = tot.withColumn("weight", floor(rooted * lit(1000.0)).cast("long"))
+    val wsum = w.agg(sum(col("weight")).as("wsum"))
+    val based = w.crossJoin(broadcast(wsum))
+      .withColumn("base", expr(s"($budget * weight) div wsum"))
+      .withColumn("rem", expr(s"($budget * weight) % wsum"))
+    val extra = based.agg((lit(budget) - sum(col("base"))).as("extra"))
+    import org.apache.spark.sql.expressions.Window
+    based.crossJoin(broadcast(extra))
+      .withColumn("_rr", row_number().over(
+        Window.orderBy(col("rem").desc, col(sourceCol))))
+      .withColumn("alloc",
+        (col("base") + when(col("_rr") <= col("extra"), 1L).otherwise(0L))
+          .cast("long"))
+      .select(col(sourceCol), col("tot"), col("weight"), col("alloc"))
+  }
+
+  /** Materialize a temperature-balanced mixture: compose
+    * [[temperatureAllocate]] (how many docs each source contributes) with a
+    * per-source deterministic take (WHICH docs — the alloc_s smallest
+    * salted-md5 keys, [[stratifiedTake]]'s construction with a per-stratum
+    * n). The end-to-end "build the training mix" pass: α-smoothed source
+    * budgets, exact doc selection, rerun/engine-reproducible throughout.
+    *
+    * A source whose allocation exceeds its population contributes all its
+    * docs (the under-supplied-tail case — upsampling past 1 epoch is a
+    * repeat-factor decision left to the caller). Scale shape: the
+    * allocation table is driver-sized (one row per source — collected
+    * deliberately); selection is the bounded-heap per-stratum take with
+    * heap bound max(alloc), so no stratum ever sorts its rows in one task.
+    * Returns (sourceCol, idCol, samp_rank) with samp_rank ≤ the source's
+    * allocation. */
+  def materializeMixture(df: DataFrame, sourceCol: String, idCol: String,
+                         measure: Column, budget: Long, sqrtTimes: Int = 1,
+                         salt: String = ":mix"): DataFrame = {
+    val spark = df.sparkSession
+    val allocRows = temperatureAllocate(df, sourceCol, measure, budget, sqrtTimes)
+      .select(col(sourceCol), col("alloc")).collect()
+    require(allocRows.nonEmpty, "empty corpus")
+    val nMax = allocRows.map(_.getLong(1)).max
+    require(nMax <= Int.MaxValue, s"per-source allocation $nMax exceeds Int range")
+    val allocDf = spark.createDataFrame(
+      java.util.Arrays.asList(allocRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(sourceCol,
+          df.schema(sourceCol).dataType),
+        org.apache.spark.sql.types.StructField("alloc",
+          org.apache.spark.sql.types.LongType))))
+    stratifiedTake(df, sourceCol, idCol, nMax.toInt, salt)
+      .join(broadcast(allocDf), sourceCol)
+      .where(col("samp_rank") <= col("alloc"))
+      .select(col(sourceCol), col(idCol), col("samp_rank"))
+  }
+
   /** Contiguous token-budget shard packing: docs in ascending id order are
     * packed greedily into shards of ≤ `budget` tokens by the cumulative
     * count — shard = floor(cum_before / budget), the deterministic

@@ -141,6 +141,133 @@ class KnnSpec extends AnyFunSuite with SparkSuite {
     assert(r >= 0.9, s"ANN maxsim recall $r")
   }
 
+  test("maxSimFromHits: exhaustive hits equal exact maxsim; serving point recalls it") {
+    val e = Tables.embeddings(spark, sfDir)
+    val flat = e.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val bags = MultiVec.bagged(flat, 4, "doc_id")
+    val qbags = MultiVec.bagged(flat.where($"id" < 8), 2, "qid")
+      .select($"qid", $"pos", $"vec".as("qvec"))
+    val exact = MultiVec.maxSimJoin(qbags, bags, 10)
+      .select($"qid", $"doc_id", $"rank").as[(Long, Long, Long)].collect().toSet
+    val path = java.nio.file.Files.createTempDirectory("graft-msh")
+      .resolve("idx").toString
+    graft.index.HnswKnn.buildAndSave(flat, path, numPartitions = 4, metric = "ip")
+    val resident = graft.index.HnswKnn.loadResident(spark, path)
+    try {
+      val qs = qbags.select(($"qid" * 2 + $"pos").cast("long"), $"qvec")
+        .as[(Long, Array[Float])].collect()
+      // exhaustive: every vector a hit → scores are the true maxsim
+      val n = flat.count().toInt
+      val full = MultiVec.maxSimFromHits(
+        resident.probeBatch(qs, k = n, efSearch = 1 << 20), 2, 4, 10)
+        .map(t => (t._1, t._2, t._4)).toSet
+      assert(full === exact)
+      // serving operating point: hits-only scores recall the truth within
+      // the approximation's honest envelope. This 125-doc fixture is the
+      // shortcut's worst case — c=64 hits per query vector cover half the
+      // corpus, so docs hit by only one query vector carry half scores
+      // (real corpora cluster; the relevant doc is hit by every query
+      // vector). The trade must be real and monotone in c.
+      val truthDf = MultiVec.maxSimJoin(qbags, bags, 10)
+        .withColumnRenamed("doc_id", "id")
+      def recallAt(c: Int): Double = {
+        val served = MultiVec.maxSimFromHits(
+          resident.probeBatch(qs, k = c, efSearch = 128), 2, 4, 10)
+        Recall.mean(spark.createDataFrame(served.toSeq)
+          .toDF("qid", "id", "dist", "rank"), truthDf, 10)
+      }
+      val (lo, hi) = (recallAt(48), recallAt(96))
+      assert(hi >= lo, s"recall must not decrease with c: $lo -> $hi")
+      assert(hi >= 0.9, s"hits-only maxsim recall at c=96: $hi")
+      assert(recallAt(64) >= 0.8, s"c=64 recall ${recallAt(64)}")
+    } finally resident.unload()
+  }
+
+  test("hamming: packed popcount kernel equals naive sign-mismatch; resident form matches brute rows") {
+    import graft.functions.vectors._
+    val e = Tables.embeddings(spark, sfDir)
+    val b = e.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val q = e.where($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // every (query, base) pair: the packed XOR+popcount kernel must equal
+    // the naive per-coordinate sign-mismatch count
+    val mism = b.crossJoin(q).select(
+      aggregate(
+        zip_with($"qvec", $"vec",
+          (x, y) => ((x > lit(0.0f)) =!= (y > lit(0.0f))).cast("long")),
+        lit(0L), (acc, v) => acc + v).as("naive"),
+      vecHamming(vecSignPack($"qvec"), vecSignPack($"vec")).as("packed"))
+    assert(mism.where($"naive" =!= $"packed").count() === 0L)
+    val brute = Knn.knnHamming(q, b, 10)
+      .select($"qid", $"id", $"dist".cast("double"), $"rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val served = graft.index.ResidentBinary.load(b, numPartitions = 3)
+    try {
+      val got = served.probeLocal(q, 10)
+        .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      assert(got.toSeq === brute.toSeq)
+    } finally served.unload()
+  }
+
+  test("knnHammingRerank: c=N degenerates to exact L2; fidelity monotone in c") {
+    val e = Tables.embeddings(spark, sfDir)
+    val b = e.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val q = e.where($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val n = b.count().toInt
+    val truth = Knn.knnJoin(q, b, 10, Metric.L2)
+    val exact = Knn.knnHammingRerank(q, b, k = 10, c = n)
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect().toSet
+    assert(exact === truth.select($"qid", $"id", $"rank")
+      .as[(Long, Long, Long)].collect().toSet,
+      "all-candidates re-rank must equal exact float kNN")
+    def fid(c: Int): Double =
+      Recall.mean(Knn.knnHammingRerank(q, b, 10, c), truth, 10)
+    val (lo, hi) = (fid(30), fid(120))
+    assert(hi >= lo, s"fidelity must not decrease with c: $lo -> $hi")
+    assert(hi >= 0.6, s"binary-tier fidelity at c=120: $hi")
+    // resident two-tier: per-shard top-c unions are a SUPERSET of the
+    // global top-c candidates, so served fidelity dominates the dataflow's
+    // at equal c; at c = ∞ (clamped per shard) the result is exact L2
+    val served = graft.index.ResidentBinary.load(b, numPartitions = 3,
+      pinFloats = true)
+    try {
+      val sFid = Recall.mean(served.probeLocalRerank(q, 10, 30), truth, 10)
+      assert(sFid >= lo - 1e-9, s"served fidelity $sFid < dataflow $lo at c=30")
+      val exactServed = served.probeLocalRerank(q, 10, Int.MaxValue)
+        .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect().toSet
+      assert(exactServed === truth.select($"qid", $"id", $"rank")
+        .as[(Long, Long, Long)].collect().toSet)
+    } finally served.unload()
+  }
+
+  test("knnHammingMih: pigeonhole-complete at radius 3 across chunk-spanning flips") {
+    val e = Tables.embeddings(spark, sfDir)
+    val b = e.select($"vec_id".as("id"), $"embedding".as("vec"))
+    // queries = base rows with sign flips in THREE different 16-bit chunks
+    // (dims 0, 21, 43) — the worst admissible case for 4 chunks: one
+    // substring is still intact, so pigeonhole guarantees candidacy
+    val q = e.where($"vec_id" < 10).select($"vec_id".as("qid"),
+      transform($"embedding", (v, i) =>
+        when(i === 0 || i === 21 || i === 43, -v).otherwise(v)).as("qvec"))
+    val res = Knn.knnHammingMih(q, b, 10)
+    val hits = res.where($"id" === $"qid" && $"dist" <= 3).count()
+    assert(hits === 10L, "every flipped source must surface within radius 3")
+    // range form: the bucket-join answer must equal the ALL-PAIRS range
+    // answer — pigeonhole completeness, checked against an implementation
+    // that shares no candidate rule
+    import graft.functions.vectors._
+    val got = Knn.hammingRange(q, b, radius = 3)
+      .select($"qid", $"id", $"dist".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = b.crossJoin(q).select($"qid", $"id",
+        vecHamming(vecSignPack($"qvec"), vecSignPack($"vec")).as("dist"))
+      .where($"dist" <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(got.nonEmpty && got.size >= 10)
+  }
+
   test("rangeJoin: exactly the full-ranking rows within the radius, ranks preserved") {
     val e = Tables.embeddings(spark, sfDir)
     val b = e.select($"vec_id".as("id"), $"embedding".as("vec"))

@@ -22,6 +22,74 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(frac.getOrElse("test", 0.0) > 0.03, s"test frac ${frac.get("test")}")
   }
 
+  test("temperatureAllocate: seats sum to budget; sqrt flattens the head; skew-consistent") {
+    // skewed synthetic measures so temperature has something to flatten
+    // (the table's own sources are near-uniform at small SF)
+    val m = docs.withColumn("m",
+      ($"n_chars" * (substring($"source", 4, 4).cast("long") + lit(1L))))
+    val out = Pipeline.temperatureAllocate(m, "source", $"m", budget = 100000L)
+      .select($"source", $"tot", $"weight", $"alloc")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.map(_._4).sum === 100000L, "largest-remainder must hit budget exactly")
+    assert(out.forall(_._4 >= 0))
+    // weight is exactly floor(sqrt(tot)*1000)
+    out.foreach { case (_, tot, w, _) =>
+      assert(w === math.floor(math.sqrt(tot.toDouble) * 1000.0).toLong)
+    }
+    // allocation order follows measure order (sqrt is monotone)
+    val byTot = out.sortBy(_._2)
+    assert(byTot.map(_._4).zip(byTot.map(_._4).drop(1)).forall { case (a, b) => a <= b + 1 })
+    // temperature flattens: the head/tail allocation ratio must sit well
+    // below the raw measure ratio, near its square root
+    val head = byTot.last
+    val tail = byTot.head
+    val rawRatio = head._2.toDouble / tail._2
+    val allocRatio = head._4.toDouble / tail._4
+    assert(allocRatio < rawRatio * 0.8,
+      s"alloc ratio $allocRatio should flatten raw $rawRatio")
+    assert(math.abs(allocRatio - math.sqrt(rawRatio)) / math.sqrt(rawRatio) < 0.05,
+      s"alloc ratio $allocRatio should track sqrt(raw) ${math.sqrt(rawRatio)}")
+    // α=0.25 flattens further
+    val out2 = Pipeline.temperatureAllocate(m, "source", $"m",
+      budget = 100000L, sqrtTimes = 2)
+      .select($"source", $"alloc").as[(String, Long)].collect().toMap
+    val allocRatio2 = out2(head._1).toDouble / out2(tail._1)
+    assert(allocRatio2 < allocRatio, s"α=0.25 ratio $allocRatio2 vs α=0.5 $allocRatio")
+  }
+
+  test("materializeMixture: per-source sizes = min(alloc, population); deterministic; prefix-consistent") {
+    val out = Pipeline.materializeMixture(docs, "source", "doc_id",
+      $"n_chars", budget = 200L)
+      .select($"source", $"doc_id", $"samp_rank")
+      .as[(String, Long, Long)].collect()
+    val alloc = Pipeline.temperatureAllocate(docs, "source", $"n_chars", 200L)
+      .select($"source", $"alloc").as[(String, Long)].collect().toMap
+    val pop = docs.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    val sizes = out.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    alloc.foreach { case (s, a) =>
+      assert(sizes.getOrElse(s, 0L) === math.min(a, pop(s)),
+        s"source $s: size ${sizes.get(s)} vs alloc $a pop ${pop(s)}")
+    }
+    // ranks are 1..size per source and the take is the stratifiedTake
+    // prefix (same salt ⇒ same keys)
+    out.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    val prefix = Pipeline.stratifiedTake(docs, "source", "doc_id",
+      alloc.values.max.toInt, ":mix")
+      .select($"source", $"doc_id", $"samp_rank")
+      .as[(String, Long, Long)].collect()
+      .filter { case (s, _, r) => r <= alloc(s) }.toSet
+    assert(out.toSet === prefix)
+    // rerun-stable
+    val again = Pipeline.materializeMixture(docs, "source", "doc_id",
+      $"n_chars", budget = 200L)
+      .select($"source", $"doc_id", $"samp_rank")
+      .as[(String, Long, Long)].collect().toSet
+    assert(again === out.toSet)
+  }
+
   test("sampleBySource: deterministic, keep = bucket < weight, rates track weights") {
     val weights = docs.select("source").distinct().collect().map(_.getString(0))
       .map(s => s -> (2000L + 500L * (s.stripPrefix("src").toLong % 9))).toMap

@@ -69,6 +69,24 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"vec_l2sq fell out of whole-stage codegen:\n${distLine.get}\n$p")
   }
 
+  test("hamming kNN: popcount kernel in codegen, base table never shuffles") {
+    val df = SparkEntry.queries("knn_hamming")(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    val distLine = p.linesIterator.find(_.contains("vec_hamming"))
+    assert(distLine.isDefined, s"hamming expr missing:\n$p")
+    assert(distLine.get.contains("*("),
+      s"vec_hamming fell out of whole-stage codegen:\n${distLine.get}\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"queries must broadcast:\n$p")
+    // same partial-heap contract as the float path: only aggregated
+    // buffers cross the qid exchange
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(qid")
+    val partialIdx = p.indexOf("ObjectHashAggregate", exchangeIdx)
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial top-k must sit below the qid exchange:\n$p")
+  }
+
   test("knn top-k shuffles only aggregated heaps, not raw candidate rows") {
     val df = SparkEntry.queries("knn_l2")(spark, sfDir)
     val p = plan(df)
