@@ -126,6 +126,14 @@ object SparkEntry {
       try knnResult(served.probeLocal(embQueries(s, dir, 10), 10))
       finally served.unload()
     }),
+    // binary IVF (faiss IndexBinaryIVF shape): Hamming-majority centroids
+    // route queries; at nprobe = C every cluster scans → exact brute
+    // Hamming, whatever the clustering did (knn_hamming's oracle)
+    "ann_hamming_ivf_exact" -> ((s, dir) => {
+      val model = graft.index.BinaryIvf.build(embBase(s, dir), c = 8, iters = 3)
+      knnResult(graft.index.BinaryIvf.probe(model, embQueries(s, dir, 10),
+        10, nprobe = 8))
+    }),
     // the two-tier resident form at its degenerate point: the per-shard
     // rerank budget covers every row → exact float kNN (knn_l2's oracle)
     "knn_hamming_rerank_served_exact" -> ((s, dir) => {
@@ -273,6 +281,10 @@ object SparkEntry {
       Pipeline.stratifiedTake(Tables.documents(s, dir), "lang", "doc_id", 30)
         .select(col("doc_id").cast("long"), col("lang"),
           col("samp_rank").cast("long"))),
+    // materialized packed sequences: per shard, texts concatenated in
+    // doc_id order (hash gate covers the sequence bytes via md5)
+    "pipeline_sequences" -> ((s, dir) =>
+      Pipeline.buildSequences(Tables.documents(s, dir), budget = 2000L)),
     // temperature-balanced (α=0.5) mixture allocation over sources:
     // sqrt-smoothed weights + integer largest-remainder apportionment of a
     // 100k-doc budget — Σ alloc = budget exactly
@@ -331,6 +343,12 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.dupClusters(docs,
         Dedup.minhashLsh(docs, n = 3, numSeeds = 16, rowsPerBand = 4, minBp = 5000))
+    }),
+    // dedup resolution: keep the longest member of each near-dup cluster
+    "dedup_canonical" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.canonical(docs, Dedup.dupClusters(docs,
+        Dedup.minhashLsh(docs, n = 3, numSeeds = 16, rowsPerBand = 4, minBp = 5000)))
     }),
     // LSH-bucketed (the 100 TB path): integer hyperplane signatures →
     // 4×8-bit band candidates → exact cosine re-rank. The oracle replicates
@@ -1120,6 +1138,39 @@ object SparkEntry {
       |                     i -> array_to_string(l[i:i+2], ' '))) AS shingle
       |       FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))""".stripMargin
 
+  /** Full MinHash-LSH → Jaccard-verified edges → min-label connected
+    * components, ending in `cl(doc_id, cluster_id)` — the shared prefix of
+    * the cluster and canonical-selection oracles. */
+  private lazy val dupClustersCtes: String =
+    s"""WITH RECURSIVE $shinglesCte,
+       |mh AS (SELECT doc_id, g.seed AS seed,
+       |              min(xor(('0x' || substr(md5(shingle), 1, 15))::BIGINT,
+       |                      ('0x' || substr(md5('seed:' || CAST(g.seed AS VARCHAR)), 1, 15))::BIGINT)) AS mh
+       |       FROM sh CROSS JOIN generate_series(0, 15) g(seed) GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, seed // 4 AS band,
+       |                 string_agg(mh::VARCHAR, '-' ORDER BY seed) AS bkey
+       |          FROM mh GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS i
+       |          FROM cand c
+       |          JOIN sh a ON a.doc_id = c.a_id
+       |          JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT a_id, b_id
+       |          FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+       |          WHERE (10000 * i) // (sa.nsh + sb.nsh - i) >= 5000),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+       |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |""".stripMargin
+
   /** DuckDB-side 32-bit SimHash signature CTE (mirrors Dedup.simhash). */
   private val simhashSql =
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -1149,6 +1200,8 @@ object SparkEntry {
     "knn_hamming_served" -> knnOracle(10, 10, hammingSql, "ASC"),
     // exact-degenerate two-tier serving = plain exact L2
     "knn_hamming_rerank_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // full fan-out binary IVF = plain exact Hamming
+    "ann_hamming_ivf_exact" -> knnOracle(10, 10, hammingSql, "ASC"),
     // both tiers replicated: Hamming top-50 (hd asc, nid asc), then L2
     // re-rank of exactly those candidates
     "knn_hamming_rerank" ->
@@ -1440,6 +1493,18 @@ object SparkEntry {
         |                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r
         |""".stripMargin,
+    "pipeline_sequences" ->
+      s"""WITH $tokensCte,
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id),
+         |w AS (SELECT doc_id,
+         |             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+         |      FROM n),
+         |sh AS (SELECT doc_id, CAST(cum_before // 2000 AS BIGINT) AS shard FROM w)
+         |SELECT sh.shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       md5(string_agg(d.text, chr(30) ORDER BY d.doc_id)) AS seq_md5
+         |FROM sh JOIN documents d ON d.doc_id = sh.doc_id
+         |GROUP BY sh.shard
+         |""".stripMargin,
     "pipeline_mixture_take" ->
       """WITH t AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tot
         |           FROM documents GROUP BY 1),
@@ -1595,35 +1660,18 @@ object SparkEntry {
          |""".stripMargin,
     // same LSH pair construction as dedup_minhash_lsh, then component
     // labels via recursive reachability (min reachable doc_id)
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         |mh AS (SELECT doc_id, g.seed AS seed,
-         |              min(xor(('0x' || substr(md5(shingle), 1, 15))::BIGINT,
-         |                      ('0x' || substr(md5('seed:' || CAST(g.seed AS VARCHAR)), 1, 15))::BIGINT)) AS mh
-         |       FROM sh CROSS JOIN generate_series(0, 15) g(seed) GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, seed // 4 AS band,
-         |                 string_agg(mh::VARCHAR, '-' ORDER BY seed) AS bkey
-         |          FROM mh GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY doc_id),
-         |inter AS (SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS i
-         |          FROM cand c
-         |          JOIN sh a ON a.doc_id = c.a_id
-         |          JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
-         |          GROUP BY 1, 2),
-         |pairs AS (SELECT a_id, b_id
-         |          FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-         |          WHERE (10000 * i) // (sa.nsh + sb.nsh - i) >= 5000),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-         |          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
-         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
-         |""".stripMargin,
+    "dedup_clusters" -> (dupClustersCtes +
+      "SELECT doc_id, cluster_id FROM cl\n"),
+    // the dedup RESOLUTION step: one kept representative per near-dup
+    // cluster — (n_chars desc, doc_id asc), the keep-the-longest rule
+    "dedup_canonical" -> (dupClustersCtes +
+      """SELECT cluster_id, doc_id AS keep_id FROM (
+        |  SELECT cl.cluster_id, cl.doc_id,
+        |         row_number() OVER (PARTITION BY cl.cluster_id
+        |           ORDER BY d.n_chars DESC, cl.doc_id) AS rn
+        |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+        |WHERE rn = 1
+        |""".stripMargin),
     "dedup_simhash" -> (simhashSql + "SELECT doc_id, simhash FROM sig\n"),
     "dedup_simhash_pairs" -> (simhashSql +
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,

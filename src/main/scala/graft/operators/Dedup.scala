@@ -515,4 +515,18 @@ object Dedup {
       .withColumn("dist", Metric.distColumn(Metric.Cosine, col("qvec"), col("vec")))
     TopK.aggTopK(scored, "qid", "id", "dist", k)
   }
+
+  /** Dedup RESOLUTION: one kept representative per near-dup cluster — the
+    * step that turns [[dupClusters]]' labeling into an actual keep set.
+    * Rule: keep the longest member ((n_chars desc, doc_id asc) — the
+    * common keep-the-most-content policy; ties deterministic). The
+    * bounded-heap top-1 aggregator means a pathological giant cluster
+    * never sorts its members in one task. Returns (cluster_id, keep_id) —
+    * one row per cluster. */
+  def canonical(docs: DataFrame, clusters: DataFrame): DataFrame =
+    TopK.aggTopK(
+      clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("_neg", -col("n_chars")),
+      "cluster_id", "doc_id", "_neg", 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"))
 }

@@ -181,10 +181,18 @@ object Pipeline {
       .withColumn("base", expr(s"($budget * weight) div wsum"))
       .withColumn("rem", expr(s"($budget * weight) % wsum"))
     val extra = based.agg((lit(budget) - sum(col("base"))).as("extra"))
-    import org.apache.spark.sql.expressions.Window
-    based.crossJoin(broadcast(extra))
-      .withColumn("_rr", row_number().over(
-        Window.orderBy(col("rem").desc, col(sourceCol))))
+    // largest-remainder rank WITHOUT a global window (even a 20-row
+    // unpartitioned WindowExec trips the single-partition warning): rank =
+    // 1 + #rows strictly ahead in (rem desc, source asc) — a dimension-
+    // table self-join, still fully declarative
+    val ahead = based.select(col(sourceCol).as("_s2"), col("rem").as("_r2"))
+    val rr = based.join(broadcast(ahead),
+        col("_r2") > col("rem") ||
+          (col("_r2") === col("rem") && col("_s2") < col(sourceCol)),
+        "left")
+      .groupBy(col(sourceCol), col("tot"), col("weight"), col("base"))
+      .agg((count(col("_s2")) + 1L).as("_rr"))
+    rr.crossJoin(broadcast(extra))
       .withColumn("alloc",
         (col("base") + when(col("_rr") <= col("extra"), 1L).otherwise(0L))
           .cast("long"))
@@ -226,6 +234,27 @@ object Pipeline {
       .join(broadcast(allocDf), sourceCol)
       .where(col("samp_rank") <= col("alloc"))
       .select(col(sourceCol), col(idCol), col("samp_rank"))
+  }
+
+  /** Materialize the packed training sequences: after [[packShards]]
+    * assigns docs to token-budget shards, concatenate each shard's texts in
+    * doc_id order (a separator byte between docs — the "document packing"
+    * writers do before tokenization). Emits (shard, n_docs, seq_md5) with
+    * seq_md5 = md5 of the concatenated sequence, so the gate hashes the
+    * sequences themselves without megabyte cells. Concat order is pinned by
+    * sorting the collected (doc_id, text) structs — collect_list alone is
+    * order-nondeterministic. Per-shard state is one shard's docs (budget-
+    * bounded by construction), so no task ever holds more than a shard. */
+  def buildSequences(docs: DataFrame, budget: Long): DataFrame = {
+    val shards = packShards(docs, budget).select(col("doc_id"), col("shard"))
+    docs.select(col("doc_id"), col("text")).join(shards, "doc_id")
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            s => s.getField("text")),
+          "\u001E")).as("seq_md5"))
   }
 
   /** Contiguous token-budget shard packing: docs in ascending id order are

@@ -160,6 +160,28 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got2.forall(_._2 == 1L), got2.mkString(","))
   }
 
+  test("canonical: one keeper per cluster, the longest member, ties to lowest id") {
+    // handcrafted clusters + lengths: {1,2,3} lens (5, 9, 9) → keep 2;
+    // {4} singleton → keep 4; {5,6} lens (7, 7) → keep 5
+    val d = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 3L), (5L, 7L), (6L, 7L))
+      .toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.canonical(d, clusters)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 4L -> 4L, 5L -> 5L))
+    // corpus-level invariants over the real LSH clusters
+    val pairs = Dedup.minhashLsh(docs, 3, 16, 4, 5000)
+    val cl = Dedup.dupClusters(docs, pairs).cache()
+    val keep = Dedup.canonical(docs, cl)
+    assert(keep.count() === cl.select($"cluster_id").distinct().count(),
+      "exactly one keeper per cluster")
+    // every keeper is a member of its cluster
+    assert(keep.join(cl, keep("keep_id") === cl("doc_id") &&
+      keep("cluster_id") === cl("cluster_id")).count() === keep.count())
+    cl.unpersist()
+  }
+
   test("dupClusters: local union-find and distributed loop agree") {
     val d2 = (1L to 8L).toDF("doc_id")
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("a_id", "b_id")

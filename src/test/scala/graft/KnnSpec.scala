@@ -241,6 +241,27 @@ class KnnSpec extends AnyFunSuite with SparkSuite {
     } finally served.unload()
   }
 
+  test("BinaryIvf: total assignment, nprobe=C exact, recall monotone in nprobe") {
+    val e = Tables.embeddings(spark, sfDir)
+    val b = e.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val q = e.where($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val model = graft.index.BinaryIvf.build(b, c = 8, iters = 3)
+    assert(model.coded.count() === b.count(), "every row assigned")
+    assert(model.coded.select($"cid").distinct().count() <= 8)
+    val truth = Knn.knnHamming(q, b, 10)
+    val full = graft.index.BinaryIvf.probe(model, q, 10, nprobe = 8)
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect().toSet
+    assert(full === truth.select($"qid", $"id", $"rank")
+      .as[(Long, Long, Long)].collect().toSet,
+      "nprobe = C must equal brute Hamming")
+    def rec(np: Int): Double =
+      Recall.mean(graft.index.BinaryIvf.probe(model, q, 10, np), truth, 10)
+    val (r1, r4) = (rec(1), rec(4))
+    assert(r4 >= r1, s"recall must not decrease with nprobe: $r1 -> $r4")
+    assert(r1 > 0.0)
+  }
+
   test("knnHammingMih: pigeonhole-complete at radius 3 across chunk-spanning flips") {
     val e = Tables.embeddings(spark, sfDir)
     val b = e.select($"vec_id".as("id"), $"embedding".as("vec"))

@@ -57,6 +57,27 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(allocRatio2 < allocRatio, s"α=0.25 ratio $allocRatio2 vs α=0.5 $allocRatio")
   }
 
+  test("buildSequences: md5 matches a JVM-side rebuild; doc counts total") {
+    val out = Pipeline.buildSequences(docs, budget = 2000L)
+      .select($"shard", $"n_docs", $"seq_md5")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._2).sum === docs.count())
+    val assign = Pipeline.packShards(docs, 2000L)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+    val texts = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    val expected = assign.toSeq.groupBy(_._2).map { case (shard, docsIn) =>
+      val seq = docsIn.map(_._1).sorted.map(texts).mkString("\u001E")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(seq.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      shard -> md
+    }
+    out.foreach { case (shard, _, got) =>
+      assert(got === expected(shard), s"shard $shard sequence hash")
+    }
+  }
+
   test("materializeMixture: per-source sizes = min(alloc, population); deterministic; prefix-consistent") {
     val out = Pipeline.materializeMixture(docs, "source", "doc_id",
       $"n_chars", budget = 200L)
