@@ -126,6 +126,18 @@ object SparkEntry {
       try knnResult(served.probeLocal(embQueries(s, dir, 10), 10))
       finally served.unload()
     }),
+    // binary kind through the unified registry: build → save → load →
+    // probe with the rerank budget covering the corpus = exact float kNN
+    "ann_binary_persisted_exact" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val n = b.count().toInt // rerank = |base| → every row re-ranks, exact
+      val idx = graft.index.VectorIndex.binary(b, rerank = n)
+      val path = java.nio.file.Files.createTempDirectory("graft-bin")
+        .resolve("idx").toString
+      idx.save(path)
+      knnResult(graft.index.VectorIndex.load(s, path, rerank = n)
+        .probe(embQueries(s, dir, 10), 10))
+    }),
     // binary IVF (faiss IndexBinaryIVF shape): Hamming-majority centroids
     // route queries; at nprobe = C every cluster scans → exact brute
     // Hamming, whatever the clustering did (knn_hamming's oracle)
@@ -1202,6 +1214,8 @@ object SparkEntry {
     "knn_hamming_rerank_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     // full fan-out binary IVF = plain exact Hamming
     "ann_hamming_ivf_exact" -> knnOracle(10, 10, hammingSql, "ASC"),
+    // registry round-trip at the all-rows rerank budget = exact L2
+    "ann_binary_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     // both tiers replicated: Hamming top-50 (hd asc, nid asc), then L2
     // re-rank of exactly those candidates
     "knn_hamming_rerank" ->

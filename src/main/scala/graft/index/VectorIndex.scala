@@ -189,10 +189,54 @@ final class HnswRoutedVectorIndex(spark: SparkSession, graphPath: String,
   }
 }
 
+/** Binary sign-hash index: persisted packed codes drive a Hamming top-c
+  * first pass, the float base re-ranks the survivors under L2 — the coded
+  * kind with the cheapest scan tier (one machine word per 64 dims; faiss's
+  * IndexBinary family). `rerank` is the candidate budget: rerank ≥ |base|
+  * degenerates to exact float kNN (the `ann_binary_persisted_exact` gate).
+  * Filtered probes route to the exact conjunctive path over the base, as
+  * with the other coded kinds. */
+final class BinaryVectorIndex(codes: DataFrame, base: DataFrame,
+                              rerank: Int) extends VectorIndex {
+  import graft.functions.vectors._
+  def probe(queries: DataFrame, k: Int): DataFrame = {
+    val c = math.max(rerank, k)
+    val q = queries.select(col("qid"), col("qvec"))
+      .withColumn("_qcode", vecSignPack(col("qvec")))
+    val cand = graft.operators.TopK.aggTopK(
+      codes.crossJoin(broadcast(q))
+        .withColumn("dist", vecHamming(col("_qcode"), col("code"))),
+      "qid", "id", "dist", c)
+      .select(col("qid"), col("id"))
+    val gathered = base.select(col("id"), col("vec"))
+      .join(broadcast(cand), "id")
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), "qid")
+    graft.operators.TopK.aggTopK(
+      gathered.withColumn("dist",
+        Metric.distColumn(Metric.L2, col("qvec"), col("vec"))),
+      "qid", "id", "dist", k)
+  }
+  def probeFiltered(queries: DataFrame, k: Int): DataFrame =
+    TagFilter.filteredKnn(queries, base, k)
+  def save(path: String): Unit = {
+    VectorIndex.writeKind(base.sparkSession, path, "binary")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    base.write.mode("overwrite").parquet(s"$path/base")
+  }
+}
+
 object VectorIndex {
 
   /** Build the requested index kind over a (id, vec[, tags]) base. */
   def flat(base: DataFrame): VectorIndex = new FlatVectorIndex(base)
+
+  /** Binary sign-hash index: packed codes + float re-rank budget. */
+  def binary(base: DataFrame, rerank: Int = 40): VectorIndex = {
+    import graft.functions.vectors._
+    new BinaryVectorIndex(
+      base.select(col("id"), vecSignPack(col("vec")).as("code")),
+      base, rerank)
+  }
 
   def ivf(base: DataFrame, c: Int, iters: Int, nprobe: Int): VectorIndex =
     new IvfVectorIndex(IvfIndex.build(base.select("id", "vec"), c, iters), base, nprobe)
@@ -269,6 +313,9 @@ object VectorIndex {
       case "ivfpq" =>
         new IvfPqVectorIndex(IvfPq.load(spark, s"$path/ivfpq"),
           spark.read.parquet(s"$path/base"), nprobe, rerank)
+      case "binary" =>
+        new BinaryVectorIndex(spark.read.parquet(s"$path/codes"),
+          spark.read.parquet(s"$path/base"), rerank)
       case other => throw new IllegalArgumentException(s"unknown index kind: $other")
     }
 

@@ -659,6 +659,17 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     rt.save(prt)
     val loadedRt = VectorIndex.load(spark, prt, nprobe = 4, efSearch = 1 << 20)
     assert(rs(loadedRt.probe(queries, 10)) === rs(rt.probe(queries, 10)))
+
+    // binary kind: all-rows rerank budget = exact; round-trips; filtered
+    // = exact conjunctive
+    val nAll = tagged.count().toInt
+    val bin = VectorIndex.binary(tagged, rerank = nAll)
+    assert(rs(bin.probe(queries, 10)) === rs(flat.probe(queries, 10)))
+    assert(rs(bin.probeFiltered(tq, 10)) === exactF)
+    val pBin = dir.resolve("binary").toString
+    bin.save(pBin)
+    val loadedBin = VectorIndex.load(spark, pBin, rerank = nAll)
+    assert(rs(loadedBin.probe(queries, 10)) === rs(bin.probe(queries, 10)))
   }
 
   test("in-memory HnswIndex: exact on tiny data, predicate gate respected") {
