@@ -87,6 +87,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"partial top-k must sit below the qid exchange:\n$p")
   }
 
+  test("mixture allocation: corpus aggregates map-side, no unpartitioned window anywhere") {
+    val df = SparkEntry.queries("pipeline_mixture_alloc")(spark, sfDir)
+    val p = plan(df)
+    // the corpus groupBy must partial-aggregate before its exchange
+    assert(p.contains("HashAggregate"), s"expected hash agg:\n$p")
+    // the largest-remainder rank is a dimension-table count join — an
+    // unpartitioned WindowExec would funnel (and warn); none may exist
+    assert(!p.contains("Window"), s"window leaked into the allocation plan:\n$p")
+  }
+
   test("knn top-k shuffles only aggregated heaps, not raw candidate rows") {
     val df = SparkEntry.queries("knn_l2")(spark, sfDir)
     val p = plan(df)

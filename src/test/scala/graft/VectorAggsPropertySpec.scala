@@ -27,6 +27,27 @@ class VectorAggsPropertySpec extends AnyFunSuite with SparkSuite {
       } yield (g, v.toArray))
     }
 
+  test("signPack/hamming: packed popcount equals naive mismatch for arbitrary dims incl. zeros") {
+    import graft.functions.vectors._
+    // dims beyond one word (65..130) exercise multi-long packing; zeros
+    // and exact negations exercise the x > 0 boundary
+    val pairGen: Gen[(Array[Float], Array[Float])] = for {
+      d <- Gen.chooseNum(1, 130)
+      a <- Gen.listOfN(d, Gen.oneOf(Gen.chooseNum(-64, 64).map(_ / 8.0f), Gen.const(0.0f)))
+      b <- Gen.listOfN(d, Gen.oneOf(Gen.chooseNum(-64, 64).map(_ / 8.0f), Gen.const(0.0f)))
+    } yield (a.toArray, b.toArray)
+    check(Prop.forAll(Gen.listOfN(8, pairGen)) { pairs =>
+      val df = pairs.toDF("a", "b")
+      val got = df.select(
+        vecHamming(vecSignPack($"a"), vecSignPack($"b")).as("d"))
+        .as[Long].collect().toSeq
+      val expect = pairs.map { case (a, b) =>
+        a.zip(b).count { case (x, y) => (x > 0f) != (y > 0f) }.toLong
+      }
+      got == expect
+    })
+  }
+
   test("vecMinMax equals per-dimension min/max exactly for any grouping") {
     check(Prop.forAll(rowsGen) { rows =>
       val df = rows.toDF("g", "vec").repartition(3)
