@@ -369,7 +369,7 @@ object Bench {
     // ColBERT serving shortcut). Scores are lower bounds, so recall vs the
     // exact maxsim ranking is reported alongside, as for every
     // approximate row. 4-vector docs, 2-vector queries.
-    val (maxsimQps, maxsimSpread, maxsimRecall) = {
+    val (maxsimQps, maxsimSpread, maxsimRecall, maxsimSweep) = {
       import spark.implicits._
       val flat = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val path = java.nio.file.Files.createTempDirectory("graft-bench-ms")
@@ -392,8 +392,21 @@ object Bench {
       val recall = operators.Recall.mean(
         spark.createDataFrame(served.toSeq).toDF("qid", "id", "dist", "rank"),
         truth, 10)
+      // hit-count sweep: c (graph hits per query vector) is the shortcut's
+      // recall knob — more hits = fewer missing (qvec, doc) pairs
+      val sweep = Seq(64, 128, 256).map { c =>
+        val (sv, _) = qpsBatch(() => operators.MultiVec.maxSimFromHits(
+          resident.probeBatch(qs, k = c, efSearch = 32), 2, 4, 10).length,
+          nRuns = 5)
+        val srv = operators.MultiVec.maxSimFromHits(
+          resident.probeBatch(qs, k = c, efSearch = 32), 2, 4, 10)
+        val rc = operators.Recall.mean(
+          spark.createDataFrame(srv.toSeq).toDF("qid", "id", "dist", "rank"),
+          truth, 10)
+        (c, sv * nqB / math.max(nq, 1), rc)
+      }
       resident.unload()
-      (v * nqB / math.max(nq, 1), sp, recall)
+      (v * nqB / math.max(nq, 1), sp, recall, sweep)
     }
     // binary sign-hash tier: resident packed-code exact Hamming scan — QPS
     // plus binarization fidelity (recall of Hamming top-10 vs float-L2
@@ -422,7 +435,7 @@ object Bench {
     }
     // two-tier resident: binary top-c first pass + in-shard float re-rank —
     // fidelity is vs exact float L2 (c=50 operating point)
-    val (ham2Qps, ham2Spread, ham2Fidelity) = {
+    val (ham2Qps, ham2Spread, ham2Fidelity, ham2Sweep) = {
       import spark.implicits._
       import graft.functions.vectors._
       val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -437,8 +450,16 @@ object Bench {
       val truth = operators.Knn.knnJoin(queries, base, 10, operators.Metric.L2)
       val fid = operators.Recall.mean(
         served.probeLocalRerank(queries, 10, c = 50), truth, 10)
+      // candidate-budget sweep: c is the binary tier's recall knob
+      val sweep = Seq(25, 50, 100).map { c =>
+        val (sv, _) = qpsBatch(() =>
+          served.probeBatchRerank(qs, k = 10, c = c).length, nRuns = 5)
+        val rc = operators.Recall.mean(
+          served.probeLocalRerank(queries, 10, c = c), truth, 10)
+        (c, sv, rc)
+      }
       served.unload()
-      (v, sp, fid)
+      (v, sp, fid, sweep)
     }
     val (annQps, annSpread, annRecall, annSweep) =
       residentQps("l2", sweepEfs = Seq(8, 16, 32))
@@ -482,7 +503,7 @@ object Bench {
       pts.map { case (v, q, r) =>
         s"""{"$knob":$v,"qps":$q,"recall":$r}""" }.mkString("[", ",", "]")
     val sweep =
-      s"""{"ann_hnsw_probe":${sweepJson("efSearch", annSweep)},"sparse_budget_served":${sweepJson("m", sparseSweep)},"ann_hnsw_probe_routed":${sweepJson("nprobe", rtSweep)},"ann_hnsw_probe_routed_auto":${sweepJson("minMassPct", rtaSweep)},"ann_adc_served":${sweepJson("rerank", adcSweep)}}"""
+      s"""{"ann_hnsw_probe":${sweepJson("efSearch", annSweep)},"sparse_budget_served":${sweepJson("m", sparseSweep)},"ann_hnsw_probe_routed":${sweepJson("nprobe", rtSweep)},"ann_hnsw_probe_routed_auto":${sweepJson("minMassPct", rtaSweep)},"ann_adc_served":${sweepJson("rerank", adcSweep)},"hamming_rerank_served":${sweepJson("c", ham2Sweep)},"maxsim_served":${sweepJson("c", maxsimSweep)}}"""
     val qpsJson =
       s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"sparse_budget_served":$sparseServedQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"ann_hnsw_probe_routed_auto":$rtaQps,"ann_hnsw_probe_mutated":$mutQps,"ann_adc_served":$adcQps,"ann_ivfadc_served":$ivfAdcQps,"ann_ivfadc_residual_served":$ivfAdcResQps,"maxsim_served":$maxsimQps,"hamming_served":$hamQps,"hamming_rerank_served":$ham2Qps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"sparse_budget_served":$sparseServedSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread,"ann_hnsw_probe_routed_auto":$rtaSpread,"ann_hnsw_probe_mutated":$mutSpread,"ann_adc_served":$adcSpread,"ann_ivfadc_served":$ivfAdcSpread,"ann_ivfadc_residual_served":$ivfAdcResSpread,"maxsim_served":$maxsimSpread,"hamming_served":$hamSpread,"hamming_rerank_served":$ham2Spread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall,"maxsim_served":$maxsimRecall,"hamming_served_l2_fidelity":$hamFidelity,"hamming_served_cos_fidelity":$hamFidelityCos,"hamming_rerank_served_l2_fidelity":$ham2Fidelity},"sweep":$sweep,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
     val line =
