@@ -1601,12 +1601,15 @@ object SparkEntry {
          |WHERE (10000 * i) // (sa.nsh + sb.nsh - i) >= 5000
          |""".stripMargin,
     // repeated spans: positional length-5 windows; a gram is shared iff
-    // its min and max doc differ (≥ 2 distinct docs)
+    // its min and max doc differ (≥ 2 distinct docs). Window positions come
+    // from unnest(generate_series(1, len(t) - 4)) — bounded by each doc's
+    // OWN token count, not a literal that would silently truncate long docs
+    // (generate_series's endpoint must be constant in DuckDB, so the
+    // per-row list+unnest form is the portable way to a derived bound).
     "dedup_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |wins AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
-        |         FROM toks, generate_series(1, 1024) s(i)
-        |         WHERE i <= len(t) - 4),
+        |         FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)),
         |gdf AS (SELECT gram, (min(doc_id) <> max(doc_id)) AS shared
         |        FROM wins GROUP BY gram)
         |SELECT w.doc_id,
@@ -1620,9 +1623,9 @@ object SparkEntry {
     "dedup_spans_trim" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |tok AS (SELECT doc_id, i - 1 AS ti, t[i] AS tok
-        |        FROM toks, generate_series(1, 1024) s(i) WHERE i <= len(t)),
+        |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)),
         |wins AS (SELECT doc_id, i - 1 AS wi, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
-        |         FROM toks, generate_series(1, 1024) s(i) WHERE i <= len(t) - 4),
+        |         FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)),
         |gdf AS (SELECT gram FROM wins GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
         |cov AS (SELECT DISTINCT w.doc_id, w.wi + o.o AS ti
         |        FROM wins w JOIN gdf USING (gram), generate_series(0, 4) o(o)),

@@ -9,16 +9,23 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. We read nanos as long (legacy conf, set here at
-    * runtime) and convert to a microsecond timestamp — precision loss is
-    * sub-µs, irrelevant for windowing. */
+  /** events.parquet has stored ts as TIMESTAMP(NANOS) (which Spark's
+    * parquet reader rejects — read nanos as long via the legacy conf and
+    * convert) and, in later testdata generations, as zone-free micros
+    * (TIMESTAMP_NTZ — which event-time watermarks and unix_micros reject).
+    * Normalize BOTH to a plain microsecond TIMESTAMP here so every
+    * downstream operator sees one type; with the UTC session timezone the
+    * NTZ cast is a pure re-tag of the same micros value. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

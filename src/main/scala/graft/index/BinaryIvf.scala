@@ -28,8 +28,14 @@ import org.apache.spark.sql.functions._
 object BinaryIvf {
 
   /** Trained model: packed centroid codes (driver-sized, C × d/64 longs)
-    * and the coded, cluster-assigned corpus (id, code, cid). */
-  final case class Model(centroids: Array[Array[Long]], coded: DataFrame)
+    * and the coded, cluster-assigned corpus (id, code, cid). The coded
+    * corpus rides on a cached plan pinned by [[build]]; call [[Model.unload]]
+    * when done (mirroring the resident families) so repeated builds in one
+    * session don't accumulate executor storage. */
+  final case class Model(centroids: Array[Array[Long]], coded: DataFrame,
+                         private val pinned: DataFrame) {
+    def unload(): Unit = pinned.unpersist()
+  }
 
   private def hamming(a: Array[Long], b: Array[Long]): Long = {
     val n = math.min(a.length, b.length)
@@ -92,7 +98,7 @@ object BinaryIvf {
       }
       cents = next
     }
-    Model(cents, assignCarry(coded, cents).select("id", "code", "cid"))
+    Model(cents, assignCarry(coded, cents).select("id", "code", "cid"), coded)
   }
 
   /** Route each query to its `nprobe` Hamming-nearest centroids ((hd asc,

@@ -262,9 +262,12 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
     rPush(ep, epDist)
     while (cSize > 0) {
       val c = cNode(0); val d0 = cDist(0)
-      // best candidate worse than the worst kept result ⇒ beam exhausted
-      if (rSize >= ef &&
-          (d0 > rDist(0) || (d0 == rDist(0) && c > rNode(0)))) cSize = 0
+      // best candidate STRICTLY worse than the worst kept result ⇒ beam
+      // exhausted. Ties keep expanding (as in upstream hnswlib): tie-heavy
+      // distributions (quantized/low-dim) would otherwise lose beam
+      // exploration and shave recall at small efSearch; the bounded result
+      // heap's (dist, node) order already makes membership deterministic.
+      if (rSize >= ef && d0 > rDist(0)) cSize = 0
       else {
         cPop()
         val linksC = links(c)

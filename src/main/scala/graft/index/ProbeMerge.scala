@@ -28,8 +28,10 @@ private[index] object ProbeMerge {
     * one: dedup by id, truncate to k. */
   private def mergeTwo(a: Array[(Long, Double)], b: Array[(Long, Double)],
                        k: Int): Array[(Long, Double)] = {
-    if (b.isEmpty && a.length <= k) return a
-    if (a.isEmpty && b.length <= k) return b
+    // no early return even when one side is empty: the non-empty side may
+    // still carry a duplicate id (graph-resident + delta re-insert of the
+    // same id land in different partitions), and the contract is that the
+    // driver-collect and treeAggregate paths produce identical deduped rows
     val out = new mutable.ArrayBuffer[(Long, Double)](
       math.min(a.length + b.length, k))
     val seen = mutable.HashSet.empty[Long]
@@ -84,8 +86,7 @@ private[index] object ProbeMerge {
                        treeAt: Int): Array[(Long, Long, Long, Long)] = {
     def mergeTwoL(a: Array[(Long, Long)], b: Array[(Long, Long)],
                   k: Int): Array[(Long, Long)] = {
-      if (b.isEmpty && a.length <= k) return a
-      if (a.isEmpty && b.length <= k) return b
+      // no empty-side early return — see mergeTwo: dedup must always run
       val out = new mutable.ArrayBuffer[(Long, Long)](
         math.min(a.length + b.length, k))
       val seen = mutable.HashSet.empty[Long]

@@ -40,6 +40,54 @@ final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
 
   private lazy val centMap: Map[Int, Array[Float]] = centroids.toMap
 
+  /** Residual mode's precomputed tables (the IVFADC "precomputed table"
+    * decomposition, Jégou/Douze/Schmid TPAMI 2011 §V — faiss's
+    * `use_precomputed_table`):
+    *
+    *   ‖(q−c)_j − w‖² = ‖q_j − w‖² + (‖c_j‖² + 2⟨c_j,w⟩) − 2⟨c_j,q_j⟩
+    *
+    * The middle term is query-INDEPENDENT — computed once per index here
+    * (C·m·stride doubles, broadcast once at load), so probes build ONE
+    * plain LUT per query instead of one full LUT per (query, routed
+    * cluster), plus only an m-vector of ⟨c_j,q_j⟩ corrections per route.
+    * This removes the nq·nprobe driver-serial LUT builds and the nprobe×
+    * broadcast bytes that made the residual row ~2× slower and 7×
+    * spread-ier than its raw-coded sibling (the r5 verdict's #1 item). */
+  private val term2Bc: Option[org.apache.spark.broadcast.Broadcast[Map[Int, Array[Double]]]] =
+    if (!residual) None
+    else {
+      val stride = cb.stride
+      val dsub = cb.dsub
+      val mSub = cb.books.length
+      val tbl = centroids.map { case (cid, cv) =>
+        val t = new Array[Double](mSub * stride)
+        var j = 0
+        while (j < mSub) {
+          val off = j * dsub
+          val lim = math.max(0, math.min(dsub, cv.length - off))
+          var cNorm = 0.0
+          var i = 0
+          while (i < lim) {
+            val c = cv(off + i).toDouble; cNorm += c * c; i += 1
+          }
+          val bk = cb.books(j)
+          var w = 0
+          while (w < bk.length) {
+            val cw = bk(w)
+            var dot = 0.0
+            var x = 0
+            val lim2 = math.min(lim, cw.length)
+            while (x < lim2) { dot += cv(off + x).toDouble * cw(x).toDouble; x += 1 }
+            t(j * stride + w) = cNorm + 2.0 * dot
+            w += 1
+          }
+          j += 1
+        }
+        cid -> t
+      }.toMap
+      Some(spark.sparkContext.broadcast(tbl))
+    }
+
   /** Route one query: the `nprobe` nearest centroids by L2 (the coarse
     * quantizer's own metric, as in faiss). */
   private def route(qv: Array[Float], nprobe: Int): Array[Int] =
@@ -59,29 +107,45 @@ final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
                  treeMergeAt: Int = 64): Array[(Long, Long, Double, Long)] = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
     val stride = cb.stride
+    val dsub = cb.dsub
     val ip = metric == Metric.Ip
-    // residual mode: codes quantize (x − c), so the LUT must be built from
-    // the query's residual against EACH routed centroid — one LUT per
-    // (query, routed cluster), nq·nprobe·m·stride doubles, still broadcast-
-    // sized. Plain mode shares one LUT across the routes.
+    val isRes = residual
+    val t2 = term2Bc.orNull
+    // one plain LUT per query in BOTH modes; residual mode adds only an
+    // m-vector of −2⟨c_j,q_j⟩ corrections per routed cluster (see term2Bc)
+    // — the full per-(query, cluster) LUT is assembled shard-side from the
+    // precomputed table, in m·stride adds, into a reusable scratch buffer.
     val routed = qs.map { case (qid, qv) =>
       val cids = route(qv, nprobe)
-      val luts: Array[Array[Double]] =
-        if (residual) cids.map { cid =>
+      val lut = Pq.lutLocal(qv, cb, metric)
+      val qc: Array[Array[Double]] =
+        if (isRes) cids.map { cid =>
           val cv = centMap(cid)
-          val rq = new Array[Float](qv.length)
-          var i = 0
-          val n = math.min(qv.length, cv.length)
-          while (i < n) { rq(i) = qv(i) - cv(i); i += 1 }
-          Pq.lutLocal(rq, cb, metric)
-        }
-        else { val l = Pq.lutLocal(qv, cb, metric); Array.fill(cids.length)(l) }
-      (qid, qv, luts, cids)
+          val mSub = cb.books.length
+          val t = new Array[Double](mSub)
+          var j = 0
+          while (j < mSub) {
+            val off = j * dsub
+            val lim = math.max(0,
+              math.min(dsub, math.min(qv.length, cv.length) - off))
+            var acc = 0.0
+            var i = 0
+            while (i < lim) {
+              acc += cv(off + i).toDouble * qv(off + i).toDouble; i += 1
+            }
+            t(j) = -2.0 * acc
+            j += 1
+          }
+          t
+        } else null
+      (qid, qv, lut, cids, qc)
     }
     val bq = spark.sparkContext.broadcast(routed)
     val local = rdd.flatMap { shard =>
       val m = shard.m
-      bq.value.iterator.flatMap { case (qid, qv, luts, cids) =>
+      val t2map = if (isRes) t2.value else null
+      val scratch = if (isRes) new Array[Double](m * stride) else null
+      bq.value.iterator.flatMap { case (qid, qv, lutPlain, cids, qc) =>
         val r = rerank
         val bd = new Array[Double](r)
         val bId = new Array[Long](r)
@@ -89,7 +153,23 @@ final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
         var filled = 0
         var ci = 0
         while (ci < cids.length) {
-          val lut = luts(ci)
+          val lut =
+            if (isRes) {
+              val pre = t2map(cids(ci))
+              val qcj = qc(ci)
+              var j = 0
+              while (j < m) {
+                val corr = qcj(j)
+                val off = j * stride
+                var w = 0
+                while (w < stride) {
+                  scratch(off + w) = lutPlain(off + w) + pre(off + w) + corr
+                  w += 1
+                }
+                j += 1
+              }
+              scratch
+            } else lutPlain
           shard.clusters.get(cids(ci)) match {
             case Some((ids, codes, vecs)) =>
               val n = ids.length
@@ -153,7 +233,10 @@ final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
       .toDF("qid", "id", "dist", "rank")
   }
 
-  def unload(): Unit = rdd.unpersist()
+  def unload(): Unit = {
+    rdd.unpersist()
+    term2Bc.foreach(_.destroy())
+  }
 }
 
 object ResidentIvfAdc {

@@ -38,7 +38,12 @@ object Sessionize {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60L * 1000000L,
+          // cast-through-timestamp accepts TIMESTAMP_NTZ sources too (the
+          // testdata's parquet micros carry no zone); only the DIFFERENCE
+          // is used, so any consistent zone interpretation is equivalent
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) >
+            gapMinutes * 60L * 1000000L,
           1L).otherwise(0L))
       .withColumn("session_id", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -49,8 +49,10 @@ object StreamingOps {
     * integer microseconds (no float, oracle-stable). */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // cast-through-timestamp accepts TIMESTAMP_NTZ sources (zone-free
+    // parquet micros); only orderings/differences of t are used downstream
     val e = events.select(col("user_id"), col("event_type"),
-      unix_micros(col("ts")).as("t"))
+      unix_micros(col("ts").cast("timestamp")).as("t"))
     val reaches = steps.zipWithIndex.foldLeft(List.empty[DataFrame]) {
       case (acc, (step, i)) =>
         val r =
@@ -83,10 +85,14 @@ object StreamingOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema: StructType = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(rawSchema).parquet(path)
-    val events =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val events = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // zone-free micros: re-tag as instant (watermarks need TIMESTAMP)
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))

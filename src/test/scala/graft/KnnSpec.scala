@@ -247,6 +247,7 @@ class KnnSpec extends AnyFunSuite with SparkSuite {
     val q = e.where($"vec_id" < 8)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
     val model = graft.index.BinaryIvf.build(b, c = 8, iters = 3)
+    try {
     assert(model.coded.count() === b.count(), "every row assigned")
     assert(model.coded.select($"cid").distinct().count() <= 8)
     val truth = Knn.knnHamming(q, b, 10)
@@ -260,6 +261,7 @@ class KnnSpec extends AnyFunSuite with SparkSuite {
     val (r1, r4) = (rec(1), rec(4))
     assert(r4 >= r1, s"recall must not decrease with nprobe: $r1 -> $r4")
     assert(r1 > 0.0)
+    } finally model.unload()
   }
 
   test("knnHammingMih: pigeonhole-complete at radius 3 across chunk-spanning flips") {

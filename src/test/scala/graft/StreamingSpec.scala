@@ -707,10 +707,13 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(dir.toString).schema
     val raw = spark.readStream.schema(rawSchema).parquet(dir.toString)
-    val src =
-      (if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val src = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw).select("user_id", "ts").as[Sessionize.SessionEvent]
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }).select("user_id", "ts").as[Sessionize.SessionEvent]
     val q = Sessionize.sessionsStream(src, gapMinutes = 30)
       .writeStream.format("memory").queryName("sess")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
