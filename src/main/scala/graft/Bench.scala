@@ -15,14 +15,27 @@ import org.apache.spark.sql.functions._
   * per track (the BASELINE.md operating unit): each track's flagship query
   * runs one untimed warmup batch, then `reps` timed batches of a large
   * query set — steady state, plan compile and JIT amortized. The ANN probe
-  * measures the persisted-index path (build+save excluded): build-once/
+  * measures the resident-index path (build excluded): build-once/
   * probe-many is the serving economics the reference reports QPS for.
   *
   * Methodology note (round-3 lesson): single-shot per-query times at sf0.1
   * swing up to 7× run-to-run on identical binaries, so the per-query map is
   * DIAGNOSTIC ONLY — throughput conclusions must come from the qps block,
   * which runs reps=10 batches and reports each track's per-rep spread
-  * (max/min batch time) as the stated variance bound. */
+  * (max/min batch time) as the stated variance bound.
+  *
+  * Sweep points (r5 lesson): operating-point sweeps run fewer batches, so
+  * one pathological rep can sink a sum-based number invisibly (r5's maxsim
+  * c=128 point read 30 q/s while the identical headline config read 499).
+  * Every sweep point therefore reports MEDIAN-batch QPS plus its own
+  * max/min spread — the curve's shape comes from a robust estimator and
+  * the variance is in the artifact, not discarded.
+  *
+  * Shared fixtures (r5 item 8): the serving tracks probe ONE base/query
+  * set, grade against ONE exact-L2 (and one exact-ip) truth collected to a
+  * local relation, and the ip graph is built once and shared by the ip
+  * probe row and the MaxSim rows — identical coverage, no redundant
+  * brute-force joins or index builds. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,6 +46,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
     def noop(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
     def run(name: String): Unit = {
@@ -87,6 +101,43 @@ object Bench {
           times.max / math.max(times.min, 1e-9))
       } catch { case _: Throwable => (0.0, 0.0) }
     }
+    // sweep-point variant: MEDIAN-batch qps (robust to one bad rep at the
+    // sweep's shorter run counts) + the point's own max/min spread
+    def qpsPoint(mk: () => Int, nRuns: Int = 5): (Double, Double) = {
+      try {
+        require(mk() > 0); require(mk() > 0) // two warmups, see qps()
+        val times = (1 to nRuns).map { _ =>
+          val t0 = System.nanoTime()
+          val rows = mk()
+          val dt = (System.nanoTime() - t0) / 1e9
+          require(rows > 0); dt
+        }.sorted
+        (nq.toDouble / times(nRuns / 2),
+          times.last / math.max(times.head, 1e-9))
+      } catch { case _: Throwable => (0.0, 0.0) }
+    }
+
+    // shared serving fixtures
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.where(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val qsFloat = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect()
+    // exact truths, collected to LOCAL relations: per-track clearCache
+    // can't drop them and no track recomputes the brute-force join
+    def localTruth(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        df.select(col("qid").cast("long"), col("id").cast("long"),
+          col("rank").cast("long")).as[(Long, Long, Long)].collect().toSeq)
+        .toDF("qid", "id", "rank")
+    val truthL2 = localTruth(
+      operators.Knn.knnJoin(queries, base, 10, operators.Metric.L2))
+    val truthIp = localTruth(
+      operators.Knn.knnJoin(queries, base, 10, operators.Metric.Ip))
+    val truthCos = localTruth(
+      operators.Knn.knnJoin(queries, base, 10, operators.Metric.Cosine))
+    spark.sqlContext.clearCache()
+
     // filter track: exact conjunctive 2-tag filtered kNN, k=10, served from
     // EXECUTOR-RESIDENT signature-scan shards (build+pin excluded from the
     // timed loop — the reference's QPS excludes its index build too, and
@@ -95,7 +146,6 @@ object Bench {
     // IndexSpec-asserted). 8 shards, not `cpus`: same sizing argument as
     // the graph partitions below.
     val (filterQps, filterSpread) = {
-      import spark.implicits._
       val tagged = operators.TagFilter.withTags(emb)
       val served = index.ResidentScan.load(tagged, numPartitions = 8)
       val qs = operators.TagFilter
@@ -126,7 +176,6 @@ object Bench {
     val sparseQueries = tf.where(col("id") < sparseNq)
       .select(col("id").as("qid"), col("dim"), col("v").as("qv"))
     val (sparseServedQps, sparseServedSpread, sparseSweep) = {
-      import spark.implicits._
       val sqs = tf.where(col("id") < sparseNq)
         .select(col("id").cast("long"), col("dim").cast("string"),
           col("v").cast("long"))
@@ -144,64 +193,48 @@ object Bench {
       // row's unit); the synthetic tf corpus is tie-heavy, so small
       // budgets trade recall much more steeply here than SPLADE weights
       // would, and the curve makes that explicit.
-      val truth = operators.Sparse.mips(sparseQueries, tf, 10)
+      val truth = localTruth(operators.Sparse.mips(sparseQueries, tf, 10))
       val mFull = Tables.documents(spark, sfDir).count().toInt
       val sweep = Seq(16, 256, mFull).map { m =>
         val s = index.ResidentPostings.load(tf, m, numPartitions = 8)
-        val (sv, _) = qpsBatch(() => s.probeBatch(sqs, k = 10).length,
-          nRuns = 5)
+        val (sv, ssp) = qpsPoint(() => s.probeBatch(sqs, k = 10).length)
         val r = operators.Recall.mean(s.probeLocal(sparseQueries, 10), truth, 10)
         s.unload()
-        (m, sv * sparseNq / math.max(nq, 1), r)
+        (m, sv * sparseNq / math.max(nq, 1), ssp, r)
       }
       (v * sparseNq / math.max(nq, 1), sp, sweep) // qpsBatch normalizes by nq
     }
-    // ood/ann track: EXECUTOR-RESIDENT HNSW probe — build+save+load once
-    // (untimed), then narrow probe-only batches: the serving operating point.
-    // Measured under both metrics — L2 and the OOD track's max-inner-product.
+    // ood/ann track: EXECUTOR-RESIDENT HNSW probe — build once (untimed),
+    // then narrow probe-only batches: the serving operating point. Measured
+    // under both metrics — L2 and the OOD track's max-inner-product.
     // efSearch = 16 is the measured operating point (recall ~0.99 at sf0.1's
     // ~190-node partition graphs): recall vs exact is reported alongside QPS
     // (the BASELINE rows are themselves @0.9 recall), so the
     // throughput/recall pair is explicit, not implied.
-    def residentQps(metric: String,
-                    sweepEfs: Seq[Int] = Seq.empty): (Double, Double, Double, Seq[(Int, Double, Double)]) = {
-      val path = java.nio.file.Files.createTempDirectory("graft-bench-hnsw")
-        .resolve("idx").toString
-      val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      // 8 graph partitions, not `cpus`: partition count is the SCALE-OUT
-      // axis, but every query probes every graph, so serving wants the
-      // fewest partitions that still fill the cluster — measured 2× QPS
-      // vs 32 tiny graphs at sf0.1 (each probe batch = 2 stages either way)
-      index.HnswKnn.buildAndSave(base, path, numPartitions = 8,
-        metric = metric)
-      val resident = index.HnswKnn.loadResident(spark, path)
-      val queries = emb.where(col("vec_id") < nq)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // 8 graph partitions, not `cpus`: partition count is the SCALE-OUT
+    // axis, but every query probes every graph, so serving wants the
+    // fewest partitions that still fill the cluster — measured 2× QPS
+    // vs 32 tiny graphs at sf0.1 (each probe batch = 2 stages either way)
+    def residentQps(resident: index.HnswResident, truth: DataFrame,
+                    sweepEfs: Seq[Int] = Seq.empty): (Double, Double, Double, Seq[(Int, Double, Double, Double)]) = {
       // probeBatch: query array in, ranked answers out — one broadcast +
       // one narrow job + driver merge per batch (results equal probe()
       // row-for-row; IndexSpec asserts it). The query batch lives in
       // memory, as in the reference's harness (queries are a preloaded
       // array there too).
-      import spark.implicits._
-      val qs = queries.select(col("qid").cast("long"), col("qvec"))
-        .as[(Long, Array[Float])].collect()
       val (v, sp) = qpsBatch(() =>
-        resident.probeBatch(qs, k = 10, efSearch = 16).length)
-      val truth = operators.Knn.knnJoin(queries,
-        base, 10, if (metric == "ip") operators.Metric.Ip else operators.Metric.L2)
+        resident.probeBatch(qsFloat, k = 10, efSearch = 16).length)
       val recall = operators.Recall.mean(
         resident.probeLocal(queries, 10, 16), truth, 10)
       // operating-point sweep over the beam knob (the reference's swept
-      // Ls, ood/diskann/config.yaml:22-27): shorter runs — the curve's
-      // shape, not its variance bound, is the point here
+      // Ls, ood/diskann/config.yaml:22-27)
       val sweep = sweepEfs.map { ef =>
-        val (sv, _) = qpsBatch(() =>
-          resident.probeBatch(qs, k = 10, efSearch = ef).length, nRuns = 5)
+        val (sv, ssp) = qpsPoint(() =>
+          resident.probeBatch(qsFloat, k = 10, efSearch = ef).length)
         val r = operators.Recall.mean(
           resident.probeLocal(queries, 10, ef), truth, 10)
-        (ef, sv, r)
+        (ef, sv, ssp, r)
       }
-      resident.unload()
       (v, sp, recall, sweep)
     }
     // centroid-ROUTED resident graphs (IVF-of-HNSW): each query probes only
@@ -211,49 +244,40 @@ object Bench {
     // this one is near-uniform), so the reported operating point is the
     // measured nprobe that clears 0.9 recall — the knob, its cost, and its
     // recall are all explicit.
-    def routedQps(sweepNprobes: Seq[Int] = Seq.empty): (Double, Double, Double, Seq[(Int, Double, Double)], Double, Double, Double, Seq[(Int, Double, Double)]) = {
+    def routedQps(sweepNprobes: Seq[Int] = Seq.empty): (Double, Double, Double, Seq[(Int, Double, Double, Double)], Double, Double, Double, Seq[(Int, Double, Double, Double)]) = {
       val path = java.nio.file.Files.createTempDirectory("graft-bench-rt")
         .resolve("idx").toString
-      val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       index.HnswRouted.buildAndSave(base, path, c = 8, kmIters = 3)
       val routed = index.HnswRouted.loadResident(spark, path)
-      val queries = emb.where(col("vec_id") < nq)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      import spark.implicits._
-      val qs = queries.select(col("qid").cast("long"), col("qvec"))
-        .as[(Long, Array[Float])].collect()
       val (v, sp) = qpsBatch(() =>
-        routed.probeBatch(qs, k = 10, efSearch = 32, nprobe = 6).length)
-      val truth = operators.Knn.knnJoin(queries, base, 10, operators.Metric.L2)
+        routed.probeBatch(qsFloat, k = 10, efSearch = 32, nprobe = 6).length)
       val recall = operators.Recall.mean(
-        routed.probeLocal(queries, 10, 32, nprobe = 6), truth, 10)
+        routed.probeLocal(queries, 10, 32, nprobe = 6), truthL2, 10)
       // nprobe sweep: makes the routing recall/QPS trade explicit — the
       // headline point (nprobe=6) clears 0.9 with margin to spare at
       // nprobe=8 (every cluster probed ⇒ the unrouted graph's recall)
       val sweep = sweepNprobes.map { np =>
-        val (sv, _) = qpsBatch(() =>
-          routed.probeBatch(qs, k = 10, efSearch = 32, nprobe = np).length,
-          nRuns = 5)
+        val (sv, ssp) = qpsPoint(() =>
+          routed.probeBatch(qsFloat, k = 10, efSearch = 32, nprobe = np).length)
         val r = operators.Recall.mean(
-          routed.probeLocal(queries, 10, 32, nprobe = np), truth, 10)
-        (np, sv, r)
+          routed.probeLocal(queries, 10, 32, nprobe = np), truthL2, 10)
+        (np, sv, ssp, r)
       }
       // mass-adaptive routing on the same index: the knob is a corpus
       // fraction, so per-query probe counts adapt to cluster skew instead
       // of over/under-probing at a fixed nprobe. Swept over minMass (per
       // cent, to keep the sweep schema integer-knobbed like the others).
       val (autoV, autoSp) = qpsBatch(() =>
-        routed.probeBatchAuto(qs, k = 10, efSearch = 32, minMass = 0.75).length)
+        routed.probeBatchAuto(qsFloat, k = 10, efSearch = 32, minMass = 0.75).length)
       val autoRecall = operators.Recall.mean(
-        routed.probeLocalAuto(queries, 10, 32, minMass = 0.75), truth, 10)
+        routed.probeLocalAuto(queries, 10, 32, minMass = 0.75), truthL2, 10)
       val autoSweep = Seq(50, 75, 90).map { pct =>
         val mm = pct / 100.0
-        val (sv, _) = qpsBatch(() =>
-          routed.probeBatchAuto(qs, k = 10, efSearch = 32, minMass = mm).length,
-          nRuns = 5)
+        val (sv, ssp) = qpsPoint(() =>
+          routed.probeBatchAuto(qsFloat, k = 10, efSearch = 32, minMass = mm).length)
         val r = operators.Recall.mean(
-          routed.probeLocalAuto(queries, 10, 32, minMass = mm), truth, 10)
-        (pct, sv, r)
+          routed.probeLocalAuto(queries, 10, 32, minMass = mm), truthL2, 10)
+        (pct, sv, ssp, r)
       }
       routed.unload()
       (v, sp, recall, sweep, autoV, autoSp, autoRecall, autoSweep)
@@ -264,29 +288,20 @@ object Bench {
     // delta buffer (inserts since build, exact-scanned and merged). The
     // row shows what mutation costs relative to the clean probe.
     def mutatedQps(): (Double, Double, Double) = {
-      val path = java.nio.file.Files.createTempDirectory("graft-bench-mut")
-        .resolve("idx").toString
-      val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val cut = math.max(n / 20, 1L) // 5% of the corpus arrives post-build
       val tombHi = 2 * cut // and 5% of the built graph is deleted
-      index.HnswKnn.buildAndSave(base.where(col("id") >= cut), path,
-        numPartitions = 8)
-      val resident = index.HnswKnn.loadResident(spark, path)
-      val queries = emb.where(col("vec_id") < nq)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      import spark.implicits._
-      val qs = queries.select(col("qid").cast("long"), col("qvec"))
-        .as[(Long, Array[Float])].collect()
+      val resident = index.HnswKnn.buildResident(
+        base.where(col("id") >= cut), numPartitions = 8)
       val delta = base.where(col("id") < cut)
         .select(col("id").cast("long"), col("vec"))
         .as[(Long, Array[Float])].collect()
       val dead = (cut until tombHi).toSet
       val (v, sp) = qpsBatch(() =>
-        resident.probeBatch(qs, k = 10, efSearch = 16, dead, delta).length)
+        resident.probeBatch(qsFloat, k = 10, efSearch = 16, dead, delta).length)
       val live = base.where(col("id") < cut || col("id") >= tombHi)
       val truth = operators.Knn.knnJoin(queries, live, 10, operators.Metric.L2)
       val got = spark.createDataFrame(
-        resident.probeBatch(qs, 10, 16, dead, delta).toSeq)
+        resident.probeBatch(qsFloat, 10, 16, dead, delta).toSeq)
         .toDF("qid", "id", "dist", "rank")
       val recall = operators.Recall.mean(got, truth, 10)
       resident.unload()
@@ -294,28 +309,22 @@ object Bench {
     }
     // quantized serving form: PQ codes pinned resident (m·2 bytes/row — the
     // memory shape that still fits at 100 TB), ADC gather-scan + in-shard
-    // float re-rank. Trained codebook, so recall is reported alongside.
+    // float re-rank. Trained codebook (ONE train, shared with the ivfadc
+    // row below — identical parameters), so recall is reported alongside.
+    val pqCb = index.Pq.train(base, m = 8, ksub = 32, iters = 3)
     val (adcQps, adcSpread, adcRecall, adcSweep) = {
-      import spark.implicits._
-      val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val cb = index.Pq.train(base, m = 8, ksub = 32, iters = 3)
-      val served = index.ResidentAdc.load(base, cb, numPartitions = 8)
-      val queries = emb.where(col("vec_id") < nq)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val qs = queries.select(col("qid").cast("long"), col("qvec"))
-        .as[(Long, Array[Float])].collect()
+      val served = index.ResidentAdc.load(base, pqCb, numPartitions = 8)
       val (v, sp) = qpsBatch(() =>
-        served.probeBatch(qs, k = 10, rerank = 40).length)
-      val truth = operators.Knn.knnJoin(queries, base, 10, operators.Metric.L2)
+        served.probeBatch(qsFloat, k = 10, rerank = 40).length)
       val recall = operators.Recall.mean(
-        served.probeLocal(queries, 10, rerank = 40), truth, 10)
+        served.probeLocal(queries, 10, rerank = 40), truthL2, 10)
       // refine-budget sweep: rerank is the ADC knob (faiss's k_factor)
       val sweep = Seq(20, 40, 80).map { r =>
-        val (sv, _) = qpsBatch(() =>
-          served.probeBatch(qs, k = 10, rerank = r).length, nRuns = 5)
+        val (sv, ssp) = qpsPoint(() =>
+          served.probeBatch(qsFloat, k = 10, rerank = r).length)
         val rc = operators.Recall.mean(
-          served.probeLocal(queries, 10, rerank = r), truth, 10)
-        (r, sv, rc)
+          served.probeLocal(queries, 10, rerank = r), truthL2, 10)
+        (r, sv, ssp, rc)
       }
       served.unload()
       (v, sp, recall, sweep)
@@ -324,146 +333,138 @@ object Bench {
     // refine) served at a partial-routing operating point; recall reported
     // alongside, as for every approximate row
     val (ivfAdcQps, ivfAdcSpread, ivfAdcRecall) = {
-      import spark.implicits._
-      val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val ivf = index.IvfIndex.build(base, c = 8, iters = 3)
-      val cb = index.Pq.train(base, m = 8, ksub = 32, iters = 3)
-      val served = index.ResidentIvfAdc.load(base, ivf, cb, numPartitions = 8)
-      val queries = emb.where(col("vec_id") < nq)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val qs = queries.select(col("qid").cast("long"), col("qvec"))
-        .as[(Long, Array[Float])].collect()
+      val served = index.ResidentIvfAdc.load(base, ivf, pqCb, numPartitions = 8)
       val (v, sp) = qpsBatch(() =>
-        served.probeBatch(qs, k = 10, nprobe = 6, rerank = 40).length)
-      val truth = operators.Knn.knnJoin(queries, base, 10, operators.Metric.L2)
+        served.probeBatch(qsFloat, k = 10, nprobe = 6, rerank = 40).length)
       val recall = operators.Recall.mean(
-        served.probeLocal(queries, 10, nprobe = 6, rerank = 40), truth, 10)
+        served.probeLocal(queries, 10, nprobe = 6, rerank = 40), truthL2, 10)
       served.unload()
       (v, sp, recall)
     }
     // residual variant of the same composition — faiss's TRUE IVFPQ (codes
-    // quantize x − centroid, per-(query, cluster) LUTs). Same knobs as the
+    // quantize x − centroid; probes assemble per-(query, cluster) LUTs
+    // shard-side from the load-time precomputed tables). Same knobs as the
     // raw-coded row above so the two are directly comparable: the residual
     // codes buy recall at the same (m, ksub) byte budget.
     val (ivfAdcResQps, ivfAdcResSpread, ivfAdcResRecall) = {
-      import spark.implicits._
-      val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val idx = index.IvfPq.buildResidual(base, c = 8, iters = 3, m = 8,
         ksub = 32)
       val served = index.ResidentIvfAdc.loadResidual(base, idx,
         numPartitions = 8)
-      val queries = emb.where(col("vec_id") < nq)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val qs = queries.select(col("qid").cast("long"), col("qvec"))
-        .as[(Long, Array[Float])].collect()
       val (v, sp) = qpsBatch(() =>
-        served.probeBatch(qs, k = 10, nprobe = 6, rerank = 40).length)
-      val truth = operators.Knn.knnJoin(queries, base, 10, operators.Metric.L2)
+        served.probeBatch(qsFloat, k = 10, nprobe = 6, rerank = 40).length)
       val recall = operators.Recall.mean(
-        served.probeLocal(queries, 10, nprobe = 6, rerank = 40), truth, 10)
+        served.probeLocal(queries, 10, nprobe = 6, rerank = 40), truthL2, 10)
       served.unload()
       (v, sp, recall)
     }
+    // ood/ann resident graph rows; the ip graph is built once and SHARED
+    // with the MaxSim rows below (same flat corpus, same metric)
+    val (annQps, annSpread, annRecall, annSweep) = {
+      val resident = index.HnswKnn.buildResident(base, numPartitions = 8,
+        metric = "l2")
+      val r = residentQps(resident, truthL2, sweepEfs = Seq(8, 16, 32))
+      resident.unload()
+      r
+    }
+    val ipResident = index.HnswKnn.buildResident(base, numPartitions = 8,
+      metric = "ip")
+    val (annIpQps, annIpSpread, annIpRecall, _) = residentQps(ipResident, truthIp)
     // late-interaction (MaxSim) serving: one resident ip-graph probe batch
-    // + a driver hit-reduce per query-bag batch — no corpus re-score (the
-    // ColBERT serving shortcut). Scores are lower bounds, so recall vs the
-    // exact maxsim ranking is reported alongside, as for every
-    // approximate row. 4-vector docs, 2-vector queries.
+    // + the MaxSimServe reduce per query-bag batch — no corpus re-score
+    // (the ColBERT serving shortcut; past MaxSimServe's treeAt the reduce
+    // is fully distributed). Scores are lower bounds, so recall vs the
+    // exact maxsim ranking is reported alongside. 4-vector docs, 2-vector
+    // queries over the SAME flat corpus the ip row probes — the graph is
+    // reused, not rebuilt.
     val (maxsimQps, maxsimSpread, maxsimRecall, maxsimSweep) = {
-      import spark.implicits._
-      val flat = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val path = java.nio.file.Files.createTempDirectory("graft-bench-ms")
-        .resolve("idx").toString
-      index.HnswKnn.buildAndSave(flat, path, numPartitions = 8, metric = "ip")
-      val resident = index.HnswKnn.loadResident(spark, path)
       val nqB = math.min(250L, n / 4).toInt
       val qbags = operators.MultiVec
-        .bagged(flat.where(col("id") < 2L * nqB), 2, "qid")
+        .bagged(base.where(col("id") < 2L * nqB), 2, "qid")
         .select(col("qid"), col("pos"), col("vec").as("qvec"))
       val qs = qbags.select((col("qid") * 2 + col("pos")).cast("long"), col("qvec"))
         .as[(Long, Array[Float])].collect()
-      val (v, sp) = qpsBatch(() => operators.MultiVec.maxSimFromHits(
-        resident.probeBatch(qs, k = 128, efSearch = 32), 2, 4, 10).length)
-      val truth = operators.MultiVec.maxSimJoin(
-        qbags, operators.MultiVec.bagged(flat, 4, "doc_id"), 10)
-        .withColumnRenamed("doc_id", "id")
-      val served = operators.MultiVec.maxSimFromHits(
-        resident.probeBatch(qs, k = 128, efSearch = 32), 2, 4, 10)
+      val (v, sp) = qpsBatch(() => index.MaxSimServe.probeBatch(
+        ipResident, qs, qmax = 2, bmax = 4, k = 10, c = 128, efSearch = 32).length)
+      // exact maxsim truth collected ONCE to a local relation — every
+      // recall eval below reuses the rows instead of re-running the
+      // full-corpus scoring join
+      val truth = localTruth(operators.MultiVec.maxSimJoin(
+        qbags, operators.MultiVec.bagged(base, 4, "doc_id"), 10)
+        .withColumnRenamed("doc_id", "id"))
+      val served = index.MaxSimServe.probeBatch(
+        ipResident, qs, qmax = 2, bmax = 4, k = 10, c = 128, efSearch = 32)
       val recall = operators.Recall.mean(
         spark.createDataFrame(served.toSeq).toDF("qid", "id", "dist", "rank"),
         truth, 10)
       // hit-count sweep: c (graph hits per query vector) is the shortcut's
       // recall knob — more hits = fewer missing (qvec, doc) pairs
       val sweep = Seq(64, 128, 256).map { c =>
-        val (sv, _) = qpsBatch(() => operators.MultiVec.maxSimFromHits(
-          resident.probeBatch(qs, k = c, efSearch = 32), 2, 4, 10).length,
-          nRuns = 5)
-        val srv = operators.MultiVec.maxSimFromHits(
-          resident.probeBatch(qs, k = c, efSearch = 32), 2, 4, 10)
+        val (sv, ssp) = qpsPoint(() => index.MaxSimServe.probeBatch(
+          ipResident, qs, qmax = 2, bmax = 4, k = 10, c = c, efSearch = 32).length)
+        val srv = index.MaxSimServe.probeBatch(
+          ipResident, qs, qmax = 2, bmax = 4, k = 10, c = c, efSearch = 32)
         val rc = operators.Recall.mean(
           spark.createDataFrame(srv.toSeq).toDF("qid", "id", "dist", "rank"),
           truth, 10)
-        (c, sv * nqB / math.max(nq, 1), rc)
+        (c, sv * nqB / math.max(nq, 1), ssp, rc)
       }
-      resident.unload()
       (v * nqB / math.max(nq, 1), sp, recall, sweep)
     }
-    // binary sign-hash tier: resident packed-code exact Hamming scan — QPS
-    // plus binarization fidelity (recall of Hamming top-10 vs float-L2
-    // truth; the Hamming ranking itself is exact, see knn_hamming's gate)
+    ipResident.unload()
+    // binary sign-hash tier: ONE resident load (floats pinned) serves both
+    // the codes-only exact Hamming scan row and the two-tier re-rank rows.
+    val binServed = index.ResidentBinary.load(base, numPartitions = 8,
+      pinFloats = true)
+    // codes-only exact Hamming scan — QPS plus binarization fidelity
+    // (recall of Hamming top-10 vs float truth; the Hamming ranking itself
+    // is exact, see knn_hamming's gate)
     val (hamQps, hamSpread, hamFidelity, hamFidelityCos) = {
-      import spark.implicits._
       import graft.functions.vectors._
-      val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val served = index.ResidentBinary.load(base, numPartitions = 8)
-      val queries = emb.where(col("vec_id") < nq)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val qs = queries.select(col("qid").cast("long"),
         vecSignPack(col("qvec")).as("qcode")).as[(Long, Array[Long])].collect()
-      val (v, sp) = qpsBatch(() => served.probeBatch(qs, k = 10).length)
-      val truth = operators.Knn.knnJoin(queries, base, 10, operators.Metric.L2)
-      val fid = operators.Recall.mean(served.probeLocal(queries, 10), truth, 10)
+      val (v, sp) = qpsBatch(() => binServed.probeBatch(qs, k = 10).length)
+      val fid = operators.Recall.mean(binServed.probeLocal(queries, 10), truthL2, 10)
       // sign codes are angle-only (norms are gone), so fidelity against the
       // COSINE truth is the tier's natural grade; L2 fidelity is reported
       // too as the honest cross-metric number
-      val cosTruth = operators.Knn.knnJoin(queries, base, 10,
-        operators.Metric.Cosine)
       val fidCos = operators.Recall.mean(
-        served.probeLocal(queries, 10), cosTruth, 10)
-      served.unload()
+        binServed.probeLocal(queries, 10), truthCos, 10)
       (v, sp, fid, fidCos)
     }
     // two-tier resident: binary top-c first pass + in-shard float re-rank —
-    // fidelity is vs exact float L2 (c=50 operating point)
-    val (ham2Qps, ham2Spread, ham2Fidelity, ham2Sweep) = {
-      import spark.implicits._
+    // fidelity is vs exact float L2 (c=50 operating point); the ip-refine
+    // sweep grades the SAME two-tier probe against exact-MIPS truth (the
+    // OOD track's metric — text2image-style serving)
+    val (ham2Qps, ham2Spread, ham2Fidelity, ham2Sweep, ham2IpSweep) = {
       import graft.functions.vectors._
-      val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val served = index.ResidentBinary.load(base, numPartitions = 8,
-        pinFloats = true)
-      val queries = emb.where(col("vec_id") < nq)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val qs = queries.select(col("qid").cast("long"),
         vecSignPack(col("qvec")).as("qcode"), col("qvec"))
         .as[(Long, Array[Long], Array[Float])].collect()
-      val (v, sp) = qpsBatch(() => served.probeBatchRerank(qs, k = 10, c = 50).length)
-      val truth = operators.Knn.knnJoin(queries, base, 10, operators.Metric.L2)
+      val (v, sp) = qpsBatch(() => binServed.probeBatchRerank(qs, k = 10, c = 50).length)
       val fid = operators.Recall.mean(
-        served.probeLocalRerank(queries, 10, c = 50), truth, 10)
+        binServed.probeLocalRerank(queries, 10, c = 50), truthL2, 10)
       // candidate-budget sweep: c is the binary tier's recall knob
       val sweep = Seq(25, 50, 100).map { c =>
-        val (sv, _) = qpsBatch(() =>
-          served.probeBatchRerank(qs, k = 10, c = c).length, nRuns = 5)
+        val (sv, ssp) = qpsPoint(() =>
+          binServed.probeBatchRerank(qs, k = 10, c = c).length)
         val rc = operators.Recall.mean(
-          served.probeLocalRerank(queries, 10, c = c), truth, 10)
-        (c, sv, rc)
+          binServed.probeLocalRerank(queries, 10, c = c), truthL2, 10)
+        (c, sv, ssp, rc)
       }
-      served.unload()
-      (v, sp, fid, sweep)
+      val ipMetric = operators.Metric.Ip
+      val ipSweep = Seq(25, 50, 100).map { c =>
+        val (sv, ssp) = qpsPoint(() =>
+          binServed.probeBatchRerank(qs, k = 10, c = c, metric = ipMetric).length)
+        val rc = operators.Recall.mean(
+          binServed.probeLocalRerank(queries, 10, c = c, metric = ipMetric),
+          truthIp, 10)
+        (c, sv, ssp, rc)
+      }
+      (v, sp, fid, sweep, ipSweep)
     }
-    val (annQps, annSpread, annRecall, annSweep) =
-      residentQps("l2", sweepEfs = Seq(8, 16, 32))
-    val (annIpQps, annIpSpread, annIpRecall, _) = residentQps("ip")
+    binServed.unload()
     val (rtQps, rtSpread, rtRecall, rtSweep,
          rtaQps, rtaSpread, rtaRecall, rtaSweep) =
       routedQps(sweepNprobes = Seq(4, 6, 8))
@@ -484,7 +485,7 @@ object Bench {
           streaming.Runbook.parseYaml(yaml)
             .find(_.dataset == "msturing-10M-clustered")
             .getOrElse(streaming.Runbook.parseYaml(yaml).head), n)
-        val src = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val src = base
         val sq = emb.where(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val t0 = System.nanoTime()
@@ -499,11 +500,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def sweepJson(knob: String, pts: Seq[(Int, Double, Double)]): String =
-      pts.map { case (v, q, r) =>
-        s"""{"$knob":$v,"qps":$q,"recall":$r}""" }.mkString("[", ",", "]")
+    def sweepJson(knob: String, pts: Seq[(Int, Double, Double, Double)]): String =
+      pts.map { case (v, q, s, r) =>
+        s"""{"$knob":$v,"qps":$q,"spread":$s,"recall":$r}""" }.mkString("[", ",", "]")
     val sweep =
-      s"""{"ann_hnsw_probe":${sweepJson("efSearch", annSweep)},"sparse_budget_served":${sweepJson("m", sparseSweep)},"ann_hnsw_probe_routed":${sweepJson("nprobe", rtSweep)},"ann_hnsw_probe_routed_auto":${sweepJson("minMassPct", rtaSweep)},"ann_adc_served":${sweepJson("rerank", adcSweep)},"hamming_rerank_served":${sweepJson("c", ham2Sweep)},"maxsim_served":${sweepJson("c", maxsimSweep)}}"""
+      s"""{"ann_hnsw_probe":${sweepJson("efSearch", annSweep)},"sparse_budget_served":${sweepJson("m", sparseSweep)},"ann_hnsw_probe_routed":${sweepJson("nprobe", rtSweep)},"ann_hnsw_probe_routed_auto":${sweepJson("minMassPct", rtaSweep)},"ann_adc_served":${sweepJson("rerank", adcSweep)},"hamming_rerank_served":${sweepJson("c", ham2Sweep)},"hamming_rerank_served_ip":${sweepJson("c", ham2IpSweep)},"maxsim_served":${sweepJson("c", maxsimSweep)}}"""
     val qpsJson =
       s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"sparse_budget_served":$sparseServedQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"ann_hnsw_probe_routed_auto":$rtaQps,"ann_hnsw_probe_mutated":$mutQps,"ann_adc_served":$adcQps,"ann_ivfadc_served":$ivfAdcQps,"ann_ivfadc_residual_served":$ivfAdcResQps,"maxsim_served":$maxsimQps,"hamming_served":$hamQps,"hamming_rerank_served":$ham2Qps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"sparse_budget_served":$sparseServedSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread,"ann_hnsw_probe_routed_auto":$rtaSpread,"ann_hnsw_probe_mutated":$mutSpread,"ann_adc_served":$adcSpread,"ann_ivfadc_served":$ivfAdcSpread,"ann_ivfadc_residual_served":$ivfAdcResSpread,"maxsim_served":$maxsimSpread,"hamming_served":$hamSpread,"hamming_rerank_served":$ham2Spread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall,"maxsim_served":$maxsimRecall,"hamming_served_l2_fidelity":$hamFidelity,"hamming_served_cos_fidelity":$hamFidelityCos,"hamming_rerank_served_l2_fidelity":$ham2Fidelity},"sweep":$sweep,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
     val line =

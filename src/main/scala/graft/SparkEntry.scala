@@ -35,6 +35,78 @@ object SparkEntry {
   private def knnResult(df: DataFrame): DataFrame =
     df.select(col("qid"), col("id").as("neighbor_id"), col("rank"))
 
+  /** Session-lifetime memo for expensive DETERMINISTIC builds (lossless
+    * codebooks, OPQ rotations, residual IVFPQ indexes) shared by several
+    * gates in one Verify/Bench run. Keys carry the data dir and every
+    * build parameter, so a hit is the identical computation; each gate
+    * stays independently runnable — the cache only removes repeat trains
+    * of the same artifact within one session (r5 item 8: bench wall
+    * clock). */
+  private val buildMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def memo[T <: AnyRef](key: String)(f: => T): T =
+    buildMemo.computeIfAbsent(key, _ => f).asInstanceOf[T]
+
+  private def pqLossless(s: SparkSession, dir: String, m: Int): graft.index.Pq.Codebook =
+    memo(s"pqLossless:$dir:$m") {
+      graft.index.Pq.trainLossless(embBase(s, dir), m)
+    }
+
+  private def opqLossless(s: SparkSession, dir: String,
+                          m: Int): (graft.index.Opq.Rotation, graft.index.Pq.Codebook) =
+    memo(s"opqLossless:$dir:$m") {
+      graft.index.Opq.trainRotatedLossless(embBase(s, dir), m)
+    }
+
+  private def ivfPqResidualLossless(s: SparkSession, dir: String, c: Int,
+                                    iters: Int, m: Int): graft.index.IvfPq.IvfPqIndex =
+    memo(s"ivfPqResLossless:$dir:$c:$iters:$m") {
+      graft.index.IvfPq.buildResidual(embBase(s, dir), c = c, iters = iters,
+        m = m, ksub = 0, lossless = true)
+    }
+
+  private def ivf8(s: SparkSession, dir: String): graft.index.IvfIndex =
+    memo(s"ivf8:$dir") {
+      graft.index.IvfIndex.build(embBase(s, dir), c = 8, iters = 3)
+    }
+
+  /** Exact kNN ground truth for the recall_* gates, collected ONCE per
+    * (dir, metric) into a local relation — ~10 gates grade against the
+    * identical brute-force ranking, so each re-run of the join was pure
+    * repeat work. Rows (qid, id, rank) are all Recall.perQuery reads. */
+  private def exactKnnTruth(s: SparkSession, dir: String,
+                            metric: String): DataFrame =
+    memo(s"knnTruth:$dir:$metric") {
+      import s.implicits._
+      s.createDataFrame(
+        Knn.knnJoin(embQueries(s, dir, 10), embBase(s, dir), 10, metric)
+          .select(col("qid").cast("long"), col("id").cast("long"),
+            col("rank").cast("long"))
+          .as[(Long, Long, Long)].collect().toSeq)
+        .toDF("qid", "id", "rank")
+    }
+
+  /** One shared persisted HNSW artifact per dir (builds are deterministic,
+    * so every gate probing `numPartitions = 8, l2` sees the identical
+    * graph the build-per-gate form produced). */
+  private def hnswSavedPath(s: SparkSession, dir: String): String =
+    memo(s"hnswSaved:$dir") {
+      val p = java.nio.file.Files.createTempDirectory("graft-hnsw-shared")
+        .resolve("idx").toString
+      graft.index.HnswKnn.buildAndSave(embBase(s, dir), p, numPartitions = 8)
+      p
+    }
+
+  /** One shared persisted routed-graph artifact per dir (same argument). */
+  private def routedSavedPath(s: SparkSession, dir: String): String =
+    memo(s"routedSaved:$dir") {
+      val p = java.nio.file.Files.createTempDirectory("graft-routed-shared")
+        .resolve("idx").toString
+      graft.index.HnswRouted.buildAndSave(embBase(s, dir), p, c = 8,
+        kmIters = 3)
+      p
+    }
+
   /** Shared DuckDB oracle scaffolding for exact kNN: squared-L2 / dot in
     * DOUBLE via zipped unnest (bit-compatible with our codegen kernels). */
   private def knnOracle(nq: Int, k: Int, scoreSql: String, order: String,
@@ -176,7 +248,8 @@ object SparkEntry {
         embBase(s, dir).where(col("id") < 8), bag = 2, "qid")
         .select(col("qid"), col("pos"), col("vec").as("qvec"))
       val n = embBase(s, dir).count().toInt
-      MultiVec.maxSimAnn(q, b, k = 10, c = n, efSearch = 1 << 20)
+      MultiVec.maxSimAnn(q, b, k = 10, c = n, efSearch = 1 << 20,
+        bagDims = Some((2, 4)))
         .select(col("qid"), col("doc_id"), col("rank"))
     }),
     // the same composition at a real operating point (c = 32 vector hits
@@ -187,7 +260,8 @@ object SparkEntry {
       val q = MultiVec.bagged(
         embBase(s, dir).where(col("id") < 8), bag = 2, "qid")
         .select(col("qid"), col("pos"), col("vec").as("qvec"))
-      MultiVec.maxSimAnn(q, b, k = 10, c = 32, efSearch = 64)
+      MultiVec.maxSimAnn(q, b, k = 10, c = 32, efSearch = 64,
+        bagDims = Some((2, 4)))
         .select(col("qid"), col("doc_id"), col("rank"))
     }),
 
@@ -562,7 +636,7 @@ object SparkEntry {
     // IVF probed exhaustively (nprobe = C) is exact → hash-checked oracle.
     "ann_ivf" -> ((s, dir) => {
       val b = embBase(s, dir)
-      val idx = graft.index.IvfIndex.build(b, c = 8, iters = 3)
+      val idx = ivf8(s, dir)
       knnResult(idx.probe(embQueries(s, dir, 10), b, k = 10, nprobe = 8))
     }),
     // IVF under max-inner-product (the OOD composition): centroid routing
@@ -570,7 +644,7 @@ object SparkEntry {
     // so this is hash-checked against the exact MIPS oracle.
     "ann_ivf_ip" -> ((s, dir) => {
       val b = embBase(s, dir)
-      val idx = graft.index.IvfIndex.build(b, c = 8, iters = 3)
+      val idx = ivf8(s, dir)
       knnResult(idx.probe(embQueries(s, dir, 10), b, k = 10, nprobe = 8,
         metric = Metric.Ip))
     }),
@@ -578,7 +652,7 @@ object SparkEntry {
     // so this stays hash-checked against the exact oracle (S7/X4 analog).
     "ann_ivf_persisted" -> ((s, dir) => {
       val b = embBase(s, dir)
-      val idx = graft.index.IvfIndex.build(b, c = 8, iters = 3)
+      val idx = ivf8(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft-ivf")
         .resolve("idx").toString
       graft.index.IvfIndex.save(idx, path)
@@ -591,9 +665,9 @@ object SparkEntry {
     "recall_ivf_partial" -> ((s, dir) => {
       val b = embBase(s, dir)
       val q = embQueries(s, dir, 10)
-      val idx = graft.index.IvfIndex.build(b, c = 8, iters = 3)
+      val idx = ivf8(s, dir)
       val got = idx.probe(q, b, k = 10, nprobe = 2)
-      val truth = Knn.knnJoin(q, b, 10, Metric.L2)
+      val truth = exactKnnTruth(s, dir, Metric.L2)
       Recall.perQuery(got, truth, 10)
     }),
     "recall_sq8" -> ((s, dir) => {
@@ -601,7 +675,7 @@ object SparkEntry {
       val q = embQueries(s, dir, 10)
       val (mins, spans) = graft.index.Sq8.train(b)
       val got = graft.index.Sq8.knnSq8(q, b, k = 10, rerank = 40, mins, spans)
-      val truth = Knn.knnJoin(q, b, 10, Metric.L2)
+      val truth = exactKnnTruth(s, dir, Metric.L2)
       Recall.perQuery(got, truth, 10)
     }),
     // the reference baseline's composition (IVF coarse route × SQ8 integer
@@ -611,7 +685,7 @@ object SparkEntry {
       val q = embQueries(s, dir, 10)
       val got = graft.index.IvfSq8.knn(q, b, k = 10, c = 8, iters = 3,
         nprobe = 4, rerank = 40)
-      val truth = Knn.knnJoin(q, b, 10, Metric.L2)
+      val truth = exactKnnTruth(s, dir, Metric.L2)
       Recall.perQuery(got, truth, 10)
     }),
     // X8 per-tag subindexes at the exact-degenerate beam: every tag is hot
@@ -639,7 +713,7 @@ object SparkEntry {
     // technique as nprobe = C and ef ≥ partition size.
     "ann_pq_exact" -> ((s, dir) => {
       val b = embBase(s, dir)
-      val cb = graft.index.Pq.trainLossless(b, m = 4)
+      val cb = pqLossless(s, dir, 4)
       knnResult(graft.index.Pq.adcKnn(
         embQueries(s, dir, 10), b, cb, k = 10, rerank = 20))
     }),
@@ -654,7 +728,7 @@ object SparkEntry {
     // near-uniform, where rotation is a no-op by design).
     "ann_opq_exact" -> ((s, dir) => {
       val b = embBase(s, dir)
-      val (rot, cb) = graft.index.Opq.trainRotatedLossless(b, m = 4)
+      val (rot, cb) = opqLossless(s, dir, 4)
       knnResult(graft.index.Opq.adcKnnRotated(
         embQueries(s, dir, 10), b, rot, cb, k = 10, rerank = 20))
     }),
@@ -663,7 +737,7 @@ object SparkEntry {
     // codebook reproduces exact MIPS (same oracle as knn_ip).
     "ann_opq_ip_exact" -> ((s, dir) => {
       val b = embBase(s, dir)
-      val (rot, cb) = graft.index.Opq.trainRotatedLossless(b, m = 4)
+      val (rot, cb) = opqLossless(s, dir, 4)
       knnResult(graft.index.Opq.adcKnnRotated(
         embQueries(s, dir, 10), b, rot, cb, k = 10, rerank = 20,
         metric = Metric.Ip))
@@ -691,7 +765,7 @@ object SparkEntry {
     // ann_pq_exact (codes in memory, floats touched only by the re-rank).
     "ann_pq_served_exact" -> ((s, dir) => {
       val b = embBase(s, dir)
-      val cb = graft.index.Pq.trainLossless(b, m = 4)
+      val cb = pqLossless(s, dir, 4)
       val served = graft.index.ResidentAdc.load(b, cb, numPartitions = 4)
       try knnResult(served.probeLocal(embQueries(s, dir, 10), 10, rerank = 20))
       finally served.unload()
@@ -703,7 +777,7 @@ object SparkEntry {
     // plumbing in the loop).
     "ann_opq_served_exact" -> ((s, dir) => {
       val b = embBase(s, dir)
-      val (rot, cb) = graft.index.Opq.trainRotatedLossless(b, m = 4)
+      val (rot, cb) = opqLossless(s, dir, 4)
       val served = graft.index.ResidentAdc.loadRotated(b, rot, cb,
         numPartitions = 4)
       try knnResult(served.probeLocal(embQueries(s, dir, 10), 10, rerank = 20))
@@ -715,8 +789,8 @@ object SparkEntry {
     // codebook makes ADC exact — hash-matches brute force end to end.
     "ann_ivfadc_served_exact" -> ((s, dir) => {
       val b = embBase(s, dir)
-      val ivf = graft.index.IvfIndex.build(b, c = 8, iters = 3)
-      val cb = graft.index.Pq.trainLossless(b, m = 4)
+      val ivf = ivf8(s, dir)
+      val cb = pqLossless(s, dir, 4)
       val served = graft.index.ResidentIvfAdc.load(b, ivf, cb, numPartitions = 4)
       try knnResult(served.probeLocal(embQueries(s, dir, 10), 10,
         nprobe = served.numClusters, rerank = 20))
@@ -730,8 +804,7 @@ object SparkEntry {
     // codes (loading is a join, not a re-encode).
     "ann_ivfadc_residual_served_exact" -> ((s, dir) => {
       val b = embBase(s, dir)
-      val idx = graft.index.IvfPq.buildResidual(b, c = 8, iters = 3, m = 4,
-        ksub = 0, lossless = true)
+      val idx = ivfPqResidualLossless(s, dir, c = 8, iters = 3, m = 4)
       val served = graft.index.ResidentIvfAdc.loadResidual(b, idx,
         numPartitions = 4)
       try knnResult(served.probeLocal(embQueries(s, dir, 10), 10,
@@ -743,7 +816,7 @@ object SparkEntry {
     // (S7/X4 parity, same contract as ann_ivf_persisted).
     "ann_pq_persisted_exact" -> ((s, dir) => {
       val b = embBase(s, dir)
-      val cb = graft.index.Pq.trainLossless(b, m = 4)
+      val cb = pqLossless(s, dir, 4)
       val idx = new graft.index.PqVectorIndex(s, cb,
         graft.index.Pq.encode(b, cb).select("id", "codes"), b, rerank = 20)
       val path = java.nio.file.Files.createTempDirectory("graft-pq")
@@ -757,7 +830,7 @@ object SparkEntry {
     // change the exact result (S7/X4 parity, same contract as the pq row).
     "ann_opq_persisted_exact" -> ((s, dir) => {
       val b = embBase(s, dir)
-      val (rot, cb) = graft.index.Opq.trainRotatedLossless(b, m = 4)
+      val (rot, cb) = opqLossless(s, dir, 4)
       val rotated = b.select(col("id"),
         graft.index.Opq.rotateCol(rot, col("vec")).as("vec"))
       val idx = new graft.index.OpqVectorIndex(s, rot, cb,
@@ -780,7 +853,7 @@ object SparkEntry {
       val q = embQueries(s, dir, 10)
       val cb = graft.index.Pq.train(b, m = 8, ksub = 32, iters = 3)
       val got = graft.index.Pq.adcKnn(q, b, cb, k = 10, rerank = 100)
-      Recall.perQuery(got, Knn.knnJoin(q, b, 10, Metric.L2), 10)
+      Recall.perQuery(got, exactKnnTruth(s, dir, Metric.L2), 10)
     }),
     // trained OPQ at the same (m, ksub, rerank) budget as recall_pq — the
     // two reports side by side show what the rotation buys on THIS corpus
@@ -790,7 +863,7 @@ object SparkEntry {
       val q = embQueries(s, dir, 10)
       val (rot, cb) = graft.index.Opq.trainRotated(b, m = 8, ksub = 32, iters = 3)
       val got = graft.index.Opq.adcKnnRotated(q, b, rot, cb, k = 10, rerank = 100)
-      Recall.perQuery(got, Knn.knnJoin(q, b, 10, Metric.L2), 10)
+      Recall.perQuery(got, exactKnnTruth(s, dir, Metric.L2), 10)
     }),
     // residual-encoded IVF-PQ (faiss's true IVFPQ: codes quantize the
     // residual against the routed centroid) probed exhaustively with a
@@ -845,7 +918,7 @@ object SparkEntry {
       val q = embQueries(s, dir, 10)
       val got = graft.index.IvfPq.knnResidual(q, b, k = 10, c = 8,
         iters = 3, nprobe = 6, m = 8, ksub = 32, rerank = 100)
-      Recall.perQuery(got, Knn.knnJoin(q, b, 10, Metric.L2), 10)
+      Recall.perQuery(got, exactKnnTruth(s, dir, Metric.L2), 10)
     }),
     // faiss's IVFx,PQy composition: coarse route bounds scan volume, PQ
     // codes bound scan width, exact re-rank restores recall from both.
@@ -854,13 +927,13 @@ object SparkEntry {
       val q = embQueries(s, dir, 10)
       val got = graft.index.IvfPq.knn(q, b, k = 10, c = 8, iters = 3,
         nprobe = 6, m = 8, ksub = 32, rerank = 100)
-      Recall.perQuery(got, Knn.knnJoin(q, b, 10, Metric.L2), 10)
+      Recall.perQuery(got, exactKnnTruth(s, dir, Metric.L2), 10)
     }),
     "recall_hnsw" -> ((s, dir) => {
       val b = embBase(s, dir)
       val q = embQueries(s, dir, 10)
       val got = graft.index.HnswKnn.knn(q, b, k = 10, efSearch = 128, numPartitions = 8)
-      val truth = Knn.knnJoin(q, b, 10, Metric.L2)
+      val truth = exactKnnTruth(s, dir, Metric.L2)
       Recall.perQuery(got, truth, 10)
     }),
     // SQ8-coded graph + exact re-rank (the reference's uint8-arena memory
@@ -872,7 +945,7 @@ object SparkEntry {
       val (mins, spans) = graft.index.Sq8.train(b)
       val got = graft.index.HnswKnn.knnSq8(q, b, k = 10, rerank = 40,
         mins, spans, efSearch = 128, numPartitions = 8)
-      val truth = Knn.knnJoin(q, b, 10, Metric.L2)
+      val truth = exactKnnTruth(s, dir, Metric.L2)
       Recall.perQuery(got, truth, 10)
     }),
     // ip-metric graph ANN — the OOD track's flagship max-inner-product
@@ -884,7 +957,7 @@ object SparkEntry {
       val q = embQueries(s, dir, 10)
       val got = graft.index.HnswKnn.knn(q, b, k = 10, efSearch = 128,
         numPartitions = 8, metric = Metric.Ip)
-      val truth = Knn.knnJoin(q, b, 10, Metric.Ip)
+      val truth = exactKnnTruth(s, dir, Metric.Ip)
       Recall.perQuery(got, truth, 10)
     }),
     // HNSW is approximate → rows-only driver check; recall graded in tests.
@@ -912,18 +985,14 @@ object SparkEntry {
     // partitions) make the persisted probe equal the in-memory path exactly
     // (asserted in IndexSpec); rows-only driver check (approximate path).
     "ann_hnsw_persisted" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-hnsw")
-        .resolve("idx").toString
-      graft.index.HnswKnn.buildAndSave(embBase(s, dir), path, numPartitions = 8)
+      val path = hnswSavedPath(s, dir)
       knnResult(graft.index.HnswKnn.probeSaved(
         s, path, embQueries(s, dir, 10), k = 10, efSearch = 128))
     }),
     // persisted graph probed at the exact-degenerate beam: save/load must
     // not change the exhaustive result → hash-checked vs the L2 oracle.
     "ann_hnsw_persisted_exact" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-hnsw-pe")
-        .resolve("idx").toString
-      graft.index.HnswKnn.buildAndSave(embBase(s, dir), path, numPartitions = 8)
+      val path = hnswSavedPath(s, dir)
       knnResult(graft.index.HnswKnn.probeSaved(
         s, path, embQueries(s, dir, 10), k = 10, efSearch = 1 << 20))
     }),
@@ -931,9 +1000,7 @@ object SparkEntry {
     // TRAVERSAL; the oracle simply excludes them — the lazy-delete
     // semantics (DELETE_MARK) get a hash gate, not just a spec.
     "ann_hnsw_tombstone_exact" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-hnsw-te")
-        .resolve("idx").toString
-      graft.index.HnswKnn.buildAndSave(embBase(s, dir), path, numPartitions = 8)
+      val path = hnswSavedPath(s, dir)
       knnResult(graft.index.HnswKnn.probeSaved(
         s, path, embQueries(s, dir, 10), k = 10, efSearch = 1 << 20,
         tombstones = (0L until 5L).toSet))
@@ -942,10 +1009,7 @@ object SparkEntry {
     // nprobe nearest clusters only. Approximate → rows-only driver check;
     // the recall/nprobe trade is asserted in IndexSpec.
     "ann_hnsw_routed" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-hnsw-rt")
-        .resolve("idx").toString
-      graft.index.HnswRouted.buildAndSave(embBase(s, dir), path, c = 8,
-        kmIters = 3)
+      val path = routedSavedPath(s, dir)
       val routed = graft.index.HnswRouted.loadResident(s, path)
       // probeLocal returns a LocalRelation (driver-side rows), so the
       // resident graphs can unload before the result is consumed
@@ -958,10 +1022,7 @@ object SparkEntry {
     // beam): full fan-out of exact scans = brute force → hash-checked
     // against the same L2 oracle as knn_l2.
     "ann_hnsw_routed_exact" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-hnsw-rte")
-        .resolve("idx").toString
-      graft.index.HnswRouted.buildAndSave(embBase(s, dir), path, c = 8,
-        kmIters = 3)
+      val path = routedSavedPath(s, dir)
       val routed = graft.index.HnswRouted.loadResident(s, path)
       val out = knnResult(routed.probeLocal(embQueries(s, dir, 10), k = 10,
         efSearch = 1 << 20, nprobe = 8))
@@ -973,10 +1034,7 @@ object SparkEntry {
     // full fan-out, and the exhaustive beam makes each cluster scan exact →
     // hash-checked against the same L2 oracle as knn_l2.
     "ann_hnsw_routed_auto_exact" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-hnsw-rta")
-        .resolve("idx").toString
-      graft.index.HnswRouted.buildAndSave(embBase(s, dir), path, c = 8,
-        kmIters = 3)
+      val path = routedSavedPath(s, dir)
       val routed = graft.index.HnswRouted.loadResident(s, path)
       val out = knnResult(routed.probeLocalAuto(embQueries(s, dir, 10),
         k = 10, efSearch = 1 << 20, minMass = 1.0))
@@ -990,10 +1048,7 @@ object SparkEntry {
     // mass target, recall monotonicity, and skew adaptivity are asserted in
     // IndexSpec.
     "ann_hnsw_routed_auto" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-hnsw-rtau")
-        .resolve("idx").toString
-      graft.index.HnswRouted.buildAndSave(embBase(s, dir), path, c = 8,
-        kmIters = 3)
+      val path = routedSavedPath(s, dir)
       val routed = graft.index.HnswRouted.loadResident(s, path)
       val out = knnResult(routed.probeLocalAuto(embQueries(s, dir, 10),
         k = 10, efSearch = 64, minMass = 0.75))

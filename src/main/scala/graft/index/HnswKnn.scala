@@ -141,6 +141,28 @@ final class HnswResident(spark: SparkSession,
       .toDF("qid", "id", "dist", "rank")
   }
 
+  def numPartitions: Int = rdd.getNumPartitions
+
+  /** Loan the PRE-MERGE candidate rows (qid, id, dist) of one probe batch
+    * — per-partition top-k, the stream [[probeBatch]] feeds [[ProbeMerge]]
+    * — to `f`, destroying the batch broadcast after `f` has run its jobs.
+    * For serving reduces that fold MORE than a plain top-k merge into the
+    * candidate fan-in ([[MaxSimServe]]'s distributed regime) without a
+    * second probe pass over the graphs. */
+  private[index] def withCandidates[T](qs: Array[(Long, Array[Float])],
+                                       k: Int, efSearch: Int)(
+      f: org.apache.spark.rdd.RDD[(Long, Long, Double)] => T): T = {
+    val bq = spark.sparkContext.broadcast(qs)
+    try f(rdd.flatMap { case (idx, _) =>
+      bq.value.iterator.flatMap { case (qid, qv) =>
+        idx.search(qv, k, efSearch).iterator.map { case (id, d) => (qid, id, d) }
+      }
+    })
+    finally bq.destroy()
+  }
+
+  private[index] def graphs: org.apache.spark.rdd.RDD[(HnswIndex, Map[Long, Array[Int]])] = rdd
+
   def unload(): Unit = rdd.unpersist()
 }
 
@@ -377,6 +399,34 @@ object HnswKnn {
                            efConstruction: Int = 100, numPartitions: Int = 8,
                            metric: String = "l2"): HnswResident = {
     val spark = base.sparkSession
+    val resident = buildResident(base, m, efConstruction, numPartitions, metric)
+    val built = resident.graphs
+    val nodes = built.mapPartitionsWithIndex { case (part, it) =>
+      it.flatMap { case (idx, tagMap) =>
+        val (ep, ml) = idx.entryState
+        idx.exportNodes.iterator.zipWithIndex.map {
+          case ((id, vec, level, links), seq) =>
+            HnswNodeRow(part, seq, id, vec, tagMap(id), level, links, ep, ml,
+              metric)
+        }
+      }
+    }
+    spark.createDataset(nodes)(org.apache.spark.sql.Encoders.product[HnswNodeRow])
+      .toDF()
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+    resident
+  }
+
+  /** [[buildResidentAndSave]] WITHOUT the persisted artifact: build the
+    * per-partition graphs once and pin them executor-resident. For callers
+    * that probe within the same session and never reload (the in-query ANN
+    * composition gates; serving tiers that own their registry should
+    * persist). Same deterministic partitioning/insertion order as the
+    * saving form. */
+  def buildResident(base: DataFrame, m: Int = 16, efConstruction: Int = 100,
+                    numPartitions: Int = 8,
+                    metric: String = "l2"): HnswResident = {
+    val spark = base.sparkSession
     import spark.implicits._
     val withTags =
       if (base.columns.contains("tags"))
@@ -395,19 +445,7 @@ object HnswKnn {
         Iterator.single((idx, tagMap.result()))
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    built.count() // materialize the graphs before exporting the artifact
-    val nodes = built.mapPartitionsWithIndex { case (part, it) =>
-      it.flatMap { case (idx, tagMap) =>
-        val (ep, ml) = idx.entryState
-        idx.exportNodes.iterator.zipWithIndex.map {
-          case ((id, vec, level, links), seq) =>
-            HnswNodeRow(part, seq, id, vec, tagMap(id), level, links, ep, ml,
-              metric)
-        }
-      }
-    }
-    spark.createDataset(nodes).toDF()
-      .write.mode("overwrite").partitionBy("part").parquet(path)
+    built.count() // materialize the graphs before the first probe
     new HnswResident(spark, built)
   }
 

@@ -25,9 +25,10 @@ import scala.collection.mutable
 private[index] object ProbeMerge {
 
   /** Merge two (id, dist) arrays, each sorted by (dist asc, id asc), into
-    * one: dedup by id, truncate to k. */
-  private def mergeTwo(a: Array[(Long, Double)], b: Array[(Long, Double)],
-                       k: Int): Array[(Long, Double)] = {
+    * one: dedup by id, truncate to k. Package-visible: [[MaxSimServe]]'s
+    * distributed regime reuses it as its reduceByKey combiner. */
+  private[index] def mergeTwo(a: Array[(Long, Double)], b: Array[(Long, Double)],
+                              k: Int): Array[(Long, Double)] = {
     // no early return even when one side is empty: the non-empty side may
     // still carry a duplicate id (graph-resident + delta re-insert of the
     // same id land in different partitions), and the contract is that the

@@ -88,9 +88,13 @@ final class ResidentBinary(spark: SparkSession, rdd: RDD[BinaryShard]) {
     * `knn_hamming_rerank_served_exact` hash gate). `qs` = (qid, packed
     * code, float query). Returns (qid, id, float dist, rank). */
   def probeBatchRerank(qs: Array[(Long, Array[Long], Array[Float])], k: Int,
-                       c: Int,
-                       treeMergeAt: Int = 64): Array[(Long, Long, Double, Long)] = {
+                       c: Int, treeMergeAt: Int = 64,
+                       metric: String = graft.operators.Metric.L2): Array[(Long, Long, Double, Long)] = {
     require(c >= k, s"rerank budget c=$c must be >= k=$k")
+    // tier 2's float kernel: L2 or negated inner product (the OOD track's
+    // metric — text2image-style corpora rerank by ip, and the binary tier
+    // is metric-blind so only this refine step changes)
+    val ip = metric == graft.operators.Metric.Ip
     val bq = spark.sparkContext.broadcast(qs)
     val local = rdd.flatMap { shard =>
       require(shard.vecs.nonEmpty || shard.ids.isEmpty,
@@ -136,8 +140,12 @@ final class ResidentBinary(spark: SparkSession, rdd: RDD[BinaryShard]) {
           val d0 = math.min(qv.length, v.length)
           var acc = 0.0
           var i = 0
-          while (i < d0) {
-            val d = qv(i).toDouble - v(i).toDouble; acc += d * d; i += 1
+          if (ip) {
+            while (i < d0) { acc -= qv(i).toDouble * v(i).toDouble; i += 1 }
+          } else {
+            while (i < d0) {
+              val d = qv(i).toDouble - v(i).toDouble; acc += d * d; i += 1
+            }
           }
           val id = shard.ids(row)
           if (kept < k || acc < bd(kept - 1) ||
@@ -162,14 +170,15 @@ final class ResidentBinary(spark: SparkSession, rdd: RDD[BinaryShard]) {
 
   /** [[probeBatchRerank]] with DataFrame plumbing: `queries` needs
     * (qid, qvec). */
-  def probeLocalRerank(queries: DataFrame, k: Int, c: Int): DataFrame = {
+  def probeLocalRerank(queries: DataFrame, k: Int, c: Int,
+                       metric: String = graft.operators.Metric.L2): DataFrame = {
     import graft.functions.vectors._
     import spark.implicits._
     val qs = queries
       .select(col("qid").cast("long"), vecSignPack(col("qvec")).as("qcode"),
         col("qvec"))
       .as[(Long, Array[Long], Array[Float])].collect()
-    spark.createDataFrame(probeBatchRerank(qs, k, c).toSeq)
+    spark.createDataFrame(probeBatchRerank(qs, k, c, metric = metric).toSeq)
       .toDF("qid", "id", "dist", "rank")
   }
 

@@ -63,18 +63,27 @@ object MultiVec {
     * exhaustive beam every doc is a candidate and the result EQUALS
     * [[maxSimJoin]] (the degenerate-point hash gate); the operating-point
     * recall is spec-graded. */
+  /** `bagDims` = (qmax, bmax): pass the bag position bounds when the caller
+    * already knows them to skip two driver aggregation jobs. `prebuilt`: a
+    * resident ip graph over the SAME flat encoding (`id = doc_id·bmax +
+    * pos`) — a serving caller builds it once (e.g.
+    * [[graft.index.HnswKnn.buildResident]]) and amortizes across batches;
+    * when absent a session-resident graph is built (and unloaded) per call,
+    * with no persisted artifact or temp directory. */
   def maxSimAnn(queries: DataFrame, base: DataFrame, k: Int, c: Int,
-                efSearch: Int = 64, numPartitions: Int = 4): DataFrame = {
-    val spark = base.sparkSession
+                efSearch: Int = 64, numPartitions: Int = 4,
+                prebuilt: Option[graft.index.HnswResident] = None,
+                bagDims: Option[(Int, Int)] = None): DataFrame = {
     // flat vector ids that recover (doc, pos): id = doc_id * B + pos
-    val bmax = base.agg(max(col("pos"))).head().getInt(0) + 1
-    val qmax = queries.agg(max(col("pos"))).head().getInt(0) + 1
-    val flat = base.select((col("doc_id") * bmax + col("pos")).as("id"), col("vec"))
-    val path = java.nio.file.Files.createTempDirectory("graft-maxsim")
-      .resolve("idx").toString
-    graft.index.HnswKnn.buildAndSave(flat, path,
-      numPartitions = numPartitions, metric = "ip")
-    val resident = graft.index.HnswKnn.loadResident(spark, path)
+    val (qmax, bmax) = bagDims.getOrElse((
+      queries.agg(max(col("pos"))).head().getInt(0) + 1,
+      base.agg(max(col("pos"))).head().getInt(0) + 1))
+    val resident = prebuilt.getOrElse {
+      val flat = base.select(
+        (col("doc_id") * bmax + col("pos")).as("id"), col("vec"))
+      graft.index.HnswKnn.buildResident(flat,
+        numPartitions = numPartitions, metric = "ip")
+    }
     try {
       val qflat = queries.select(
         (col("qid") * qmax + col("pos")).as("qid"), col("qvec"))
@@ -83,16 +92,19 @@ object MultiVec {
         (col("qid") / qmax).cast("long").as("qid"),
         (col("id") / bmax).cast("long").as("doc_id")).distinct()
       maxSimScore(queries, base, k, candidates = Some(cand))
-    } finally resident.unload()
+    } finally if (prebuilt.isEmpty) resident.unload()
   }
 
   /** Serving-form approximate MaxSim from graph hits ALONE — the standard
     * ColBERT serving shortcut: each query vector contributes the best dot
     * among its `c` graph hits per document; (query-vector, doc) pairs the
     * probe never surfaced contribute nothing. One resident-graph probe
-    * batch per query batch, then this driver-side reduce over the
-    * |Q|·c hit rows — no second pass over the corpus at all, which is
-    * exactly what a serving tier wants. Scores are LOWER BOUNDS of the
+    * batch per query batch, then this reduce over the nq·|Q|·c hit rows —
+    * no second pass over the corpus at all, which is exactly what a
+    * serving tier wants. This array form is the DRIVER regime;
+    * [[graft.index.MaxSimServe.probeBatch]] wraps it and switches to a
+    * fully distributed two-stage reduce past its `treeAt` partition count
+    * (identical rows, spec-asserted). Scores are LOWER BOUNDS of the
     * true maxsim (missing pairs only lose mass), so recall against the
     * exact ranking is the grade (spec ≥ 0.9 at the operating point).
     *
@@ -107,12 +119,17 @@ object MultiVec {
       val dot = -dist
       if (best.getOrElse(key, Double.NegativeInfinity) < dot) best(key) = dot
     }
-    val score = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
-    best.foreach { case ((qid, _, doc), m) =>
-      score((qid, doc)) = score.getOrElse((qid, doc), 0.0) + m
-    }
-    score.toArray
-      .map { case ((qid, doc), s) => (qid, doc, -s) }
+    // score sum folds in ASCENDING query-vector position — a deterministic
+    // float order, identical to MaxSimServe's distributed regime (hash-map
+    // iteration order must never decide a float sum)
+    best.toArray
+      .map { case ((qid, qpos, doc), m) => (qid, doc, qpos, m) }
+      .groupBy(t => (t._1, t._2)).toArray
+      .map { case ((qid, doc), rs) =>
+        var s = 0.0
+        rs.sortBy(_._3).foreach(r => s += r._4)
+        (qid, doc, -s)
+      }
       .groupBy(_._1).toArray.sortBy(_._1)
       .flatMap { case (_, rows) =>
         rows.sortBy(r => (r._3, r._2)).take(k).zipWithIndex

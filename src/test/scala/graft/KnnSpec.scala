@@ -183,6 +183,41 @@ class KnnSpec extends AnyFunSuite with SparkSuite {
     } finally resident.unload()
   }
 
+  test("MaxSimServe: driver and distributed regimes produce identical rows; " +
+       "maxSimAnn reuses a prebuilt resident index") {
+    val e = Tables.embeddings(spark, sfDir)
+    val flat = e.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val bags = MultiVec.bagged(flat, 4, "doc_id")
+    val qbags = MultiVec.bagged(flat.where($"id" < 8), 2, "qid")
+      .select($"qid", $"pos", $"vec".as("qvec"))
+    val resident = graft.index.HnswKnn.buildResident(flat,
+      numPartitions = 4, metric = "ip")
+    try {
+      val qs = qbags.select(($"qid" * 2 + $"pos").cast("long"), $"qvec")
+        .as[(Long, Array[Float])].collect()
+      // regime parity: same batch, same knobs, only treeAt flips the path
+      val driver = graft.index.MaxSimServe.probeBatch(
+        resident, qs, qmax = 2, bmax = 4, k = 10, c = 64, efSearch = 32,
+        treeAt = 64)
+      val tree = graft.index.MaxSimServe.probeBatch(
+        resident, qs, qmax = 2, bmax = 4, k = 10, c = 64, efSearch = 32,
+        treeAt = 1)
+      assert(driver.nonEmpty)
+      assert(tree.toSeq === driver.toSeq,
+        "distributed maxsim reduce must equal the driver regime row-for-row")
+      // prebuilt reuse: the ANN composition on a caller-owned index equals
+      // the build-per-call form at the exact-degenerate point
+      val n = flat.count().toInt
+      def rs(df: org.apache.spark.sql.DataFrame) =
+        df.select($"qid", $"doc_id", $"rank")
+          .as[(Long, Long, Long)].collect().toSet
+      val exact = rs(MultiVec.maxSimJoin(qbags, bags, 10))
+      val reused = rs(MultiVec.maxSimAnn(qbags, bags, 10, c = n,
+        efSearch = 1 << 20, prebuilt = Some(resident), bagDims = Some((2, 4))))
+      assert(reused === exact)
+    } finally resident.unload()
+  }
+
   test("hamming: packed popcount kernel equals naive sign-mismatch; resident form matches brute rows") {
     import graft.functions.vectors._
     val e = Tables.embeddings(spark, sfDir)
@@ -238,6 +273,15 @@ class KnnSpec extends AnyFunSuite with SparkSuite {
         .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect().toSet
       assert(exactServed === truth.select($"qid", $"id", $"rank")
         .as[(Long, Long, Long)].collect().toSet)
+      // ip refine: at c = ∞ the two-tier probe degenerates to exact MIPS —
+      // the OOD-track metric the reference's binary tier actually serves
+      val ipTruth = Knn.knnJoin(q, b, 10, Metric.Ip)
+        .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect().toSet
+      val ipServed = served
+        .probeLocalRerank(q, 10, Int.MaxValue, metric = Metric.Ip)
+        .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect().toSet
+      assert(ipServed === ipTruth,
+        "ip refine at c = infinity must equal exact MIPS")
     } finally served.unload()
   }
 
