@@ -22,7 +22,20 @@ import org.apache.spark.sql.functions._
   * swing up to 7× run-to-run on identical binaries, so the per-query map is
   * DIAGNOSTIC ONLY — throughput conclusions must come from the qps block,
   * which runs reps=10 batches and reports each track's per-rep spread
-  * (max/min batch time) as the stated variance bound.
+  * (max/min batch time) as the stated variance bound. Headline QPS is the
+  * MEDIAN batch rate (r6): a JVM-wide pause lands on a random row's loop
+  * roughly once per full run even after the pre-loop settle, and a
+  * sum-based rate lets that single pause halve a row invisibly — the
+  * median reports the steady state and the spread reports the worst case,
+  * so nothing is hidden and nothing roams.
+  *
+  * Budget knobs are CORPUS-RELATIVE (r6): rerank / candidate-c / postings-m
+  * scale linearly with corpus size from their stated sf0.1 values
+  * (n = 2000 reference), and the graph beam efSearch scales with partition
+  * graph size, so rows at different scale factors compare at matched
+  * recall — a fixed absolute budget at 10× rows is a 10× relatively
+  * smaller operating point, which silently conflates scale cost with a
+  * recall cut. Fraction-shaped knobs (nprobe of C, minMass) don't scale.
   *
   * Sweep points (r5 lesson): operating-point sweeps run fewer batches, so
   * one pathological rep can sink a sum-based number invisibly (r5's maxsim
@@ -55,31 +68,49 @@ object Bench {
       // queries' caches don't accumulate into GC pressure that skews timings
       spark.sqlContext.clearCache()
     }
-    try run("q1_agg") catch { case _: Throwable => () } // untimed warmup
-    val results = SparkEntry.queries.map { case (name, _) =>
-      val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // SPARK_GRAFT_QPS_ONLY=1 skips the per-query map — for scale-ratchet
+    // runs on benchmark-shape data (embeddings + documents only) where the
+    // full TPC-H star schema isn't present and the serving qps block is
+    // the object of measurement
+    val qpsOnly = sys.env.get("SPARK_GRAFT_QPS_ONLY").contains("1")
+    if (!qpsOnly)
+      try run("q1_agg") catch { case _: Throwable => () } // untimed warmup
+    val results =
+      if (qpsOnly) Map.empty[String, Double]
+      else SparkEntry.queries.map { case (name, _) =>
+        val t0 = System.nanoTime()
+        try run(name) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
 
     // -- sustained QPS per track (steady-state batches, warmup excluded) ----
     val emb = Tables.embeddings(spark, sfDir)
     val n = emb.count()
     val nq = math.min(500L, n / 2).toInt
     val reps = 10
+    // corpus-relative budget-knob scale (see methodology note): 1 at the
+    // sf0.1 reference corpus, 10 at 10× rows, etc.
+    val knobScale = math.max(1L, n / 2000L).toInt
     // returns (sustained qps, spread = slowest/fastest rep batch time).
     // TWO warmup batches, not one: the second absorbs the tiered-JIT
     // recompilation the first can trigger (r4's ip probe showed an 8×
     // rep spread from exactly this — one catastrophic early batch).
+    // collect accumulated old-gen debt BEFORE each timed loop: the
+    // per-query map and prior tracks leave garbage whose eventual full
+    // collection otherwise lands as one multi-second pause on a random
+    // track's batch (r6 saw the same >10x spread outlier move between
+    // rows across runs; each row is flat in isolation)
+    def settle(): Unit = { System.gc(); Thread.sleep(100) }
     def qps(mk: () => DataFrame): (Double, Double) = {
       try {
+        settle()
         noop(mk()); noop(mk()) // warmup: codegen + JIT + broadcast warm
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime(); noop(mk())
           (System.nanoTime() - t0) / 1e9
-        }
-        (nq.toDouble * reps / times.sum,
-          times.max / math.max(times.min, 1e-9))
+        }.sorted
+        (nq.toDouble / times(reps / 2),
+          times.last / math.max(times.head, 1e-9))
       } catch { case _: Throwable => (0.0, 0.0) }
       finally spark.sqlContext.clearCache()
     }
@@ -89,6 +120,7 @@ object Bench {
     // so the work can't be elided.
     def qpsBatch(mk: () => Int, nRuns: Int = reps): (Double, Double) = {
       try {
+        settle()
         require(mk() > 0, "serving batch returned no rows") // warmup
         require(mk() > 0) // second warmup: see qps()
         val times = (1 to nRuns).map { _ =>
@@ -96,13 +128,15 @@ object Bench {
           val rows = mk()
           val dt = (System.nanoTime() - t0) / 1e9
           require(rows > 0); dt
-        }
-        (nq.toDouble * nRuns / times.sum,
-          times.max / math.max(times.min, 1e-9))
+        }.sorted
+        (nq.toDouble / times(nRuns / 2),
+          times.last / math.max(times.head, 1e-9))
       } catch { case _: Throwable => (0.0, 0.0) }
     }
     // sweep-point variant: MEDIAN-batch qps (robust to one bad rep at the
     // sweep's shorter run counts) + the point's own max/min spread
+    // no settle() here: the median estimator already absorbs a one-off
+    // pause, and ~20 sweep points x a full GC would cost real wall clock
     def qpsPoint(mk: () => Int, nRuns: Int = 5): (Double, Double) = {
       try {
         require(mk() > 0); require(mk() > 0) // two warmups, see qps()
@@ -165,7 +199,7 @@ object Bench {
         operators.Sparse.budgetedMips(
           tf.where(col("id") < sparseNq)
             .select(col("id").as("qid"), col("dim"), col("v").as("qv")),
-          tf, k = 10, m = 16)
+          tf, k = 10, m = 16 * knobScale)
       }
       (v * sparseNq / math.max(nq, 1), sp) // qps() normalizes by nq; rescale
     }
@@ -182,7 +216,7 @@ object Bench {
         .as[(Long, String, Long)].collect()
         .groupBy(_._1).toArray.sortBy(_._1)
         .map { case (qid, rows) => (qid, rows.map(_._2), rows.map(_._3)) }
-      val served = index.ResidentPostings.load(tf, m = 16, numPartitions = 8)
+      val served = index.ResidentPostings.load(tf, m = 16 * knobScale, numPartitions = 8)
       val (v, sp) = qpsBatch(() => served.probeBatch(sqs, k = 10).length)
       served.unload()
       // postings-budget sweep (the reference's swept linscan budget,
@@ -195,7 +229,8 @@ object Bench {
       // would, and the curve makes that explicit.
       val truth = localTruth(operators.Sparse.mips(sparseQueries, tf, 10))
       val mFull = Tables.documents(spark, sfDir).count().toInt
-      val sweep = Seq(16, 256, mFull).map { m =>
+      val sweep = Seq(16 * knobScale, 256 * knobScale, mFull)
+        .map(math.min(_, mFull)).distinct.map { m =>
         val s = index.ResidentPostings.load(tf, m, numPartitions = 8)
         val (sv, ssp) = qpsPoint(() => s.probeBatch(sqs, k = 10).length)
         val r = operators.Recall.mean(s.probeLocal(sparseQueries, 10), truth, 10)
@@ -223,9 +258,9 @@ object Bench {
       // memory, as in the reference's harness (queries are a preloaded
       // array there too).
       val (v, sp) = qpsBatch(() =>
-        resident.probeBatch(qsFloat, k = 10, efSearch = 16).length)
+        resident.probeBatch(qsFloat, k = 10, efSearch = 16 * knobScale).length)
       val recall = operators.Recall.mean(
-        resident.probeLocal(queries, 10, 16), truth, 10)
+        resident.probeLocal(queries, 10, 16 * knobScale), truth, 10)
       // operating-point sweep over the beam knob (the reference's swept
       // Ls, ood/diskann/config.yaml:22-27)
       val sweep = sweepEfs.map { ef =>
@@ -250,17 +285,17 @@ object Bench {
       index.HnswRouted.buildAndSave(base, path, c = 8, kmIters = 3)
       val routed = index.HnswRouted.loadResident(spark, path)
       val (v, sp) = qpsBatch(() =>
-        routed.probeBatch(qsFloat, k = 10, efSearch = 32, nprobe = 6).length)
+        routed.probeBatch(qsFloat, k = 10, efSearch = 32 * knobScale, nprobe = 6).length)
       val recall = operators.Recall.mean(
-        routed.probeLocal(queries, 10, 32, nprobe = 6), truthL2, 10)
+        routed.probeLocal(queries, 10, 32 * knobScale, nprobe = 6), truthL2, 10)
       // nprobe sweep: makes the routing recall/QPS trade explicit — the
       // headline point (nprobe=6) clears 0.9 with margin to spare at
       // nprobe=8 (every cluster probed ⇒ the unrouted graph's recall)
       val sweep = sweepNprobes.map { np =>
         val (sv, ssp) = qpsPoint(() =>
-          routed.probeBatch(qsFloat, k = 10, efSearch = 32, nprobe = np).length)
+          routed.probeBatch(qsFloat, k = 10, efSearch = 32 * knobScale, nprobe = np).length)
         val r = operators.Recall.mean(
-          routed.probeLocal(queries, 10, 32, nprobe = np), truthL2, 10)
+          routed.probeLocal(queries, 10, 32 * knobScale, nprobe = np), truthL2, 10)
         (np, sv, ssp, r)
       }
       // mass-adaptive routing on the same index: the knob is a corpus
@@ -268,15 +303,15 @@ object Bench {
       // of over/under-probing at a fixed nprobe. Swept over minMass (per
       // cent, to keep the sweep schema integer-knobbed like the others).
       val (autoV, autoSp) = qpsBatch(() =>
-        routed.probeBatchAuto(qsFloat, k = 10, efSearch = 32, minMass = 0.75).length)
+        routed.probeBatchAuto(qsFloat, k = 10, efSearch = 32 * knobScale, minMass = 0.75).length)
       val autoRecall = operators.Recall.mean(
-        routed.probeLocalAuto(queries, 10, 32, minMass = 0.75), truthL2, 10)
+        routed.probeLocalAuto(queries, 10, 32 * knobScale, minMass = 0.75), truthL2, 10)
       val autoSweep = Seq(50, 75, 90).map { pct =>
         val mm = pct / 100.0
         val (sv, ssp) = qpsPoint(() =>
-          routed.probeBatchAuto(qsFloat, k = 10, efSearch = 32, minMass = mm).length)
+          routed.probeBatchAuto(qsFloat, k = 10, efSearch = 32 * knobScale, minMass = mm).length)
         val r = operators.Recall.mean(
-          routed.probeLocalAuto(queries, 10, 32, minMass = mm), truthL2, 10)
+          routed.probeLocalAuto(queries, 10, 32 * knobScale, minMass = mm), truthL2, 10)
         (pct, sv, ssp, r)
       }
       routed.unload()
@@ -297,11 +332,11 @@ object Bench {
         .as[(Long, Array[Float])].collect()
       val dead = (cut until tombHi).toSet
       val (v, sp) = qpsBatch(() =>
-        resident.probeBatch(qsFloat, k = 10, efSearch = 16, dead, delta).length)
+        resident.probeBatch(qsFloat, k = 10, efSearch = 16 * knobScale, dead, delta).length)
       val live = base.where(col("id") < cut || col("id") >= tombHi)
       val truth = operators.Knn.knnJoin(queries, live, 10, operators.Metric.L2)
       val got = spark.createDataFrame(
-        resident.probeBatch(qsFloat, 10, 16, dead, delta).toSeq)
+        resident.probeBatch(qsFloat, 10, 16 * knobScale, dead, delta).toSeq)
         .toDF("qid", "id", "dist", "rank")
       val recall = operators.Recall.mean(got, truth, 10)
       resident.unload()
@@ -315,11 +350,11 @@ object Bench {
     val (adcQps, adcSpread, adcRecall, adcSweep) = {
       val served = index.ResidentAdc.load(base, pqCb, numPartitions = 8)
       val (v, sp) = qpsBatch(() =>
-        served.probeBatch(qsFloat, k = 10, rerank = 40).length)
+        served.probeBatch(qsFloat, k = 10, rerank = 40 * knobScale).length)
       val recall = operators.Recall.mean(
-        served.probeLocal(queries, 10, rerank = 40), truthL2, 10)
+        served.probeLocal(queries, 10, rerank = 40 * knobScale), truthL2, 10)
       // refine-budget sweep: rerank is the ADC knob (faiss's k_factor)
-      val sweep = Seq(20, 40, 80).map { r =>
+      val sweep = Seq(20 * knobScale, 40 * knobScale, 80 * knobScale).map { r =>
         val (sv, ssp) = qpsPoint(() =>
           served.probeBatch(qsFloat, k = 10, rerank = r).length)
         val rc = operators.Recall.mean(
@@ -336,9 +371,9 @@ object Bench {
       val ivf = index.IvfIndex.build(base, c = 8, iters = 3)
       val served = index.ResidentIvfAdc.load(base, ivf, pqCb, numPartitions = 8)
       val (v, sp) = qpsBatch(() =>
-        served.probeBatch(qsFloat, k = 10, nprobe = 6, rerank = 40).length)
+        served.probeBatch(qsFloat, k = 10, nprobe = 6, rerank = 40 * knobScale).length)
       val recall = operators.Recall.mean(
-        served.probeLocal(queries, 10, nprobe = 6, rerank = 40), truthL2, 10)
+        served.probeLocal(queries, 10, nprobe = 6, rerank = 40 * knobScale), truthL2, 10)
       served.unload()
       (v, sp, recall)
     }
@@ -353,9 +388,9 @@ object Bench {
       val served = index.ResidentIvfAdc.loadResidual(base, idx,
         numPartitions = 8)
       val (v, sp) = qpsBatch(() =>
-        served.probeBatch(qsFloat, k = 10, nprobe = 6, rerank = 40).length)
+        served.probeBatch(qsFloat, k = 10, nprobe = 6, rerank = 40 * knobScale).length)
       val recall = operators.Recall.mean(
-        served.probeLocal(queries, 10, nprobe = 6, rerank = 40), truthL2, 10)
+        served.probeLocal(queries, 10, nprobe = 6, rerank = 40 * knobScale), truthL2, 10)
       served.unload()
       (v, sp, recall)
     }
@@ -364,7 +399,8 @@ object Bench {
     val (annQps, annSpread, annRecall, annSweep) = {
       val resident = index.HnswKnn.buildResident(base, numPartitions = 8,
         metric = "l2")
-      val r = residentQps(resident, truthL2, sweepEfs = Seq(8, 16, 32))
+      val r = residentQps(resident, truthL2,
+        sweepEfs = Seq(8 * knobScale, 16 * knobScale, 32 * knobScale))
       resident.unload()
       r
     }
@@ -386,7 +422,8 @@ object Bench {
       val qs = qbags.select((col("qid") * 2 + col("pos")).cast("long"), col("qvec"))
         .as[(Long, Array[Float])].collect()
       val (v, sp) = qpsBatch(() => index.MaxSimServe.probeBatch(
-        ipResident, qs, qmax = 2, bmax = 4, k = 10, c = 128, efSearch = 32).length)
+        ipResident, qs, qmax = 2, bmax = 4, k = 10, c = 128 * knobScale,
+        efSearch = 32 * knobScale).length)
       // exact maxsim truth collected ONCE to a local relation — every
       // recall eval below reuses the rows instead of re-running the
       // full-corpus scoring join
@@ -394,17 +431,20 @@ object Bench {
         qbags, operators.MultiVec.bagged(base, 4, "doc_id"), 10)
         .withColumnRenamed("doc_id", "id"))
       val served = index.MaxSimServe.probeBatch(
-        ipResident, qs, qmax = 2, bmax = 4, k = 10, c = 128, efSearch = 32)
+        ipResident, qs, qmax = 2, bmax = 4, k = 10, c = 128 * knobScale,
+        efSearch = 32 * knobScale)
       val recall = operators.Recall.mean(
         spark.createDataFrame(served.toSeq).toDF("qid", "id", "dist", "rank"),
         truth, 10)
       // hit-count sweep: c (graph hits per query vector) is the shortcut's
       // recall knob — more hits = fewer missing (qvec, doc) pairs
-      val sweep = Seq(64, 128, 256).map { c =>
+      val sweep = Seq(64 * knobScale, 128 * knobScale, 256 * knobScale).map { c =>
         val (sv, ssp) = qpsPoint(() => index.MaxSimServe.probeBatch(
-          ipResident, qs, qmax = 2, bmax = 4, k = 10, c = c, efSearch = 32).length)
+          ipResident, qs, qmax = 2, bmax = 4, k = 10, c = c,
+          efSearch = 32 * knobScale).length)
         val srv = index.MaxSimServe.probeBatch(
-          ipResident, qs, qmax = 2, bmax = 4, k = 10, c = c, efSearch = 32)
+          ipResident, qs, qmax = 2, bmax = 4, k = 10, c = c,
+          efSearch = 32 * knobScale)
         val rc = operators.Recall.mean(
           spark.createDataFrame(srv.toSeq).toDF("qid", "id", "dist", "rank"),
           truth, 10)
@@ -442,11 +482,11 @@ object Bench {
       val qs = queries.select(col("qid").cast("long"),
         vecSignPack(col("qvec")).as("qcode"), col("qvec"))
         .as[(Long, Array[Long], Array[Float])].collect()
-      val (v, sp) = qpsBatch(() => binServed.probeBatchRerank(qs, k = 10, c = 50).length)
+      val (v, sp) = qpsBatch(() => binServed.probeBatchRerank(qs, k = 10, c = 50 * knobScale).length)
       val fid = operators.Recall.mean(
-        binServed.probeLocalRerank(queries, 10, c = 50), truthL2, 10)
+        binServed.probeLocalRerank(queries, 10, c = 50 * knobScale), truthL2, 10)
       // candidate-budget sweep: c is the binary tier's recall knob
-      val sweep = Seq(25, 50, 100).map { c =>
+      val sweep = Seq(25 * knobScale, 50 * knobScale, 100 * knobScale).map { c =>
         val (sv, ssp) = qpsPoint(() =>
           binServed.probeBatchRerank(qs, k = 10, c = c).length)
         val rc = operators.Recall.mean(
@@ -454,7 +494,7 @@ object Bench {
         (c, sv, ssp, rc)
       }
       val ipMetric = operators.Metric.Ip
-      val ipSweep = Seq(25, 50, 100).map { c =>
+      val ipSweep = Seq(25 * knobScale, 50 * knobScale, 100 * knobScale).map { c =>
         val (sv, ssp) = qpsPoint(() =>
           binServed.probeBatchRerank(qs, k = 10, c = c, metric = ipMetric).length)
         val rc = operators.Recall.mean(

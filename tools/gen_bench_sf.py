@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Generate a scaled-up BENCHMARK-shape dataset (embeddings + documents
+only) matching the driver testdata's schema and distributions, for the
+scale-ratchet bench runs (SPARK_GRAFT_QPS_ONLY=1).
+
+This is NOT a correctness-gate input — the driver's /root/testdata parquet
+stays the only oracle source. It exists so serving-path scale claims can be
+exercised at 10x rows before anyone claims 100x.
+
+Usage: gen_bench_sf.py OUTDIR SCALE  (SCALE multiplies sf0.1's row counts)
+"""
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REF = "/root/testdata/sf0.1"
+
+
+def main(outdir: str, scale: int) -> None:
+    rng = np.random.default_rng(42)
+
+    ref_emb = pq.read_table(f"{REF}/embeddings.parquet")
+    n_emb = ref_emb.num_rows * scale
+    dim = len(ref_emb.column("embedding")[0])
+    # unit-norm gaussian directions — the reference embeddings' shape
+    # (norms are exactly 1, components ~ N(0, 1/sqrt(d)) after normalize)
+    vecs = rng.standard_normal((n_emb, dim), dtype=np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    n_labels = int(ref_emb.column("label").to_pandas().max()) + 1
+    emb = pa.table({
+        "vec_id": pa.array(np.arange(n_emb, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, n_labels, n_emb, dtype=np.int32)),
+    })
+    pq.write_table(emb, f"{outdir}/embeddings.parquet")
+
+    ref_doc = pq.read_table(f"{REF}/documents.parquet").to_pandas()
+    vocab = sorted({w for t in ref_doc["text"] for w in t.split()})
+    langs = sorted(ref_doc["lang"].unique())
+    sources = sorted(ref_doc["source"].unique())
+    tok_counts = ref_doc["text"].str.split().str.len()
+    lo, hi = int(tok_counts.min()), int(tok_counts.max())
+    n_doc = len(ref_doc) * scale
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(lo, hi + 1)))
+        for _ in range(n_doc)
+    ]
+    doc = pa.table({
+        "doc_id": pa.array(np.arange(n_doc, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(rng.choice(langs, n_doc)),
+        "source": pa.array(rng.choice(sources, n_doc)),
+        "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+    })
+    pq.write_table(doc, f"{outdir}/documents.parquet")
+    print(f"wrote {n_emb} embeddings (d={dim}), {n_doc} documents -> {outdir}")
+
+
+if __name__ == "__main__":
+    out, scale = sys.argv[1], int(sys.argv[2])
+    import os
+    os.makedirs(out, exist_ok=True)
+    main(out, scale)
