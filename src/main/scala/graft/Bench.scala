@@ -367,22 +367,35 @@ object Bench {
     // the baseline's full composition (IVF route × resident codes × float
     // refine) served at a partial-routing operating point; recall reported
     // alongside, as for every approximate row
-    val (ivfAdcQps, ivfAdcSpread, ivfAdcRecall) = {
+    // nprobe sweep shared by both IVF-ADC rows: the routing knob's
+    // recall/QPS trade, explicit like every other approximate track's
+    def ivfAdcSweep(served: index.ResidentIvfAdc): Seq[(Int, Double, Double, Double)] =
+      Seq(4, 6, 8).map { np =>
+        val (sv, ssp) = qpsPoint(() =>
+          served.probeBatch(qsFloat, k = 10, nprobe = np,
+            rerank = 40 * knobScale).length)
+        val rc = operators.Recall.mean(
+          served.probeLocal(queries, 10, nprobe = np,
+            rerank = 40 * knobScale), truthL2, 10)
+        (np, sv, ssp, rc)
+      }
+    val (ivfAdcQps, ivfAdcSpread, ivfAdcRecall, ivfAdcSw) = {
       val ivf = index.IvfIndex.build(base, c = 8, iters = 3)
       val served = index.ResidentIvfAdc.load(base, ivf, pqCb, numPartitions = 8)
       val (v, sp) = qpsBatch(() =>
         served.probeBatch(qsFloat, k = 10, nprobe = 6, rerank = 40 * knobScale).length)
       val recall = operators.Recall.mean(
         served.probeLocal(queries, 10, nprobe = 6, rerank = 40 * knobScale), truthL2, 10)
+      val sw = ivfAdcSweep(served)
       served.unload()
-      (v, sp, recall)
+      (v, sp, recall, sw)
     }
     // residual variant of the same composition — faiss's TRUE IVFPQ (codes
     // quantize x − centroid; probes assemble per-(query, cluster) LUTs
     // shard-side from the load-time precomputed tables). Same knobs as the
     // raw-coded row above so the two are directly comparable: the residual
     // codes buy recall at the same (m, ksub) byte budget.
-    val (ivfAdcResQps, ivfAdcResSpread, ivfAdcResRecall) = {
+    val (ivfAdcResQps, ivfAdcResSpread, ivfAdcResRecall, ivfAdcResSw) = {
       val idx = index.IvfPq.buildResidual(base, c = 8, iters = 3, m = 8,
         ksub = 32)
       val served = index.ResidentIvfAdc.loadResidual(base, idx,
@@ -391,8 +404,9 @@ object Bench {
         served.probeBatch(qsFloat, k = 10, nprobe = 6, rerank = 40 * knobScale).length)
       val recall = operators.Recall.mean(
         served.probeLocal(queries, 10, nprobe = 6, rerank = 40 * knobScale), truthL2, 10)
+      val sw = ivfAdcSweep(served)
       served.unload()
-      (v, sp, recall)
+      (v, sp, recall, sw)
     }
     // ood/ann resident graph rows; the ip graph is built once and SHARED
     // with the MaxSim rows below (same flat corpus, same metric)
@@ -544,7 +558,7 @@ object Bench {
       pts.map { case (v, q, s, r) =>
         s"""{"$knob":$v,"qps":$q,"spread":$s,"recall":$r}""" }.mkString("[", ",", "]")
     val sweep =
-      s"""{"ann_hnsw_probe":${sweepJson("efSearch", annSweep)},"sparse_budget_served":${sweepJson("m", sparseSweep)},"ann_hnsw_probe_routed":${sweepJson("nprobe", rtSweep)},"ann_hnsw_probe_routed_auto":${sweepJson("minMassPct", rtaSweep)},"ann_adc_served":${sweepJson("rerank", adcSweep)},"hamming_rerank_served":${sweepJson("c", ham2Sweep)},"hamming_rerank_served_ip":${sweepJson("c", ham2IpSweep)},"maxsim_served":${sweepJson("c", maxsimSweep)}}"""
+      s"""{"ann_hnsw_probe":${sweepJson("efSearch", annSweep)},"sparse_budget_served":${sweepJson("m", sparseSweep)},"ann_hnsw_probe_routed":${sweepJson("nprobe", rtSweep)},"ann_hnsw_probe_routed_auto":${sweepJson("minMassPct", rtaSweep)},"ann_adc_served":${sweepJson("rerank", adcSweep)},"ann_ivfadc_served":${sweepJson("nprobe", ivfAdcSw)},"ann_ivfadc_residual_served":${sweepJson("nprobe", ivfAdcResSw)},"hamming_rerank_served":${sweepJson("c", ham2Sweep)},"hamming_rerank_served_ip":${sweepJson("c", ham2IpSweep)},"maxsim_served":${sweepJson("c", maxsimSweep)}}"""
     val qpsJson =
       s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"sparse_budget_served":$sparseServedQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"ann_hnsw_probe_routed_auto":$rtaQps,"ann_hnsw_probe_mutated":$mutQps,"ann_adc_served":$adcQps,"ann_ivfadc_served":$ivfAdcQps,"ann_ivfadc_residual_served":$ivfAdcResQps,"maxsim_served":$maxsimQps,"hamming_served":$hamQps,"hamming_rerank_served":$ham2Qps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"sparse_budget_served":$sparseServedSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread,"ann_hnsw_probe_routed_auto":$rtaSpread,"ann_hnsw_probe_mutated":$mutSpread,"ann_adc_served":$adcSpread,"ann_ivfadc_served":$ivfAdcSpread,"ann_ivfadc_residual_served":$ivfAdcResSpread,"maxsim_served":$maxsimSpread,"hamming_served":$hamSpread,"hamming_rerank_served":$ham2Spread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall,"maxsim_served":$maxsimRecall,"hamming_served_l2_fidelity":$hamFidelity,"hamming_served_cos_fidelity":$hamFidelityCos,"hamming_rerank_served_l2_fidelity":$ham2Fidelity},"sweep":$sweep,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
     val line =

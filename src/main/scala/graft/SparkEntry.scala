@@ -252,6 +252,29 @@ object SparkEntry {
         bagDims = Some((2, 4)))
         .select(col("qid"), col("doc_id"), col("rank"))
     }),
+    // the hits-only SERVING reduce (MaxSimServe) at its degenerate point,
+    // routed through the DISTRIBUTED regime (treeAt = 1): with c = every
+    // vector and an exhaustive beam each query vector's hit set covers the
+    // whole corpus, so the two-stage RDD reduce (global top-c per vector →
+    // per-(query,doc) max → qpos-ordered sum → bounded top-k) reproduces
+    // exact maxsim — the distributed serving dataflow itself gets the full
+    // DuckDB hash gate, not just the regime-parity spec.
+    "knn_maxsim_served_exact" -> ((s, dir) => {
+      import s.implicits._
+      val flat = embBase(s, dir).select(col("id"), col("vec"))
+      val n = flat.count().toInt
+      val resident = graft.index.HnswKnn.buildResident(flat,
+        numPartitions = 4, metric = "ip")
+      try {
+        val qs = flat.where(col("id") < 8)
+          .select(col("id").cast("long"), col("vec"))
+          .as[(Long, Array[Float])].collect()
+        val rows = graft.index.MaxSimServe.probeBatch(resident, qs,
+          qmax = 2, bmax = 4, k = 10, c = n, efSearch = 1 << 20, treeAt = 1)
+        s.createDataFrame(rows.toSeq).toDF("qid", "doc_id", "dist", "rank")
+          .select(col("qid"), col("doc_id"), col("rank"))
+      } finally resident.unload()
+    }),
     // the same composition at a real operating point (c = 32 vector hits
     // per query vector, beam 64) — approximate → rows-only driver check;
     // recall vs exact maxsim is KnnSpec-gated ≥ 0.9.
@@ -1308,6 +1331,26 @@ object SparkEntry {
     // late-interaction maxsim: per-(qvec, dvec) dot → max per doc → sum of
     // the two query-vector maxima → rank desc
     "knn_maxsim" ->
+      """WITH q AS (SELECT vec_id // 2 AS qid, vec_id AS qvid, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |b AS (SELECT vec_id // 4 AS doc_id, vec_id AS bvid, embedding AS bv
+        |      FROM embeddings),
+        |pairs AS (SELECT q.qid, q.qvid, b.doc_id, b.bvid,
+        |                 unnest(b.bv) AS x, unnest(q.qv) AS y
+        |          FROM b CROSS JOIN q),
+        |dots AS (SELECT qid, qvid, doc_id, bvid,
+        |                sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+        |         FROM pairs GROUP BY 1, 2, 3, 4),
+        |best AS (SELECT qid, qvid, doc_id, max(dot) AS m FROM dots GROUP BY 1, 2, 3),
+        |score AS (SELECT qid, doc_id, sum(m) AS s FROM best GROUP BY 1, 2),
+        |ranked AS (SELECT qid, doc_id,
+        |                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rank
+        |           FROM score)
+        |SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10
+        |""".stripMargin,
+    // hits-only serving reduce at the degenerate point (every vector a
+    // hit), distributed regime: exact → identical oracle to knn_maxsim
+    "knn_maxsim_served_exact" ->
       """WITH q AS (SELECT vec_id // 2 AS qid, vec_id AS qvid, embedding AS qv
         |           FROM embeddings WHERE vec_id < 8),
         |b AS (SELECT vec_id // 4 AS doc_id, vec_id AS bvid, embedding AS bv
