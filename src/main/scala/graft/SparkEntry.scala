@@ -379,6 +379,21 @@ object SparkEntry {
     // spec-bounded against this answer)
     "text_corpus_stats" -> ((s, dir) =>
       Text.corpusStats(Tables.documents(s, dir))),
+    // PII scrub pass over the corpus with deterministic PII injected from
+    // each row's own doc_id (the synthetic text carries none, so the gate
+    // would otherwise only cover the no-op path): one email, one IPv4, one
+    // phone per doc, then the redaction kernels + audit counts — hash gate
+    // covers the cleaned bytes AND the counts, cross-engine.
+    "text_redact_pii" -> ((s, dir) => {
+      val injected = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0.1 call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      Text.redactPii(injected)
+    }),
     // quality deciles over the LM-familiarity order: exact global ranking
     // via the distributed two-pass prefix sum (NO single-task window), then
     // engine-portable integer N-tile — the curriculum/mixture selection
@@ -1561,6 +1576,29 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_tokens,
          |       CAST(count(DISTINCT term) AS BIGINT) AS n_vocab
          |FROM tok
+         |""".stripMargin,
+    // PII scrub: identical injection expression, identical portable
+    // patterns (see Text.EmailPattern — no backslash constructs, so RE2
+    // and Java regex agree byte-for-byte); DuckDB regexp_replace needs the
+    // explicit 'g' flag to match Spark's replace-all semantics
+    "text_redact_pii" ->
+      s"""WITH injected AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |              || '@example.com from 10.'
+         |              || CAST(doc_id % 256 AS VARCHAR) || '.0.1 call 555-'
+         |              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t, '${Text.EmailPattern}')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(t, '${Text.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+         |       CAST(len(regexp_extract_all(t, '${Text.PhonePattern}')) AS BIGINT) AS n_phones,
+         |       regexp_replace(regexp_replace(regexp_replace(t,
+         |         '${Text.EmailPattern}', '<EMAIL>', 'g'),
+         |         '${Text.Ipv4Pattern}', '<IP>', 'g'),
+         |         '${Text.PhonePattern}', '<PHONE>', 'g') AS text_clean
+         |FROM injected
          |""".stripMargin,
     "pipeline_quality_deciles" ->
       """WITH g AS (SELECT doc_id,

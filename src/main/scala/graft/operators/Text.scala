@@ -172,4 +172,36 @@ object Text {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("fp"),
       length(col("text")).cast("long").as("text_len"))
+
+  /** PII patterns shared verbatim with the DuckDB oracle: only portable
+    * constructs — character classes, greedy counted repetition, literal
+    * dot as `[.]`, NO backslash escapes — so Java regex (Spark codegen)
+    * and RE2 (DuckDB) match byte-identically. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val Ipv4Pattern = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction — the standard pre-training scrub pass: emails, IPv4
+    * addresses, and NANP-style phone numbers are replaced with typed
+    * placeholder tokens, with per-doc match counts for audit (counts are
+    * over the ORIGINAL text, each pattern independently; replacement runs
+    * email → ip → phone). One projection of codegen regexp kernels over
+    * the corpus — embarrassingly parallel, no shuffle, the 100 TB shape
+    * of every scrub pass. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all($textCol, '$EmailPattern', 0)"))
+        .cast("long").as("n_emails"),
+      size(expr(s"regexp_extract_all($textCol, '$Ipv4Pattern', 0)"))
+        .cast("long").as("n_ips"),
+      size(expr(s"regexp_extract_all($textCol, '$PhonePattern', 0)"))
+        .cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>").as("text_clean"))
+  }
 }

@@ -310,4 +310,23 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     val ids = shards.map(_._3).distinct.sorted
     assert(ids.toSeq === (ids.min to ids.max).toSeq)
   }
+  test("redactPii: counts and replacements on handcrafted edges; clean docs untouched") {
+    import graft.operators.Text
+    val docs = Seq(
+      (0L, "mail a@b.io and c.d+x@e-f.org here"),            // two emails
+      (1L, "ips 10.0.0.1 then 255.255.255.255 end"),         // two ips
+      (2L, "call 555-123-4567 or 800-555-0199 now"),         // two phones
+      (3L, "plain text with no pii at all"),                  // nothing
+      (4L, "mixed a@b.co 1.2.3.4 555-000-1111")               // one of each
+    ).toDF("doc_id", "text")
+    val out = Text.redactPii(docs)
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones", $"text_clean")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) === ((0L, 2L, 0L, 0L, "mail <EMAIL> and <EMAIL> here")))
+    assert(out(1) === ((1L, 0L, 2L, 0L, "ips <IP> then <IP> end")))
+    assert(out(2) === ((2L, 0L, 0L, 2L, "call <PHONE> or <PHONE> now")))
+    assert(out(3) === ((3L, 0L, 0L, 0L, "plain text with no pii at all")))
+    assert(out(4) === ((4L, 1L, 1L, 1L, "mixed <EMAIL> <IP> <PHONE>")))
+  }
+
 }
