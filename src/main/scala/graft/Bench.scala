@@ -82,6 +82,25 @@ object Bench {
         try run(name) catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    // scale-ratchet runs also time a representative PIPELINE/batch slice
+    // (documents-table-only queries, the same run() semantics as the
+    // per-query map) so the dedup/text/mixture side's 10× scaling is in
+    // the artifact alongside the serving rows — at normal SFs the full
+    // per-query map already covers these.
+    val batchResults =
+      if (!qpsOnly) Map.empty[String, Double]
+      else {
+        try run("text_quality") catch { case _: Throwable => () } // warmup
+        Seq("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+          "dedup_spans_trim", "dedup_embed_nn", "text_quality",
+          "text_lm_familiarity", "pipeline_quality_deciles",
+          "pipeline_sequences", "pipeline_mixture_take", "text_redact_pii")
+          .map { name =>
+            val t0 = System.nanoTime()
+            try run(name) catch { case _: Throwable => () }
+            name -> (System.nanoTime() - t0) / 1e9
+          }.toMap
+      }
 
     // -- sustained QPS per track (steady-state batches, warmup excluded) ----
     val emb = Tables.embeddings(spark, sfDir)
@@ -553,6 +572,8 @@ object Bench {
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val batchJson = batchResults.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def sweepJson(knob: String, pts: Seq[(Int, Double, Double, Double)]): String =
       pts.map { case (v, q, s, r) =>
@@ -562,7 +583,7 @@ object Bench {
     val qpsJson =
       s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"sparse_budget_served":$sparseServedQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"ann_hnsw_probe_routed_auto":$rtaQps,"ann_hnsw_probe_mutated":$mutQps,"ann_adc_served":$adcQps,"ann_ivfadc_served":$ivfAdcQps,"ann_ivfadc_residual_served":$ivfAdcResQps,"maxsim_served":$maxsimQps,"hamming_served":$hamQps,"hamming_rerank_served":$ham2Qps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"sparse_budget_served":$sparseServedSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread,"ann_hnsw_probe_routed_auto":$rtaSpread,"ann_hnsw_probe_mutated":$mutSpread,"ann_adc_served":$adcSpread,"ann_ivfadc_served":$ivfAdcSpread,"ann_ivfadc_residual_served":$ivfAdcResSpread,"maxsim_served":$maxsimSpread,"hamming_served":$hamSpread,"hamming_rerank_served":$ham2Spread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall,"maxsim_served":$maxsimRecall,"hamming_served_l2_fidelity":$hamFidelity,"hamming_served_cos_fidelity":$hamFidelityCos,"hamming_rerank_served_l2_fidelity":$ham2Fidelity},"sweep":$sweep,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qpsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"batch_sec":$batchJson,"qps":$qpsJson,"sf":"$sfDir"}"""
     // stdout scraping truncated BENCH_r04's tail mid-JSON ("parsed": null):
     // the whole object ALSO lands in a file the driver (or anyone) can read
     // intact, before the line is printed
