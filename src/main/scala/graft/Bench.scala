@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
 
 /** Benchmark main (driver contract): runs every query in SparkEntry.queries
   * against SPARK_GRAFT_SF_DIR and prints ONE JSON line.
@@ -12,37 +13,46 @@ import org.apache.spark.sql.functions._
   * projection-only plans.
   *
   * Besides per-query wall times, a `qps` block reports SUSTAINED throughput
-  * per track (the BASELINE.md operating unit): each track's flagship query
-  * runs one untimed warmup batch, then `reps` timed batches of a large
+  * per track (the BASELINE.md operating unit): each track's flagship row
+  * runs two untimed warmup batches, then `reps` timed batches of a large
   * query set — steady state, plan compile and JIT amortized. The ANN probe
   * measures the resident-index path (build excluded): build-once/
   * probe-many is the serving economics the reference reports QPS for.
   *
+  * INTERLEAVED reps (r7): the headline rows do NOT each run their reps in a
+  * private loop. All fixtures build first (untimed), every row warms up
+  * twice, then the timed loop takes reps ROUND-ROBIN passes — pass i times
+  * one batch of EVERY row, in registration order, with one GC settle at the
+  * pass boundary. Slow environment drift (compaction, page cache churn, a
+  * neighbor process) lands on every row's sample i equally instead of
+  * concentrating on whichever row owned that wall-clock window, which is
+  * what made single rows read spread > 2 while flat in isolation (the r6
+  * whole-run ~2x noise band). Headline QPS is the MEDIAN batch rate and
+  * spread is max/min over the row's samples — a JVM-wide pause still lands
+  * somewhere, the median reports steady state, the spread reports the worst
+  * case, nothing is hidden and nothing roams.
+  *
   * Methodology note (round-3 lesson): single-shot per-query times at sf0.1
   * swing up to 7× run-to-run on identical binaries, so the per-query map is
-  * DIAGNOSTIC ONLY — throughput conclusions must come from the qps block,
-  * which runs reps=10 batches and reports each track's per-rep spread
-  * (max/min batch time) as the stated variance bound. Headline QPS is the
-  * MEDIAN batch rate (r6): a JVM-wide pause lands on a random row's loop
-  * roughly once per full run even after the pre-loop settle, and a
-  * sum-based rate lets that single pause halve a row invisibly — the
-  * median reports the steady state and the spread reports the worst case,
-  * so nothing is hidden and nothing roams.
+  * DIAGNOSTIC ONLY — throughput conclusions must come from the qps block.
   *
   * Budget knobs are CORPUS-RELATIVE (r6): rerank / candidate-c / postings-m
   * scale linearly with corpus size from their stated sf0.1 values
   * (n = 2000 reference), and the graph beam efSearch scales with partition
   * graph size, so rows at different scale factors compare at matched
-  * recall — a fixed absolute budget at 10× rows is a 10× relatively
-  * smaller operating point, which silently conflates scale cost with a
-  * recall cut. Fraction-shaped knobs (nprobe of C, minMass) don't scale.
+  * recall. The graph sweeps ALSO carry the ABSOLUTE efSearch points
+  * {8, 16, 32} (r7): corpus-relative scaling means the lowest scaled point
+  * at 10× rows already over-delivers recall, and the reference's own sweep
+  * reaches down to Ls=30 (ood/diskann/config.yaml:22-27) precisely to hit
+  * its 0.9 grading recall — the absolute points put a matched-recall
+  * operating point in the artifact at every scale. Fraction-shaped knobs
+  * (nprobe of C, minMass) don't scale.
   *
   * Sweep points (r5 lesson): operating-point sweeps run fewer batches, so
-  * one pathological rep can sink a sum-based number invisibly (r5's maxsim
-  * c=128 point read 30 q/s while the identical headline config read 499).
-  * Every sweep point therefore reports MEDIAN-batch QPS plus its own
-  * max/min spread — the curve's shape comes from a robust estimator and
-  * the variance is in the artifact, not discarded.
+  * every sweep point reports MEDIAN-batch QPS plus its own max/min spread —
+  * the curve's shape comes from a robust estimator and the variance is in
+  * the artifact, not discarded. Sweeps run in the fixture-build phase
+  * (before the interleaved loop) with their own warmups.
   *
   * Shared fixtures (r5 item 8): the serving tracks probe ONE base/query
   * set, grade against ONE exact-L2 (and one exact-ip) truth collected to a
@@ -110,55 +120,27 @@ object Bench {
     // corpus-relative budget-knob scale (see methodology note): 1 at the
     // sf0.1 reference corpus, 10 at 10× rows, etc.
     val knobScale = math.max(1L, n / 2000L).toInt
-    // returns (sustained qps, spread = slowest/fastest rep batch time).
-    // TWO warmup batches, not one: the second absorbs the tiered-JIT
-    // recompilation the first can trigger (r4's ip probe showed an 8×
-    // rep spread from exactly this — one catastrophic early batch).
-    // collect accumulated old-gen debt BEFORE each timed loop: the
-    // per-query map and prior tracks leave garbage whose eventual full
-    // collection otherwise lands as one multi-second pause on a random
-    // track's batch (r6 saw the same >10x spread outlier move between
-    // rows across runs; each row is flat in isolation)
+    // collect accumulated old-gen debt at pass boundaries: fixture builds
+    // and recall grading leave garbage whose eventual full collection
+    // otherwise lands as one multi-second pause on a random row's batch
     def settle(): Unit = { System.gc(); Thread.sleep(100) }
-    def qps(mk: () => DataFrame): (Double, Double) = {
-      try {
-        settle()
-        noop(mk()); noop(mk()) // warmup: codegen + JIT + broadcast warm
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime(); noop(mk())
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        (nq.toDouble / times(reps / 2),
-          times.last / math.max(times.head, 1e-9))
-      } catch { case _: Throwable => (0.0, 0.0) }
-      finally spark.sqlContext.clearCache()
-    }
-    // serving-form variant: times a batch call that returns client-side
-    // result rows — the unit the reference's QPS harness measures (resident
-    // index, array in / array out). The thunk must return the result count
-    // so the work can't be elided.
-    def qpsBatch(mk: () => Int, nRuns: Int = reps): (Double, Double) = {
-      try {
-        settle()
-        require(mk() > 0, "serving batch returned no rows") // warmup
-        require(mk() > 0) // second warmup: see qps()
-        val times = (1 to nRuns).map { _ =>
-          val t0 = System.nanoTime()
-          val rows = mk()
-          val dt = (System.nanoTime() - t0) / 1e9
-          require(rows > 0); dt
-        }.sorted
-        (nq.toDouble / times(nRuns / 2),
-          times.last / math.max(times.head, 1e-9))
-      } catch { case _: Throwable => (0.0, 0.0) }
-    }
+
+    // -- interleaved headline registry (see the scaladoc) -------------------
+    // each row: (name, one timed batch — must do its own result-nonempty
+    // check, norm = the row's effective query count for qps = norm/median)
+    val headline = ArrayBuffer.empty[(String, () => Unit, Double)]
+    val teardowns = ArrayBuffer.empty[() => Unit]
+    def register(name: String, norm: Double)(runOnce: => Unit): Unit =
+      headline += ((name, () => runOnce, norm))
+    def deferUnload(f: => Unit): Unit = teardowns += (() => f)
+
     // sweep-point variant: MEDIAN-batch qps (robust to one bad rep at the
-    // sweep's shorter run counts) + the point's own max/min spread
+    // sweep's shorter run counts) + the point's own max/min spread.
     // no settle() here: the median estimator already absorbs a one-off
-    // pause, and ~20 sweep points x a full GC would cost real wall clock
+    // pause, and ~25 sweep points x a full GC would cost real wall clock
     def qpsPoint(mk: () => Int, nRuns: Int = 5): (Double, Double) = {
       try {
-        require(mk() > 0); require(mk() > 0) // two warmups, see qps()
+        require(mk() > 0); require(mk() > 0) // two warmups: JIT + broadcast
         val times = (1 to nRuns).map { _ =>
           val t0 = System.nanoTime()
           val rows = mk()
@@ -198,29 +180,123 @@ object Bench {
     // exact: ResidentScan equals the filteredKnn dataflow row-for-row,
     // IndexSpec-asserted). 8 shards, not `cpus`: same sizing argument as
     // the graph partitions below.
-    val (filterQps, filterSpread) = {
-      val tagged = operators.TagFilter.withTags(emb)
-      val served = index.ResidentScan.load(tagged, numPartitions = 8)
-      val qs = operators.TagFilter
-        .withSignature(operators.TagFilter.tagQueries(emb, nq), "qtags")
-        .select(col("qid").cast("long"), col("qvec"), col("qtags"),
-          col("sig").cast("long"))
-        .as[(Long, Array[Float], Array[Int], Long)].collect()
-      val r = qpsBatch(() => served.probeBatch(qs, k = 10).length)
-      served.unload()
-      r
+    val tagged = operators.TagFilter.withTags(emb)
+    val filterServed = index.ResidentScan.load(tagged, numPartitions = 8)
+    deferUnload(filterServed.unload())
+    val filterQs = operators.TagFilter
+      .withSignature(operators.TagFilter.tagQueries(emb, nq), "qtags")
+      .select(col("qid").cast("long"), col("qvec"), col("qtags"),
+        col("sig").cast("long"))
+      .as[(Long, Array[Float], Array[Int], Long)].collect()
+    register("filtered_knn", nq) {
+      require(filterServed.probeBatch(filterQs, k = 10).nonEmpty)
     }
-    // sparse track: budgeted MIPS over term-frequency vectors
+
+    // filter track, per-tag SUBINDEX registry (X8, the reference's hot-tag
+    // strategy): every label and mod-7 tag clears minFreqBp = 500, so each
+    // single-tag query probes a dense purpose-built graph — membership IS
+    // the index, no filtering inside the search. Build+pin untimed; recall
+    // vs the exact single-tag filtered scan (the graphs are approximate).
+    val registryPath = java.nio.file.Files
+      .createTempDirectory("graft-bench-subidx").resolve("reg").toString
+    index.TagSubindexes.build(tagged, registryPath, minFreqBp = 500,
+      numPartitions = 2)
+    val tagRegistry = index.TagSubindexes.loadResident(spark, registryPath)
+    deferUnload(tagRegistry.unload())
+    val subQ = emb.where(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").cast("int").as("qtag"))
+    val subGroups = subQ
+      .select(col("qid").cast("long"), col("qvec"), col("qtag"))
+      .as[(Long, Array[Float], Int)].collect()
+      .groupBy(_._3.toString)
+      .map { case (key, qs) => key -> qs.map { case (qid, qv, _) => (qid, qv) } }
+    val subindexEf = 16 * knobScale
+    register("filtered_knn_subindex", nq) {
+      require(tagRegistry
+        .probeGroupsBatch(subGroups, k = 10, efSearch = subindexEf).nonEmpty)
+    }
+    val subindexRecall = {
+      val got = spark.createDataFrame(
+        tagRegistry.probeGroupsBatch(subGroups, 10, subindexEf).toSeq)
+        .toDF("qid", "id", "dist", "rank")
+      val truth = operators.TagFilter.filteredKnn(
+        subQ.select(col("qid"), col("qvec"), array(col("qtag")).as("qtags")),
+        tagged, 10)
+      operators.Recall.mean(got, truth, 10)
+    }
+
+    // filter track, PLANNER serving form (the reference's flagship,
+    // faiss.py:361-426): a mixed batch routes per query on tag-frequency
+    // stats — rarest tag below thresholdBp → the exact resident signature
+    // scan (pre-filter branch); at/above it → the tag's dedicated resident
+    // subindex graph (one-stage graph branch). Routing is a client-side
+    // stats-map lookup (the reference's O(1) planner decision); both
+    // branches are resident serving paths; recall is graded on the mixed
+    // batch vs the exact filtered scan.
+    val statsMap = operators.TagFilter.tagStats(tagged)
+      .select(col("tag").cast("int"), col("freq_bp").cast("long"))
+      .as[(Int, Long)].collect().toMap
+    val plannerThresholdBp = 1200L // between label (~1000bp) and mod7 (~1428bp)
+    val twoTagQ = operators.TagFilter.tagQueries(emb, nq / 2)
+    val oneTagQ = emb.where(col("vec_id") >= nq / 2 && col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        array((lit(10) + pmod(col("vec_id") * 3 + 1, lit(7))).cast("int")).as("qtags"))
+    val plannerQ = twoTagQ.unionByName(oneTagQ)
+    val plannerRows = operators.TagFilter.withSignature(plannerQ, "qtags")
+      .select(col("qid").cast("long"), col("qvec"), col("qtags"),
+        col("sig").cast("long"))
+      .as[(Long, Array[Float], Array[Int], Long)].collect()
+    val (plannerScanQs, plannerGraphQs) = plannerRows.partition {
+      case (_, _, qtags, _) =>
+        qtags.map(t => statsMap.getOrElse(t, 0L)).min < plannerThresholdBp
+    }
+    val plannerGroups = plannerGraphQs
+      .flatMap { case (qid, qv, qtags, _) =>
+        // dense branch queries carry exactly one (frequent) tag; its
+        // subindex exists because minFreqBp=500 < thresholdBp
+        qtags.headOption.map(t => (t.toString, (qid, qv)))
+      }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    register("filtered_knn_planner", nq) {
+      val a = filterServed.probeBatch(plannerScanQs, k = 10)
+      val b = tagRegistry.probeGroupsBatch(plannerGroups, k = 10,
+        efSearch = subindexEf)
+      require(a.nonEmpty && b.nonEmpty)
+    }
+    val plannerRecall = {
+      val got = spark.createDataFrame(
+        (filterServed.probeBatch(plannerScanQs, 10) ++
+          tagRegistry.probeGroupsBatch(plannerGroups, 10, subindexEf)).toSeq)
+        .toDF("qid", "id", "dist", "rank")
+      val truth = operators.TagFilter.filteredKnn(plannerQ, tagged, 10)
+      operators.Recall.mean(got, truth, 10)
+    }
+
+    // filter track, BUCKETED layout (J8 dataflow form): tag-partitioned
+    // parquet + static partition pruning — each query batch reads ONLY its
+    // buckets' directories. Write untimed (layout cost is the build);
+    // the timed unit is the pruned-scan dataflow, the honest disk-resident
+    // comparison point next to the RAM-resident rows above.
+    val bucketPath = java.nio.file.Files
+      .createTempDirectory("graft-bench-buckets").resolve("emb").toString
+    operators.TagBuckets.writeBucketed(tagged, bucketPath)
+    val bucketQ = operators.TagFilter.tagQueries(emb, nq)
+    register("filtered_knn_bucketed", nq) {
+      noop(operators.TagBuckets.bucketedFilteredKnn(spark, bucketPath,
+        bucketQ, k = 10))
+      spark.sqlContext.clearCache()
+    }
+
+    // sparse track: budgeted MIPS over term-frequency vectors (dataflow)
     val tf = operators.Sparse.fromTermFreq(Tables.documents(spark, sfDir))
     val sparseNq = math.min(200L, Tables.documents(spark, sfDir).count() / 2).toInt
-    val (sparseQps, sparseSpread) = {
-      val (v, sp) = qps { () =>
-        operators.Sparse.budgetedMips(
-          tf.where(col("id") < sparseNq)
-            .select(col("id").as("qid"), col("dim"), col("v").as("qv")),
-          tf, k = 10, m = 16 * knobScale)
-      }
-      (v * sparseNq / math.max(nq, 1), sp) // qps() normalizes by nq; rescale
+    register("sparse_budget", sparseNq) {
+      noop(operators.Sparse.budgetedMips(
+        tf.where(col("id") < sparseNq)
+          .select(col("id").as("qid"), col("dim"), col("v").as("qv")),
+        tf, k = 10, m = 16 * knobScale))
+      spark.sqlContext.clearCache()
     }
     // sparse track, SERVING form: executor-resident truncated postings —
     // linscan's in-memory inverted index (linscan.py:19-56), query batch
@@ -228,27 +304,30 @@ object Bench {
     // (SparseSpec-asserted), so its recall is the dataflow's by identity.
     val sparseQueries = tf.where(col("id") < sparseNq)
       .select(col("id").as("qid"), col("dim"), col("v").as("qv"))
-    val (sparseServedQps, sparseServedSpread, sparseSweep) = {
-      val sqs = tf.where(col("id") < sparseNq)
-        .select(col("id").cast("long"), col("dim").cast("string"),
-          col("v").cast("long"))
-        .as[(Long, String, Long)].collect()
-        .groupBy(_._1).toArray.sortBy(_._1)
-        .map { case (qid, rows) => (qid, rows.map(_._2), rows.map(_._3)) }
-      val served = index.ResidentPostings.load(tf, m = 16 * knobScale, numPartitions = 8)
-      val (v, sp) = qpsBatch(() => served.probeBatch(sqs, k = 10).length)
-      served.unload()
-      // postings-budget sweep (the reference's swept linscan budget,
-      // sparse/linscan/config.yaml:36, 5–500 ms → our top-m bound): recall
-      // vs the UNtruncated exact MIPS answer per operating point. The top
-      // point is m = |docs| — no truncation, recall exactly 1.0 — so the
-      // sweep always contains a ≥0.9-recall operating point (the BASELINE
-      // row's unit); the synthetic tf corpus is tie-heavy, so small
-      // budgets trade recall much more steeply here than SPLADE weights
-      // would, and the curve makes that explicit.
+    val sqs = tf.where(col("id") < sparseNq)
+      .select(col("id").cast("long"), col("dim").cast("string"),
+        col("v").cast("long"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (qid, rows) => (qid, rows.map(_._2), rows.map(_._3)) }
+    val sparseServed = index.ResidentPostings.load(tf, m = 16 * knobScale,
+      numPartitions = 8)
+    deferUnload(sparseServed.unload())
+    register("sparse_budget_served", sparseNq) {
+      require(sparseServed.probeBatch(sqs, k = 10).nonEmpty)
+    }
+    // postings-budget sweep (the reference's swept linscan budget,
+    // sparse/linscan/config.yaml:36, 5–500 ms → our top-m bound): recall
+    // vs the UNtruncated exact MIPS answer per operating point. The top
+    // point is m = |docs| — no truncation, recall exactly 1.0 — so the
+    // sweep always contains a ≥0.9-recall operating point (the BASELINE
+    // row's unit); the synthetic tf corpus is tie-heavy, so small
+    // budgets trade recall much more steeply here than SPLADE weights
+    // would, and the curve makes that explicit.
+    val sparseSweep = {
       val truth = localTruth(operators.Sparse.mips(sparseQueries, tf, 10))
       val mFull = Tables.documents(spark, sfDir).count().toInt
-      val sweep = Seq(16 * knobScale, 256 * knobScale, mFull)
+      Seq(16 * knobScale, 256 * knobScale, mFull)
         .map(math.min(_, mFull)).distinct.map { m =>
         val s = index.ResidentPostings.load(tf, m, numPartitions = 8)
         val (sv, ssp) = qpsPoint(() => s.probeBatch(sqs, k = 10).length)
@@ -256,32 +335,28 @@ object Bench {
         s.unload()
         (m, sv * sparseNq / math.max(nq, 1), ssp, r)
       }
-      (v * sparseNq / math.max(nq, 1), sp, sweep) // qpsBatch normalizes by nq
     }
+
     // ood/ann track: EXECUTOR-RESIDENT HNSW probe — build once (untimed),
     // then narrow probe-only batches: the serving operating point. Measured
     // under both metrics — L2 and the OOD track's max-inner-product.
-    // efSearch = 16 is the measured operating point (recall ~0.99 at sf0.1's
-    // ~190-node partition graphs): recall vs exact is reported alongside QPS
-    // (the BASELINE rows are themselves @0.9 recall), so the
-    // throughput/recall pair is explicit, not implied.
+    // efSearch = 16·knobScale is the corpus-relative operating point;
+    // recall vs exact is reported alongside QPS (the BASELINE rows are
+    // themselves @0.9 recall), so the throughput/recall pair is explicit.
     // 8 graph partitions, not `cpus`: partition count is the SCALE-OUT
     // axis, but every query probes every graph, so serving wants the
     // fewest partitions that still fill the cluster — measured 2× QPS
-    // vs 32 tiny graphs at sf0.1 (each probe batch = 2 stages either way)
-    def residentQps(resident: index.HnswResident, truth: DataFrame,
-                    sweepEfs: Seq[Int] = Seq.empty): (Double, Double, Double, Seq[(Int, Double, Double, Double)]) = {
-      // probeBatch: query array in, ranked answers out — one broadcast +
-      // one narrow job + driver merge per batch (results equal probe()
-      // row-for-row; IndexSpec asserts it). The query batch lives in
-      // memory, as in the reference's harness (queries are a preloaded
-      // array there too).
-      val (v, sp) = qpsBatch(() =>
-        resident.probeBatch(qsFloat, k = 10, efSearch = 16 * knobScale).length)
+    // vs 32 tiny graphs at sf0.1 (each probe batch = 2 stages either way).
+    // Sweeps carry BOTH the corpus-relative beams and the absolute
+    // {8,16,32} so a matched-recall (~0.9) point exists at every scale
+    // (see the scaladoc; reference sweeps Ls down to 30 for the same
+    // reason).
+    val graphSweepEfs =
+      (Seq(8, 16, 32) ++ Seq(8, 16, 32).map(_ * knobScale)).distinct.sorted
+    def residentRecallAndSweep(resident: index.HnswResident, truth: DataFrame,
+                               sweepEfs: Seq[Int]): (Double, Seq[(Int, Double, Double, Double)]) = {
       val recall = operators.Recall.mean(
         resident.probeLocal(queries, 10, 16 * knobScale), truth, 10)
-      // operating-point sweep over the beam knob (the reference's swept
-      // Ls, ood/diskann/config.yaml:22-27)
       val sweep = sweepEfs.map { ef =>
         val (sv, ssp) = qpsPoint(() =>
           resident.probeBatch(qsFloat, k = 10, efSearch = ef).length)
@@ -289,103 +364,105 @@ object Bench {
           resident.probeLocal(queries, 10, ef), truth, 10)
         (ef, sv, ssp, r)
       }
-      (v, sp, recall, sweep)
+      (recall, sweep)
     }
-    // centroid-ROUTED resident graphs (IVF-of-HNSW): each query probes only
-    // its nprobe nearest clusters, so per-query work is independent of shard
-    // count — the 1000-shard serving shape. On this UNCLUSTERED synthetic
-    // corpus routing trades recall steeply (real embedding corpora cluster;
-    // this one is near-uniform), so the reported operating point is the
-    // measured nprobe that clears 0.9 recall — the knob, its cost, and its
-    // recall are all explicit.
-    def routedQps(sweepNprobes: Seq[Int] = Seq.empty): (Double, Double, Double, Seq[(Int, Double, Double, Double)], Double, Double, Double, Seq[(Int, Double, Double, Double)]) = {
-      val path = java.nio.file.Files.createTempDirectory("graft-bench-rt")
-        .resolve("idx").toString
-      index.HnswRouted.buildAndSave(base, path, c = 8, kmIters = 3)
-      val routed = index.HnswRouted.loadResident(spark, path)
-      val (v, sp) = qpsBatch(() =>
-        routed.probeBatch(qsFloat, k = 10, efSearch = 32 * knobScale, nprobe = 6).length)
+    val l2Resident = index.HnswKnn.buildResident(base, numPartitions = 8,
+      metric = "l2")
+    deferUnload(l2Resident.unload())
+    register("ann_hnsw_probe", nq) {
+      require(l2Resident
+        .probeBatch(qsFloat, k = 10, efSearch = 16 * knobScale).nonEmpty)
+    }
+    val (annRecall, annSweep) =
+      residentRecallAndSweep(l2Resident, truthL2, graphSweepEfs)
+    val ipResident = index.HnswKnn.buildResident(base, numPartitions = 8,
+      metric = "ip")
+    deferUnload(ipResident.unload())
+    register("ann_hnsw_probe_ip", nq) {
+      require(ipResident
+        .probeBatch(qsFloat, k = 10, efSearch = 16 * knobScale).nonEmpty)
+    }
+    val (annIpRecall, annIpSweep) =
+      residentRecallAndSweep(ipResident, truthIp, graphSweepEfs)
+
+    // late-interaction (MaxSim) serving: one resident ip-graph probe batch
+    // + the MaxSimServe reduce per query-bag batch — no corpus re-score
+    // (the ColBERT serving shortcut; past MaxSimServe's volume/partition
+    // bounds the reduce is fully distributed — the corpus-relative c knob
+    // at 10× rows pushes the pre-merge candidate stream past what a
+    // driver-side reduce can absorb, which is exactly when the distributed
+    // regime pays). Scores are lower bounds, so recall vs the exact maxsim
+    // ranking is reported alongside. 4-vector docs, 2-vector queries over
+    // the SAME flat corpus the ip row probes — the graph is reused, not
+    // rebuilt.
+    val nqB = math.min(250L, n / 4).toInt
+    val qbags = operators.MultiVec
+      .bagged(base.where(col("id") < 2L * nqB), 2, "qid")
+      .select(col("qid"), col("pos"), col("vec").as("qvec"))
+    val maxsimQs = qbags.select((col("qid") * 2 + col("pos")).cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect()
+    register("maxsim_served", nqB) {
+      require(index.MaxSimServe.probeBatch(
+        ipResident, maxsimQs, qmax = 2, bmax = 4, k = 10, c = 128 * knobScale,
+        efSearch = 32 * knobScale).nonEmpty)
+    }
+    val (maxsimRecall, maxsimSweep) = {
+      // exact maxsim truth collected ONCE to a local relation — every
+      // recall eval below reuses the rows instead of re-running the
+      // full-corpus scoring join
+      val truth = localTruth(operators.MultiVec.maxSimJoin(
+        qbags, operators.MultiVec.bagged(base, 4, "doc_id"), 10)
+        .withColumnRenamed("doc_id", "id"))
+      val served = index.MaxSimServe.probeBatch(
+        ipResident, maxsimQs, qmax = 2, bmax = 4, k = 10, c = 128 * knobScale,
+        efSearch = 32 * knobScale)
       val recall = operators.Recall.mean(
-        routed.probeLocal(queries, 10, 32 * knobScale, nprobe = 6), truthL2, 10)
-      // nprobe sweep: makes the routing recall/QPS trade explicit — the
-      // headline point (nprobe=6) clears 0.9 with margin to spare at
-      // nprobe=8 (every cluster probed ⇒ the unrouted graph's recall)
-      val sweep = sweepNprobes.map { np =>
-        val (sv, ssp) = qpsPoint(() =>
-          routed.probeBatch(qsFloat, k = 10, efSearch = 32 * knobScale, nprobe = np).length)
-        val r = operators.Recall.mean(
-          routed.probeLocal(queries, 10, 32 * knobScale, nprobe = np), truthL2, 10)
-        (np, sv, ssp, r)
+        spark.createDataFrame(served.toSeq).toDF("qid", "id", "dist", "rank"),
+        truth, 10)
+      // hit-count sweep: c (graph hits per query vector) is the shortcut's
+      // recall knob — more hits = fewer missing (qvec, doc) pairs
+      val sweep = Seq(64 * knobScale, 128 * knobScale, 256 * knobScale).map { c =>
+        val (sv, ssp) = qpsPoint(() => index.MaxSimServe.probeBatch(
+          ipResident, maxsimQs, qmax = 2, bmax = 4, k = 10, c = c,
+          efSearch = 32 * knobScale).length)
+        val srv = index.MaxSimServe.probeBatch(
+          ipResident, maxsimQs, qmax = 2, bmax = 4, k = 10, c = c,
+          efSearch = 32 * knobScale)
+        val rc = operators.Recall.mean(
+          spark.createDataFrame(srv.toSeq).toDF("qid", "id", "dist", "rank"),
+          truth, 10)
+        (c, sv * nqB / math.max(nq, 1), ssp, rc)
       }
-      // mass-adaptive routing on the same index: the knob is a corpus
-      // fraction, so per-query probe counts adapt to cluster skew instead
-      // of over/under-probing at a fixed nprobe. Swept over minMass (per
-      // cent, to keep the sweep schema integer-knobbed like the others).
-      val (autoV, autoSp) = qpsBatch(() =>
-        routed.probeBatchAuto(qsFloat, k = 10, efSearch = 32 * knobScale, minMass = 0.75).length)
-      val autoRecall = operators.Recall.mean(
-        routed.probeLocalAuto(queries, 10, 32 * knobScale, minMass = 0.75), truthL2, 10)
-      val autoSweep = Seq(50, 75, 90).map { pct =>
-        val mm = pct / 100.0
-        val (sv, ssp) = qpsPoint(() =>
-          routed.probeBatchAuto(qsFloat, k = 10, efSearch = 32 * knobScale, minMass = mm).length)
-        val r = operators.Recall.mean(
-          routed.probeLocalAuto(queries, 10, 32 * knobScale, minMass = mm), truthL2, 10)
-        (pct, sv, ssp, r)
-      }
-      routed.unload()
-      (v, sp, recall, sweep, autoV, autoSp, autoRecall, autoSweep)
+      (recall, sweep)
     }
-    // serving UNDER MUTATION — the steady state of the streaming track
-    // between consolidations: a resident generation probed with a live
-    // tombstone set (deletes since build, honored in-traversal) AND a
-    // delta buffer (inserts since build, exact-scanned and merged). The
-    // row shows what mutation costs relative to the clean probe.
-    def mutatedQps(): (Double, Double, Double) = {
-      val cut = math.max(n / 20, 1L) // 5% of the corpus arrives post-build
-      val tombHi = 2 * cut // and 5% of the built graph is deleted
-      val resident = index.HnswKnn.buildResident(
-        base.where(col("id") >= cut), numPartitions = 8)
-      val delta = base.where(col("id") < cut)
-        .select(col("id").cast("long"), col("vec"))
-        .as[(Long, Array[Float])].collect()
-      val dead = (cut until tombHi).toSet
-      val (v, sp) = qpsBatch(() =>
-        resident.probeBatch(qsFloat, k = 10, efSearch = 16 * knobScale, dead, delta).length)
-      val live = base.where(col("id") < cut || col("id") >= tombHi)
-      val truth = operators.Knn.knnJoin(queries, live, 10, operators.Metric.L2)
-      val got = spark.createDataFrame(
-        resident.probeBatch(qsFloat, 10, 16 * knobScale, dead, delta).toSeq)
-        .toDF("qid", "id", "dist", "rank")
-      val recall = operators.Recall.mean(got, truth, 10)
-      resident.unload()
-      (v, sp, recall)
-    }
+
     // quantized serving form: PQ codes pinned resident (m·2 bytes/row — the
     // memory shape that still fits at 100 TB), ADC gather-scan + in-shard
     // float re-rank. Trained codebook (ONE train, shared with the ivfadc
     // row below — identical parameters), so recall is reported alongside.
     val pqCb = index.Pq.train(base, m = 8, ksub = 32, iters = 3)
-    val (adcQps, adcSpread, adcRecall, adcSweep) = {
-      val served = index.ResidentAdc.load(base, pqCb, numPartitions = 8)
-      val (v, sp) = qpsBatch(() =>
-        served.probeBatch(qsFloat, k = 10, rerank = 40 * knobScale).length)
+    val adcServed = index.ResidentAdc.load(base, pqCb, numPartitions = 8)
+    deferUnload(adcServed.unload())
+    register("ann_adc_served", nq) {
+      require(adcServed
+        .probeBatch(qsFloat, k = 10, rerank = 40 * knobScale).nonEmpty)
+    }
+    val (adcRecall, adcSweep) = {
       val recall = operators.Recall.mean(
-        served.probeLocal(queries, 10, rerank = 40 * knobScale), truthL2, 10)
+        adcServed.probeLocal(queries, 10, rerank = 40 * knobScale), truthL2, 10)
       // refine-budget sweep: rerank is the ADC knob (faiss's k_factor)
       val sweep = Seq(20 * knobScale, 40 * knobScale, 80 * knobScale).map { r =>
         val (sv, ssp) = qpsPoint(() =>
-          served.probeBatch(qsFloat, k = 10, rerank = r).length)
+          adcServed.probeBatch(qsFloat, k = 10, rerank = r).length)
         val rc = operators.Recall.mean(
-          served.probeLocal(queries, 10, rerank = r), truthL2, 10)
+          adcServed.probeLocal(queries, 10, rerank = r), truthL2, 10)
         (r, sv, ssp, rc)
       }
-      served.unload()
-      (v, sp, recall, sweep)
+      (recall, sweep)
     }
-    // the baseline's full composition (IVF route × resident codes × float
+    // the baseline's routed composition (IVF route × resident codes × float
     // refine) served at a partial-routing operating point; recall reported
-    // alongside, as for every approximate row
+    // alongside, as for every approximate row.
     // nprobe sweep shared by both IVF-ADC rows: the routing knob's
     // recall/QPS trade, explicit like every other approximate track's
     def ivfAdcSweep(served: index.ResidentIvfAdc): Seq[(Int, Double, Double, Double)] =
@@ -398,150 +475,227 @@ object Bench {
             rerank = 40 * knobScale), truthL2, 10)
         (np, sv, ssp, rc)
       }
-    val (ivfAdcQps, ivfAdcSpread, ivfAdcRecall, ivfAdcSw) = {
-      val ivf = index.IvfIndex.build(base, c = 8, iters = 3)
-      val served = index.ResidentIvfAdc.load(base, ivf, pqCb, numPartitions = 8)
-      val (v, sp) = qpsBatch(() =>
-        served.probeBatch(qsFloat, k = 10, nprobe = 6, rerank = 40 * knobScale).length)
-      val recall = operators.Recall.mean(
-        served.probeLocal(queries, 10, nprobe = 6, rerank = 40 * knobScale), truthL2, 10)
-      val sw = ivfAdcSweep(served)
-      served.unload()
-      (v, sp, recall, sw)
+    val benchIvf = index.IvfIndex.build(base, c = 8, iters = 3)
+    val ivfAdcServed = index.ResidentIvfAdc.load(base, benchIvf, pqCb,
+      numPartitions = 8)
+    deferUnload(ivfAdcServed.unload())
+    register("ann_ivfadc_served", nq) {
+      require(ivfAdcServed.probeBatch(qsFloat, k = 10, nprobe = 6,
+        rerank = 40 * knobScale).nonEmpty)
     }
+    val ivfAdcRecall = operators.Recall.mean(
+      ivfAdcServed.probeLocal(queries, 10, nprobe = 6,
+        rerank = 40 * knobScale), truthL2, 10)
+    val ivfAdcSw = ivfAdcSweep(ivfAdcServed)
     // residual variant of the same composition — faiss's TRUE IVFPQ (codes
     // quantize x − centroid; probes assemble per-(query, cluster) LUTs
     // shard-side from the load-time precomputed tables). Same knobs as the
     // raw-coded row above so the two are directly comparable: the residual
     // codes buy recall at the same (m, ksub) byte budget.
-    val (ivfAdcResQps, ivfAdcResSpread, ivfAdcResRecall, ivfAdcResSw) = {
-      val idx = index.IvfPq.buildResidual(base, c = 8, iters = 3, m = 8,
-        ksub = 32)
-      val served = index.ResidentIvfAdc.loadResidual(base, idx,
-        numPartitions = 8)
-      val (v, sp) = qpsBatch(() =>
-        served.probeBatch(qsFloat, k = 10, nprobe = 6, rerank = 40 * knobScale).length)
-      val recall = operators.Recall.mean(
-        served.probeLocal(queries, 10, nprobe = 6, rerank = 40 * knobScale), truthL2, 10)
-      val sw = ivfAdcSweep(served)
-      served.unload()
-      (v, sp, recall, sw)
+    val ivfPqRes = index.IvfPq.buildResidual(base, c = 8, iters = 3, m = 8,
+      ksub = 32)
+    val ivfAdcResServed = index.ResidentIvfAdc.loadResidual(base, ivfPqRes,
+      numPartitions = 8)
+    deferUnload(ivfAdcResServed.unload())
+    register("ann_ivfadc_residual_served", nq) {
+      require(ivfAdcResServed.probeBatch(qsFloat, k = 10, nprobe = 6,
+        rerank = 40 * knobScale).nonEmpty)
     }
-    // ood/ann resident graph rows; the ip graph is built once and SHARED
-    // with the MaxSim rows below (same flat corpus, same metric)
-    val (annQps, annSpread, annRecall, annSweep) = {
-      val resident = index.HnswKnn.buildResident(base, numPartitions = 8,
-        metric = "l2")
-      val r = residentQps(resident, truthL2,
-        sweepEfs = Seq(8 * knobScale, 16 * knobScale, 32 * knobScale))
-      resident.unload()
-      r
+    val ivfAdcResRecall = operators.Recall.mean(
+      ivfAdcResServed.probeLocal(queries, 10, nprobe = 6,
+        rerank = 40 * knobScale), truthL2, 10)
+    val ivfAdcResSw = ivfAdcSweep(ivfAdcResServed)
+    // the reference baseline's LITERAL composition (`IVF16384,SQ8`,
+    // filter/faiss/config.yaml:50-53) served resident: IVF routing ×
+    // SQ8 integer scan × exact float re-rank — the row BASELINE.md's
+    // filter-track 3,200 QPS actually ran on. Same routing knob and sweep
+    // as the ADC rows; the scan reads 1 byte/component (the compression
+    // that fits the reference's 10M×192 corpus in RAM).
+    val (sq8Mins, sq8Spans) = index.Sq8.train(base)
+    val ivfSq8Served = index.ResidentIvfSq8.load(base, benchIvf, sq8Mins,
+      sq8Spans, numPartitions = 8)
+    deferUnload(ivfSq8Served.unload())
+    register("ann_ivfsq8_served", nq) {
+      require(ivfSq8Served.probeBatch(qsFloat, k = 10, nprobe = 6,
+        rerank = 40 * knobScale).nonEmpty)
     }
-    val ipResident = index.HnswKnn.buildResident(base, numPartitions = 8,
-      metric = "ip")
-    val (annIpQps, annIpSpread, annIpRecall, _) = residentQps(ipResident, truthIp)
-    // late-interaction (MaxSim) serving: one resident ip-graph probe batch
-    // + the MaxSimServe reduce per query-bag batch — no corpus re-score
-    // (the ColBERT serving shortcut; past MaxSimServe's treeAt the reduce
-    // is fully distributed). Scores are lower bounds, so recall vs the
-    // exact maxsim ranking is reported alongside. 4-vector docs, 2-vector
-    // queries over the SAME flat corpus the ip row probes — the graph is
-    // reused, not rebuilt.
-    val (maxsimQps, maxsimSpread, maxsimRecall, maxsimSweep) = {
-      val nqB = math.min(250L, n / 4).toInt
-      val qbags = operators.MultiVec
-        .bagged(base.where(col("id") < 2L * nqB), 2, "qid")
-        .select(col("qid"), col("pos"), col("vec").as("qvec"))
-      val qs = qbags.select((col("qid") * 2 + col("pos")).cast("long"), col("qvec"))
-        .as[(Long, Array[Float])].collect()
-      val (v, sp) = qpsBatch(() => index.MaxSimServe.probeBatch(
-        ipResident, qs, qmax = 2, bmax = 4, k = 10, c = 128 * knobScale,
-        efSearch = 32 * knobScale).length)
-      // exact maxsim truth collected ONCE to a local relation — every
-      // recall eval below reuses the rows instead of re-running the
-      // full-corpus scoring join
-      val truth = localTruth(operators.MultiVec.maxSimJoin(
-        qbags, operators.MultiVec.bagged(base, 4, "doc_id"), 10)
-        .withColumnRenamed("doc_id", "id"))
-      val served = index.MaxSimServe.probeBatch(
-        ipResident, qs, qmax = 2, bmax = 4, k = 10, c = 128 * knobScale,
-        efSearch = 32 * knobScale)
-      val recall = operators.Recall.mean(
-        spark.createDataFrame(served.toSeq).toDF("qid", "id", "dist", "rank"),
-        truth, 10)
-      // hit-count sweep: c (graph hits per query vector) is the shortcut's
-      // recall knob — more hits = fewer missing (qvec, doc) pairs
-      val sweep = Seq(64 * knobScale, 128 * knobScale, 256 * knobScale).map { c =>
-        val (sv, ssp) = qpsPoint(() => index.MaxSimServe.probeBatch(
-          ipResident, qs, qmax = 2, bmax = 4, k = 10, c = c,
-          efSearch = 32 * knobScale).length)
-        val srv = index.MaxSimServe.probeBatch(
-          ipResident, qs, qmax = 2, bmax = 4, k = 10, c = c,
-          efSearch = 32 * knobScale)
-        val rc = operators.Recall.mean(
-          spark.createDataFrame(srv.toSeq).toDF("qid", "id", "dist", "rank"),
-          truth, 10)
-        (c, sv * nqB / math.max(nq, 1), ssp, rc)
-      }
-      (v * nqB / math.max(nq, 1), sp, recall, sweep)
+    val ivfSq8Recall = operators.Recall.mean(
+      ivfSq8Served.probeLocal(queries, 10, nprobe = 6,
+        rerank = 40 * knobScale), truthL2, 10)
+    val ivfSq8Sw = Seq(4, 6, 8).map { np =>
+      val (sv, ssp) = qpsPoint(() =>
+        ivfSq8Served.probeBatch(qsFloat, k = 10, nprobe = np,
+          rerank = 40 * knobScale).length)
+      val rc = operators.Recall.mean(
+        ivfSq8Served.probeLocal(queries, 10, nprobe = np,
+          rerank = 40 * knobScale), truthL2, 10)
+      (np, sv, ssp, rc)
     }
-    ipResident.unload()
+
     // binary sign-hash tier: ONE resident load (floats pinned) serves both
     // the codes-only exact Hamming scan row and the two-tier re-rank rows.
     val binServed = index.ResidentBinary.load(base, numPartitions = 8,
       pinFloats = true)
+    deferUnload(binServed.unload())
     // codes-only exact Hamming scan — QPS plus binarization fidelity
     // (recall of Hamming top-10 vs float truth; the Hamming ranking itself
     // is exact, see knn_hamming's gate)
-    val (hamQps, hamSpread, hamFidelity, hamFidelityCos) = {
+    val hamQs = {
       import graft.functions.vectors._
-      val qs = queries.select(col("qid").cast("long"),
+      queries.select(col("qid").cast("long"),
         vecSignPack(col("qvec")).as("qcode")).as[(Long, Array[Long])].collect()
-      val (v, sp) = qpsBatch(() => binServed.probeBatch(qs, k = 10).length)
-      val fid = operators.Recall.mean(binServed.probeLocal(queries, 10), truthL2, 10)
-      // sign codes are angle-only (norms are gone), so fidelity against the
-      // COSINE truth is the tier's natural grade; L2 fidelity is reported
-      // too as the honest cross-metric number
-      val fidCos = operators.Recall.mean(
-        binServed.probeLocal(queries, 10), truthCos, 10)
-      (v, sp, fid, fidCos)
     }
+    register("hamming_served", nq) {
+      require(binServed.probeBatch(hamQs, k = 10).nonEmpty)
+    }
+    val hamFidelity = operators.Recall.mean(
+      binServed.probeLocal(queries, 10), truthL2, 10)
+    // sign codes are angle-only (norms are gone), so fidelity against the
+    // COSINE truth is the tier's natural grade; L2 fidelity is reported
+    // too as the honest cross-metric number
+    val hamFidelityCos = operators.Recall.mean(
+      binServed.probeLocal(queries, 10), truthCos, 10)
     // two-tier resident: binary top-c first pass + in-shard float re-rank —
-    // fidelity is vs exact float L2 (c=50 operating point); the ip-refine
-    // sweep grades the SAME two-tier probe against exact-MIPS truth (the
-    // OOD track's metric — text2image-style serving)
-    val (ham2Qps, ham2Spread, ham2Fidelity, ham2Sweep, ham2IpSweep) = {
+    // fidelity is vs exact float L2 (c=50·knobScale operating point); the
+    // ip-refine sweep grades the SAME two-tier probe against exact-MIPS
+    // truth (the OOD track's metric — text2image-style serving)
+    val ham2Qs = {
       import graft.functions.vectors._
-      val qs = queries.select(col("qid").cast("long"),
+      queries.select(col("qid").cast("long"),
         vecSignPack(col("qvec")).as("qcode"), col("qvec"))
         .as[(Long, Array[Long], Array[Float])].collect()
-      val (v, sp) = qpsBatch(() => binServed.probeBatchRerank(qs, k = 10, c = 50 * knobScale).length)
-      val fid = operators.Recall.mean(
-        binServed.probeLocalRerank(queries, 10, c = 50 * knobScale), truthL2, 10)
-      // candidate-budget sweep: c is the binary tier's recall knob
-      val sweep = Seq(25 * knobScale, 50 * knobScale, 100 * knobScale).map { c =>
-        val (sv, ssp) = qpsPoint(() =>
-          binServed.probeBatchRerank(qs, k = 10, c = c).length)
-        val rc = operators.Recall.mean(
-          binServed.probeLocalRerank(queries, 10, c = c), truthL2, 10)
-        (c, sv, ssp, rc)
-      }
+    }
+    register("hamming_rerank_served", nq) {
+      require(binServed
+        .probeBatchRerank(ham2Qs, k = 10, c = 50 * knobScale).nonEmpty)
+    }
+    val ham2Fidelity = operators.Recall.mean(
+      binServed.probeLocalRerank(queries, 10, c = 50 * knobScale), truthL2, 10)
+    // candidate-budget sweep: c is the binary tier's recall knob
+    val ham2Sweep = Seq(25 * knobScale, 50 * knobScale, 100 * knobScale).map { c =>
+      val (sv, ssp) = qpsPoint(() =>
+        binServed.probeBatchRerank(ham2Qs, k = 10, c = c).length)
+      val rc = operators.Recall.mean(
+        binServed.probeLocalRerank(queries, 10, c = c), truthL2, 10)
+      (c, sv, ssp, rc)
+    }
+    val ham2IpSweep = {
       val ipMetric = operators.Metric.Ip
-      val ipSweep = Seq(25 * knobScale, 50 * knobScale, 100 * knobScale).map { c =>
+      Seq(25 * knobScale, 50 * knobScale, 100 * knobScale).map { c =>
         val (sv, ssp) = qpsPoint(() =>
-          binServed.probeBatchRerank(qs, k = 10, c = c, metric = ipMetric).length)
+          binServed.probeBatchRerank(ham2Qs, k = 10, c = c, metric = ipMetric).length)
         val rc = operators.Recall.mean(
           binServed.probeLocalRerank(queries, 10, c = c, metric = ipMetric),
           truthIp, 10)
         (c, sv, ssp, rc)
       }
-      (v, sp, fid, sweep, ipSweep)
     }
-    binServed.unload()
-    val (rtQps, rtSpread, rtRecall, rtSweep,
-         rtaQps, rtaSpread, rtaRecall, rtaSweep) =
-      routedQps(sweepNprobes = Seq(4, 6, 8))
-    val (mutQps, mutSpread, mutRecall) = mutatedQps()
+
+    // centroid-ROUTED resident graphs (IVF-of-HNSW): each query probes only
+    // its nprobe nearest clusters, so per-query work is independent of shard
+    // count — the 1000-shard serving shape. On this UNCLUSTERED synthetic
+    // corpus routing trades recall steeply (real embedding corpora cluster;
+    // this one is near-uniform), so the reported operating point is the
+    // measured nprobe that clears 0.9 recall — the knob, its cost, and its
+    // recall are all explicit.
+    val routedPath = java.nio.file.Files.createTempDirectory("graft-bench-rt")
+      .resolve("idx").toString
+    index.HnswRouted.buildAndSave(base, routedPath, c = 8, kmIters = 3)
+    val routed = index.HnswRouted.loadResident(spark, routedPath)
+    deferUnload(routed.unload())
+    register("ann_hnsw_probe_routed", nq) {
+      require(routed.probeBatch(qsFloat, k = 10, efSearch = 32 * knobScale,
+        nprobe = 6).nonEmpty)
+    }
+    val rtRecall = operators.Recall.mean(
+      routed.probeLocal(queries, 10, 32 * knobScale, nprobe = 6), truthL2, 10)
+    // nprobe sweep: makes the routing recall/QPS trade explicit — the
+    // headline point (nprobe=6) clears 0.9 with margin to spare at
+    // nprobe=8 (every cluster probed ⇒ the unrouted graph's recall)
+    val rtSweep = Seq(4, 6, 8).map { np =>
+      val (sv, ssp) = qpsPoint(() =>
+        routed.probeBatch(qsFloat, k = 10, efSearch = 32 * knobScale, nprobe = np).length)
+      val r = operators.Recall.mean(
+        routed.probeLocal(queries, 10, 32 * knobScale, nprobe = np), truthL2, 10)
+      (np, sv, ssp, r)
+    }
+    // mass-adaptive routing on the same index: the knob is a corpus
+    // fraction, so per-query probe counts adapt to cluster skew instead
+    // of over/under-probing at a fixed nprobe. Swept over minMass (per
+    // cent, to keep the sweep schema integer-knobbed like the others).
+    register("ann_hnsw_probe_routed_auto", nq) {
+      require(routed.probeBatchAuto(qsFloat, k = 10,
+        efSearch = 32 * knobScale, minMass = 0.75).nonEmpty)
+    }
+    val rtaRecall = operators.Recall.mean(
+      routed.probeLocalAuto(queries, 10, 32 * knobScale, minMass = 0.75), truthL2, 10)
+    val rtaSweep = Seq(50, 75, 90).map { pct =>
+      val mm = pct / 100.0
+      val (sv, ssp) = qpsPoint(() =>
+        routed.probeBatchAuto(qsFloat, k = 10, efSearch = 32 * knobScale, minMass = mm).length)
+      val r = operators.Recall.mean(
+        routed.probeLocalAuto(queries, 10, 32 * knobScale, minMass = mm), truthL2, 10)
+      (pct, sv, ssp, r)
+    }
+
+    // serving UNDER MUTATION — the steady state of the streaming track
+    // between consolidations: a resident generation probed with a live
+    // tombstone set (deletes since build, honored in-traversal) AND a
+    // delta buffer (inserts since build, exact-scanned and merged). The
+    // row shows what mutation costs relative to the clean probe.
+    val mutCut = math.max(n / 20, 1L) // 5% of the corpus arrives post-build
+    val mutTombHi = 2 * mutCut // and 5% of the built graph is deleted
+    val mutResident = index.HnswKnn.buildResident(
+      base.where(col("id") >= mutCut), numPartitions = 8)
+    deferUnload(mutResident.unload())
+    val mutDelta = base.where(col("id") < mutCut)
+      .select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect()
+    val mutDead = (mutCut until mutTombHi).toSet
+    register("ann_hnsw_probe_mutated", nq) {
+      require(mutResident.probeBatch(qsFloat, k = 10,
+        efSearch = 16 * knobScale, mutDead, mutDelta).nonEmpty)
+    }
+    val mutRecall = {
+      val live = base.where(col("id") < mutCut || col("id") >= mutTombHi)
+      val truth = operators.Knn.knnJoin(queries, live, 10, operators.Metric.L2)
+      val got = spark.createDataFrame(
+        mutResident.probeBatch(qsFloat, 10, 16 * knobScale, mutDead, mutDelta).toSeq)
+        .toDF("qid", "id", "dist", "rank")
+      operators.Recall.mean(got, truth, 10)
+    }
+
+    // -- the interleaved timed loop (see scaladoc): 2 warmups per row in
+    // registration order, then `reps` round-robin passes — pass i times one
+    // batch of every row, so environment drift lands on every row equally
+    val failed = scala.collection.mutable.Set.empty[String]
+    headline.foreach { case (name, runOnce, _) =>
+      try { runOnce(); runOnce() }
+      catch { case _: Throwable => failed += name }
+    }
+    val samples = headline.map { case (name, _, _) =>
+      name -> ArrayBuffer.empty[Double] }.toMap
+    for (_ <- 1 to reps) {
+      settle()
+      headline.foreach { case (name, runOnce, _) =>
+        if (!failed(name)) {
+          try {
+            val t0 = System.nanoTime()
+            runOnce()
+            samples(name) += (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => failed += name }
+        }
+      }
+    }
+    // per-row median rate + max/min spread over its interleaved samples
+    val qpsOf = headline.map { case (name, _, norm) =>
+      val ts = samples(name).sorted
+      if (failed(name) || ts.isEmpty) name -> (0.0, 0.0)
+      else name -> (norm / ts(ts.length / 2),
+        ts.last / math.max(ts.head, 1e-9))
+    }.toMap
+    teardowns.foreach { td => try td() catch { case _: Throwable => () } }
+
     // streaming track (BASELINE row 4's unit — checkpoint recall + wall
     // time, not QPS): replay the reference's own delete_runbook scaled
     // into this SF's id space and grade every search checkpoint against
@@ -579,9 +733,20 @@ object Bench {
       pts.map { case (v, q, s, r) =>
         s"""{"$knob":$v,"qps":$q,"spread":$s,"recall":$r}""" }.mkString("[", ",", "]")
     val sweep =
-      s"""{"ann_hnsw_probe":${sweepJson("efSearch", annSweep)},"sparse_budget_served":${sweepJson("m", sparseSweep)},"ann_hnsw_probe_routed":${sweepJson("nprobe", rtSweep)},"ann_hnsw_probe_routed_auto":${sweepJson("minMassPct", rtaSweep)},"ann_adc_served":${sweepJson("rerank", adcSweep)},"ann_ivfadc_served":${sweepJson("nprobe", ivfAdcSw)},"ann_ivfadc_residual_served":${sweepJson("nprobe", ivfAdcResSw)},"hamming_rerank_served":${sweepJson("c", ham2Sweep)},"hamming_rerank_served_ip":${sweepJson("c", ham2IpSweep)},"maxsim_served":${sweepJson("c", maxsimSweep)}}"""
+      s"""{"ann_hnsw_probe":${sweepJson("efSearch", annSweep)},"ann_hnsw_probe_ip":${sweepJson("efSearch", annIpSweep)},"sparse_budget_served":${sweepJson("m", sparseSweep)},"ann_hnsw_probe_routed":${sweepJson("nprobe", rtSweep)},"ann_hnsw_probe_routed_auto":${sweepJson("minMassPct", rtaSweep)},"ann_adc_served":${sweepJson("rerank", adcSweep)},"ann_ivfadc_served":${sweepJson("nprobe", ivfAdcSw)},"ann_ivfadc_residual_served":${sweepJson("nprobe", ivfAdcResSw)},"ann_ivfsq8_served":${sweepJson("nprobe", ivfSq8Sw)},"hamming_rerank_served":${sweepJson("c", ham2Sweep)},"hamming_rerank_served_ip":${sweepJson("c", ham2IpSweep)},"maxsim_served":${sweepJson("c", maxsimSweep)}}"""
+    def q1(name: String): Double = qpsOf.getOrElse(name, (0.0, 0.0))._1
+    def q2(name: String): Double = qpsOf.getOrElse(name, (0.0, 0.0))._2
+    val qpsNames = Seq("filtered_knn", "filtered_knn_planner",
+      "filtered_knn_subindex", "filtered_knn_bucketed", "sparse_budget",
+      "sparse_budget_served", "ann_hnsw_probe", "ann_hnsw_probe_ip",
+      "ann_hnsw_probe_routed", "ann_hnsw_probe_routed_auto",
+      "ann_hnsw_probe_mutated", "ann_adc_served", "ann_ivfadc_served",
+      "ann_ivfadc_residual_served", "ann_ivfsq8_served", "maxsim_served",
+      "hamming_served", "hamming_rerank_served")
+    val qpsPairs = qpsNames.map(nm => s"\"$nm\":${q1(nm)}").mkString(",")
+    val spreadPairs = qpsNames.map(nm => s"\"$nm\":${q2(nm)}").mkString(",")
     val qpsJson =
-      s"""{"filtered_knn":$filterQps,"sparse_budget":$sparseQps,"sparse_budget_served":$sparseServedQps,"ann_hnsw_probe":$annQps,"ann_hnsw_probe_ip":$annIpQps,"ann_hnsw_probe_routed":$rtQps,"ann_hnsw_probe_routed_auto":$rtaQps,"ann_hnsw_probe_mutated":$mutQps,"ann_adc_served":$adcQps,"ann_ivfadc_served":$ivfAdcQps,"ann_ivfadc_residual_served":$ivfAdcResQps,"maxsim_served":$maxsimQps,"hamming_served":$hamQps,"hamming_rerank_served":$ham2Qps,"nq":$nq,"reps":$reps,"spread":{"filtered_knn":$filterSpread,"sparse_budget":$sparseSpread,"sparse_budget_served":$sparseServedSpread,"ann_hnsw_probe":$annSpread,"ann_hnsw_probe_ip":$annIpSpread,"ann_hnsw_probe_routed":$rtSpread,"ann_hnsw_probe_routed_auto":$rtaSpread,"ann_hnsw_probe_mutated":$mutSpread,"ann_adc_served":$adcSpread,"ann_ivfadc_served":$ivfAdcSpread,"ann_ivfadc_residual_served":$ivfAdcResSpread,"maxsim_served":$maxsimSpread,"hamming_served":$hamSpread,"hamming_rerank_served":$ham2Spread},"recall":{"filtered_knn":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall,"maxsim_served":$maxsimRecall,"hamming_served_l2_fidelity":$hamFidelity,"hamming_served_cos_fidelity":$hamFidelityCos,"hamming_rerank_served_l2_fidelity":$ham2Fidelity},"sweep":$sweep,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
+      s"""{$qpsPairs,"nq":$nq,"reps":$reps,"interleaved":true,"spread":{$spreadPairs},"recall":{"filtered_knn":1.0,"filtered_knn_planner":$plannerRecall,"filtered_knn_subindex":$subindexRecall,"filtered_knn_bucketed":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall,"ann_ivfsq8_served":$ivfSq8Recall,"maxsim_served":$maxsimRecall,"hamming_served_l2_fidelity":$hamFidelity,"hamming_served_cos_fidelity":$hamFidelityCos,"hamming_rerank_served_l2_fidelity":$ham2Fidelity},"sweep":$sweep,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"batch_sec":$batchJson,"qps":$qpsJson,"sf":"$sfDir"}"""
     // stdout scraping truncated BENCH_r04's tail mid-JSON ("parsed": null):

@@ -44,30 +44,45 @@ object SparkEntry {
     * clock). */
   private val buildMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def memo[T <: AnyRef](key: String)(f: => T): T =
-    buildMemo.computeIfAbsent(key, _ => f).asInstanceOf[T]
+  // cached values are SparkSession-bound (DataFrames, resident RDD indexes,
+  // broadcast-holding objects): the session's identity joins every key so a
+  // second session in the same JVM (suites, sequential runMains) never
+  // receives a handle bound to a stopped session — stale entries die with
+  // their key
+  private def memo[T <: AnyRef](s: SparkSession, key: String)(f: => T): T =
+    buildMemo.computeIfAbsent(
+      Integer.toHexString(System.identityHashCode(s)) + ":" + key,
+      _ => f).asInstanceOf[T]
 
   private def pqLossless(s: SparkSession, dir: String, m: Int): graft.index.Pq.Codebook =
-    memo(s"pqLossless:$dir:$m") {
+    memo(s, s"pqLossless:$dir:$m") {
       graft.index.Pq.trainLossless(embBase(s, dir), m)
     }
 
   private def opqLossless(s: SparkSession, dir: String,
                           m: Int): (graft.index.Opq.Rotation, graft.index.Pq.Codebook) =
-    memo(s"opqLossless:$dir:$m") {
+    memo(s, s"opqLossless:$dir:$m") {
       graft.index.Opq.trainRotatedLossless(embBase(s, dir), m)
     }
 
   private def ivfPqResidualLossless(s: SparkSession, dir: String, c: Int,
                                     iters: Int, m: Int): graft.index.IvfPq.IvfPqIndex =
-    memo(s"ivfPqResLossless:$dir:$c:$iters:$m") {
+    memo(s, s"ivfPqResLossless:$dir:$c:$iters:$m") {
       graft.index.IvfPq.buildResidual(embBase(s, dir), c = c, iters = iters,
         m = m, ksub = 0, lossless = true)
     }
 
   private def ivf8(s: SparkSession, dir: String): graft.index.IvfIndex =
-    memo(s"ivf8:$dir") {
+    memo(s, s"ivf8:$dir") {
       graft.index.IvfIndex.build(embBase(s, dir), c = 8, iters = 3)
+    }
+
+  /** SQ8 per-dimension train (mins, spans) — shared by the SQ8 recall gates
+    * and the IVF×SQ8 rows; one two-pass agg per dir instead of one per
+    * gate. */
+  private def sq8Train(s: SparkSession, dir: String): (Array[Double], Array[Double]) =
+    memo(s, s"sq8Train:$dir") {
+      graft.index.Sq8.train(embBase(s, dir))
     }
 
   /** Exact kNN ground truth for the recall_* gates, collected ONCE per
@@ -76,7 +91,7 @@ object SparkEntry {
     * repeat work. Rows (qid, id, rank) are all Recall.perQuery reads. */
   private def exactKnnTruth(s: SparkSession, dir: String,
                             metric: String): DataFrame =
-    memo(s"knnTruth:$dir:$metric") {
+    memo(s, s"knnTruth:$dir:$metric") {
       import s.implicits._
       s.createDataFrame(
         Knn.knnJoin(embQueries(s, dir, 10), embBase(s, dir), 10, metric)
@@ -90,7 +105,7 @@ object SparkEntry {
     * so every gate probing `numPartitions = 8, l2` sees the identical
     * graph the build-per-gate form produced). */
   private def hnswSavedPath(s: SparkSession, dir: String): String =
-    memo(s"hnswSaved:$dir") {
+    memo(s, s"hnswSaved:$dir") {
       val p = java.nio.file.Files.createTempDirectory("graft-hnsw-shared")
         .resolve("idx").toString
       graft.index.HnswKnn.buildAndSave(embBase(s, dir), p, numPartitions = 8)
@@ -101,7 +116,7 @@ object SparkEntry {
     * bag encoding doc_id·4 + pos IS the raw id), reused by the three
     * MaxSim gates; session-lifetime, gate corpora are tiny. */
   private def maxsimIpResident(s: SparkSession, dir: String): graft.index.HnswResident =
-    memo(s"maxsimIp:$dir") {
+    memo(s, s"maxsimIp:$dir") {
       graft.index.HnswKnn.buildResident(
         embBase(s, dir).select(col("id"), col("vec")),
         numPartitions = 4, metric = "ip")
@@ -109,7 +124,7 @@ object SparkEntry {
 
   /** One shared persisted routed-graph artifact per dir (same argument). */
   private def routedSavedPath(s: SparkSession, dir: String): String =
-    memo(s"routedSaved:$dir") {
+    memo(s, s"routedSaved:$dir") {
       val p = java.nio.file.Files.createTempDirectory("graft-routed-shared")
         .resolve("idx").toString
       graft.index.HnswRouted.buildAndSave(embBase(s, dir), p, c = 8,
@@ -718,18 +733,21 @@ object SparkEntry {
     "recall_sq8" -> ((s, dir) => {
       val b = embBase(s, dir)
       val q = embQueries(s, dir, 10)
-      val (mins, spans) = graft.index.Sq8.train(b)
+      val (mins, spans) = sq8Train(s, dir)
       val got = graft.index.Sq8.knnSq8(q, b, k = 10, rerank = 40, mins, spans)
       val truth = exactKnnTruth(s, dir, Metric.L2)
       Recall.perQuery(got, truth, 10)
     }),
     // the reference baseline's composition (IVF coarse route × SQ8 integer
     // scan × exact rerank, config.yaml:50-53) — recall-graded, rows-only.
+    // Both trains come from the session fixture cache (ivf8 + sq8Train):
+    // identical parameters to the per-gate build, one train per dir.
     "recall_ivf_sq8" -> ((s, dir) => {
       val b = embBase(s, dir)
       val q = embQueries(s, dir, 10)
-      val got = graft.index.IvfSq8.knn(q, b, k = 10, c = 8, iters = 3,
-        nprobe = 4, rerank = 40)
+      val (mins, spans) = sq8Train(s, dir)
+      val got = graft.index.IvfSq8.knnWith(ivf8(s, dir), q, b, k = 10,
+        nprobe = 4, rerank = 40, mins, spans)
       val truth = exactKnnTruth(s, dir, Metric.L2)
       Recall.perQuery(got, truth, 10)
     }),
@@ -854,6 +872,24 @@ object SparkEntry {
         numPartitions = 4)
       try knnResult(served.probeLocal(embQueries(s, dir, 10), 10,
         nprobe = served.numClusters, rerank = 20))
+      finally served.unload()
+    }),
+    // the reference baseline's LITERAL composition (`IVF16384,SQ8`,
+    // config.yaml:50-53) served resident, at its exact-degenerate point:
+    // nprobe = C scans every cluster and rerank = n pushes every row
+    // through the exact float re-rank, so scalar-quantization error cannot
+    // perturb the result — hash-matches brute force end to end. Gates the
+    // client-side encode parity (encode() ≡ Sq8.encodeCol), the routed
+    // integer scan, and the refine dataflow of the resident form.
+    "ann_ivfsq8_served_exact" -> ((s, dir) => {
+      val b = embBase(s, dir)
+      val ivf = ivf8(s, dir)
+      val (mins, spans) = sq8Train(s, dir)
+      val n = b.count().toInt
+      val served = graft.index.ResidentIvfSq8.load(b, ivf, mins, spans,
+        numPartitions = 4)
+      try knnResult(served.probeLocal(embQueries(s, dir, 10), 10,
+        nprobe = served.numClusters, rerank = n))
       finally served.unload()
     }),
     // save → load → probe through the VectorIndex registry with the
@@ -987,7 +1023,7 @@ object SparkEntry {
     "recall_hnsw_sq8" -> ((s, dir) => {
       val b = embBase(s, dir)
       val q = embQueries(s, dir, 10)
-      val (mins, spans) = graft.index.Sq8.train(b)
+      val (mins, spans) = sq8Train(s, dir)
       val got = graft.index.HnswKnn.knnSq8(q, b, k = 10, rerank = 40,
         mins, spans, efSearch = 128, numPartitions = 8)
       val truth = exactKnnTruth(s, dir, Metric.L2)
@@ -1461,6 +1497,9 @@ object SparkEntry {
     "ann_ivfadc_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     // residual-coded resident ADC at its degenerate point: exact
     "ann_ivfadc_residual_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // the baseline's literal IVF×SQ8 composition served resident, at
+    // nprobe = C and rerank = n: exact
+    "ann_ivfsq8_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_ivfpq_residual_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_ivfpq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     // OPQ rotation in front of the residual IVFPQ chain, original-space

@@ -161,6 +161,27 @@ final class HnswResident(spark: SparkSession,
     finally bq.destroy()
   }
 
+  /** [[withCandidates]] at ARRAY granularity: one (qid, sorted candidates)
+    * row per (query, partition) instead of one row per candidate. The
+    * arrays arrive already (dist asc, id asc)-sorted from the search, so a
+    * downstream `reduceByKey(ProbeMerge.mergeTwo(_, _, c))` costs
+    * O(P · c) per query — merging P sorted arrays — where the singleton
+    * exploded form costs O(c²) per (query, partition) in the map-side
+    * combine (each of c singletons re-copies the growing buffer). At the
+    * corpus-relative c knob's 10×-scale values that difference is the
+    * whole serving budget. */
+  private[index] def withCandidateArrays[T](qs: Array[(Long, Array[Float])],
+                                            k: Int, efSearch: Int)(
+      f: org.apache.spark.rdd.RDD[(Long, Array[(Long, Double)])] => T): T = {
+    val bq = spark.sparkContext.broadcast(qs)
+    try f(rdd.flatMap { case (idx, _) =>
+      bq.value.iterator.map { case (qid, qv) =>
+        (qid, idx.search(qv, k, efSearch))
+      }
+    })
+    finally bq.destroy()
+  }
+
   private[index] def graphs: org.apache.spark.rdd.RDD[(HnswIndex, Map[Long, Array[Int]])] = rdd
 
   def unload(): Unit = rdd.unpersist()

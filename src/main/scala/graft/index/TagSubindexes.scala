@@ -39,6 +39,27 @@ final class ResidentTagRegistry private[index] (
     TopK.aggTopK(local, "qid", "id", "dist", k)
   }
 
+  /** Serving-form batch variant of [[probeGroups]]: query groups in, ranked
+    * (qid, id, dist, rank) rows out through the [[ProbeMerge]] fan-in — no
+    * DataFrame plumbing or exchange per batch, the unit a QPS loop times.
+    * Each qid routes to exactly one key, so its candidates come only from
+    * that key's graph partitions; rows equal [[probeGroups]]'s. */
+  def probeGroupsBatch(groups: Map[String, Array[(Long, Array[Float])]],
+                       k: Int, efSearch: Int,
+                       treeMergeAt: Int = 64): Array[(Long, Long, Double, Long)] = {
+    val bq = spark.sparkContext.broadcast(groups)
+    val local = rdd.flatMap { case (key, idx) =>
+      bq.value.getOrElse(key, Array.empty[(Long, Array[Float])])
+        .iterator.flatMap { case (qid, qv) =>
+          idx.search(qv, k, efSearch).iterator
+            .map { case (id, d) => (qid, id, d) }
+        }
+    }
+    val out = ProbeMerge.topK(local, k, treeMergeAt)
+    bq.destroy() // serving loop: don't accumulate per-batch broadcasts
+    out
+  }
+
   def unload(): Unit = rdd.unpersist()
 }
 

@@ -78,6 +78,19 @@ object MultiVec {
     val (qmax, bmax) = bagDims.getOrElse((
       queries.agg(max(col("pos"))).head().getInt(0) + 1,
       base.agg(max(col("pos"))).head().getInt(0) + 1))
+    // the composite-id contract: every bag position must fit its stride, or
+    // flat ids collide across docs and the candidate mapping silently
+    // returns plausible-but-wrong doc ids. Caller-supplied bagDims (the
+    // skip-the-agg fast path) are checked for shape here and for bound
+    // violations at first use below — a prebuilt index over a different
+    // flat encoding fails loudly instead of mis-routing.
+    require(qmax > 0 && bmax > 0, s"bagDims must be positive: ($qmax, $bmax)")
+    if (bagDims.isDefined && prebuilt.isDefined) {
+      val qBad = queries.where(col("pos") >= qmax || col("pos") < 0).limit(1)
+      require(qBad.isEmpty,
+        s"query bag position out of range for qmax=$qmax: the prebuilt " +
+          "index's flat encoding does not match these bags")
+    }
     val resident = prebuilt.getOrElse {
       val flat = base.select(
         (col("doc_id") * bmax + col("pos")).as("id"), col("vec"))

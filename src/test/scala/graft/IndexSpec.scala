@@ -449,6 +449,35 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(r >= 0.8, s"ivf,sq8 recall $r at nprobe=4, rerank=40")
   }
 
+  test("resident IVF×SQ8: exact at the degenerate point, equals the " +
+       "dataflow composition row-for-row at pruned knobs") {
+    val ivf = IvfIndex.build(base, c = 8, iters = 2)
+    val (mins, spans) = Sq8.train(base)
+    val served = ResidentIvfSq8.load(base, ivf, mins, spans, numPartitions = 4)
+    try {
+      def rs(df: DataFrame) =
+        df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+      // nprobe = C and rerank = n: every row reaches the exact float
+      // re-rank → brute force, quantization error irrelevant
+      val n = base.count().toInt
+      assert(rs(served.probeLocal(queries, 10, nprobe = served.numClusters,
+        rerank = n)) === rs(truth))
+      // pruned knobs: the resident scan's survivor set equals the dataflow
+      // form's (same integer coarse distances, same (dist, id) tie-break),
+      // so the refined rows match exactly
+      val flow = IvfSq8.knnWith(ivf, queries, base, 10, nprobe = 4,
+        rerank = 40, mins, spans)
+      assert(rs(served.probeLocal(queries, 10, nprobe = 4, rerank = 40))
+        === rs(flow))
+      // (the pruned-knob equality above is also the client-side encode
+      // parity check: a single differing query code would perturb the
+      // integer survivor set and break the row-for-row match)
+      val recall = Recall.mean(
+        served.probeLocal(queries, 10, nprobe = 4, rerank = 40), truth, 10)
+      assert(recall >= 0.8, s"resident ivf,sq8 recall $recall")
+    } finally served.unload()
+  }
+
   test("resident HNSW probes equal the per-batch persisted probes") {
     val b = TagFilter.withTags(emb)
     val q = TagFilter.tagQueries(emb, 10)
@@ -548,6 +577,23 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
       b.select($"id", $"vec", $"tags".getItem(0).as("label")), 10)
     val r = Recall.mean(got, truthF, 10)
     assert(r >= 0.9, s"subindex recall $r")
+    // serving-form batch probe (the Bench qps row's unit) equals the
+    // DataFrame group probe row-for-row through a held-open registry
+    val reg = TagSubindexes.loadResident(spark, path)
+    try {
+      val groups = q.select($"qid".cast("long"), $"qvec", $"qtag")
+        .as[(Long, Array[Float], Int)].collect()
+        .groupBy(_._3.toString)
+        .map { case (key, rows) =>
+          key -> rows.map { case (qid, qv, _) => (qid, qv) } }
+      val viaBatch = reg.probeGroupsBatch(groups, k = 10, efSearch = 64)
+        .map(t => (t._1, t._2, t._4)).toSet
+      val viaDf = reg.probeGroups(groups, k = 10, efSearch = 64)
+        .select($"qid".cast("long"), $"id".cast("long"), $"rank".cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(viaBatch === viaDf,
+        "probeGroupsBatch must equal probeGroups row-for-row")
+    } finally reg.unload()
   }
 
   test("grouped subindex build equals a standalone buildAndSave per tag, graph for graph") {

@@ -205,6 +205,14 @@ class KnnSpec extends AnyFunSuite with SparkSuite {
       assert(driver.nonEmpty)
       assert(tree.toSeq === driver.toSeq,
         "distributed maxsim reduce must equal the driver regime row-for-row")
+      // r7: the CANDIDATE-VOLUME trigger (the corpus-relative c knob at 10×
+      // rows floods a driver-side reduce long before the partition count
+      // does) must select the same distributed dataflow — identical rows
+      val vol = graft.index.MaxSimServe.probeBatch(
+        resident, qs, qmax = 2, bmax = 4, k = 10, c = 64, efSearch = 32,
+        treeAt = 64, maxDriverHits = 1)
+      assert(vol.toSeq === driver.toSeq,
+        "volume-triggered distributed regime must equal the driver regime")
       // prebuilt reuse: the ANN composition on a caller-owned index equals
       // the build-per-call form at the exact-degenerate point
       val n = flat.count().toInt
