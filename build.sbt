@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 8g forced multi-second G1 full/mixed collections mid-benchmark (the
+  // roaming spread>2 outliers); the box has 128 GiB, so default to a heap
+  // large enough that old-gen pressure never reaches the timed regions.
+  // Xms=Xmx + pre-touch so neither heap growth nor first-touch page faults
+  // land inside a timed batch.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
+) ++ sys.env.get("GRAFT_JVM_EXTRA").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -21,16 +21,22 @@ import scala.collection.mutable.ArrayBuffer
   *
   * INTERLEAVED reps (r7): the headline rows do NOT each run their reps in a
   * private loop. All fixtures build first (untimed), every row warms up
-  * twice, then the timed loop takes reps ROUND-ROBIN passes — pass i times
-  * one batch of EVERY row, in registration order, with one GC settle at the
-  * pass boundary. Slow environment drift (compaction, page cache churn, a
-  * neighbor process) lands on every row's sample i equally instead of
-  * concentrating on whichever row owned that wall-clock window, which is
-  * what made single rows read spread > 2 while flat in isolation (the r6
-  * whole-run ~2x noise band). Headline QPS is the MEDIAN batch rate and
-  * spread is max/min over the row's samples — a JVM-wide pause still lands
-  * somewhere, the median reports steady state, the spread reports the worst
-  * case, nothing is hidden and nothing roams.
+  * twice (a third warmup batch is timed as the CALIBRATION batch), then the
+  * timed loop takes reps ROUND-ROBIN passes — pass i takes one SAMPLE of
+  * EVERY row, in registration order. Slow environment drift (compaction,
+  * page cache churn, a neighbor process) lands on every row's sample i
+  * equally instead of concentrating on whichever row owned that wall-clock
+  * window, which is what made single rows read spread > 2 while flat in
+  * isolation (the r6 whole-run ~2x noise band). A sample is NOT one batch:
+  * fast rows run back-to-back batches until a ~0.8 s window fills and
+  * record the per-batch mean (a transient pause perturbs the sample by its
+  * share of the window, not of one 45 ms batch), while rows whose single
+  * batch already fills the window get a GC settle BEFORE each sample so
+  * accumulated old-gen debt is collected outside the timed region.
+  * Headline QPS is the MEDIAN per-batch rate and spread is max/min over
+  * the row's samples — a JVM-wide pause still lands somewhere, the median
+  * reports steady state, the spread reports the worst case, nothing is
+  * hidden and nothing roams.
   *
   * Methodology note (round-3 lesson): single-shot per-query times at sf0.1
   * swing up to 7× run-to-run on identical binaries, so the per-query map is
@@ -83,8 +89,15 @@ object Bench {
     // full TPC-H star schema isn't present and the serving qps block is
     // the object of measurement
     val qpsOnly = sys.env.get("SPARK_GRAFT_QPS_ONLY").contains("1")
+    // untimed warmups: q1_agg pays the session's first-job costs (codegen,
+    // parquet footer reads); knn_maxsim_ann builds the session-memoized
+    // flat-ip graph fixture so the one-time build doesn't land on whichever
+    // maxsim gate the map happens to time first (index builds are untimed
+    // everywhere else in this file — the serving rows' contract)
     if (!qpsOnly)
-      try run("q1_agg") catch { case _: Throwable => () } // untimed warmup
+      Seq("q1_agg", "knn_maxsim_ann").foreach { w =>
+        try run(w) catch { case _: Throwable => () }
+      }
     val results =
       if (qpsOnly) Map.empty[String, Double]
       else SparkEntry.queries.map { case (name, _) =>
@@ -124,6 +137,11 @@ object Bench {
     // and recall grading leave garbage whose eventual full collection
     // otherwise lands as one multi-second pause on a random row's batch
     def settle(): Unit = { System.gc(); Thread.sleep(100) }
+    // minimum timed-sample window (headline rows AND sweep points): a
+    // sample of a fast row averages enough back-to-back batches to fill
+    // this window, so a transient pause perturbs the sample by its share
+    // of the window rather than of one short batch
+    val minWindowSec = 0.8
 
     // -- interleaved headline registry (see the scaladoc) -------------------
     // each row: (name, one timed batch — must do its own result-nonempty
@@ -135,16 +153,27 @@ object Bench {
     def deferUnload(f: => Unit): Unit = teardowns += (() => f)
 
     // sweep-point variant: MEDIAN-batch qps (robust to one bad rep at the
-    // sweep's shorter run counts) + the point's own max/min spread.
-    // no settle() here: the median estimator already absorbs a one-off
-    // pause, and ~25 sweep points x a full GC would cost real wall clock
+    // sweep's shorter run counts) + the point's own max/min spread. Same
+    // sampling discipline as the headline loop (see the scaladoc): the
+    // second warmup calibrates the batch, fast points window enough
+    // back-to-back batches to fill ~0.8 s per sample, slow points settle()
+    // before each sample so accumulated old-gen debt is collected outside
+    // the timed region.
     def qpsPoint(mk: () => Int, nRuns: Int = 5): (Double, Double) = {
       try {
-        require(mk() > 0); require(mk() > 0) // two warmups: JIT + broadcast
+        require(mk() > 0) // warmup: JIT + broadcast
+        val c0 = System.nanoTime()
+        require(mk() > 0) // second warmup doubles as the calibration batch
+        val calib = (System.nanoTime() - c0) / 1e9
+        val iters = math.max(1, math.min(25,
+          math.ceil(minWindowSec / math.max(calib, 1e-3)).toInt))
         val times = (1 to nRuns).map { _ =>
+          if (iters == 1) settle()
           val t0 = System.nanoTime()
-          val rows = mk()
-          val dt = (System.nanoTime() - t0) / 1e9
+          var i = 0
+          var rows = 0
+          while (i < iters) { rows = mk(); i += 1 }
+          val dt = (System.nanoTime() - t0) / 1e9 / iters
           require(rows > 0); dt
         }.sorted
         (nq.toDouble / times(nRuns / 2),
@@ -666,23 +695,45 @@ object Bench {
     }
 
     // -- the interleaved timed loop (see scaladoc): 2 warmups per row in
-    // registration order, then `reps` round-robin passes — pass i times one
-    // batch of every row, so environment drift lands on every row equally
+    // registration order (the third doubles as the calibration batch),
+    // then `reps` round-robin passes over every row
     val failed = scala.collection.mutable.Set.empty[String]
-    headline.foreach { case (name, runOnce, _) =>
-      try { runOnce(); runOnce() }
-      catch { case _: Throwable => failed += name }
-    }
+    val calib = headline.map { case (name, runOnce, _) =>
+      name -> {
+        try {
+          runOnce(); runOnce()
+          val t0 = System.nanoTime()
+          runOnce()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => failed += name; 1.0 }
+      }
+    }.toMap
+    // min-window sample batching (r7): a ~45 ms batch turns ANY transient
+    // pause (a late JIT pass, old-gen collection of a heavy neighbor row's
+    // debt) into a 5–10× max sample, so fast rows read spread > 5 while
+    // flat in isolation. Each timed SAMPLE of a fast row runs enough
+    // back-to-back batches to fill ~0.8 s and records the per-batch mean —
+    // a transient now perturbs the sample by its share of the window, not
+    // of one batch. Slow rows (window already ≥ the minimum) instead get a
+    // settle() BEFORE each sample: their batches are big enough to absorb
+    // a full collection of accumulated debt, so the collection is taken
+    // outside the timed region — the per-row-loop rhythm the r6 bench had.
+    val sampleIters = headline.map { case (name, _, _) =>
+      name -> math.max(1, math.min(25,
+        math.ceil(minWindowSec / math.max(calib(name), 1e-3)).toInt))
+    }.toMap
     val samples = headline.map { case (name, _, _) =>
       name -> ArrayBuffer.empty[Double] }.toMap
     for (_ <- 1 to reps) {
-      settle()
       headline.foreach { case (name, runOnce, _) =>
         if (!failed(name)) {
           try {
+            val it = sampleIters(name)
+            if (it == 1) settle()
             val t0 = System.nanoTime()
-            runOnce()
-            samples(name) += (System.nanoTime() - t0) / 1e9
+            var i = 0
+            while (i < it) { runOnce(); i += 1 }
+            samples(name) += (System.nanoTime() - t0) / 1e9 / it
           } catch { case _: Throwable => failed += name }
         }
       }

@@ -40,15 +40,17 @@ object MaxSimServe {
     * Returns (qid, doc_id, dist = −score, rank) sorted by (qid, rank).
     *
     * `maxDriverHits` bounds the driver regime's collect: the pre-merge
-    * candidate stream is |qs|·c·P rows, and past ~10M boxed tuples per
-    * batch the driver's allocation rate dominates the batch time. The
-    * default keeps the sf0.1 operating point (500·1,280·8 ≈ 5.1M) on the
-    * fast path and pushes the 10×-corpus point (≈51M) to the distributed
-    * regime. */
+    * candidate stream is |qs|·c·P rows, and past a few million boxed
+    * tuples per batch the driver's allocation rate dominates the batch
+    * time (the r6 sf1 collapse: 5.1M hits/batch → multi-second GC pauses,
+    * spread 23). The default keeps the sf0.1 operating point
+    * (500·128·8 ≈ 0.5M) on the fast path with 4× headroom and pushes the
+    * 10×-corpus point (500·1,280·8 ≈ 5.1M, where the corpus-relative c
+    * knob has scaled 10×) to the distributed regime. */
   def probeBatch(resident: HnswResident, qs: Array[(Long, Array[Float])],
                  qmax: Int, bmax: Int, k: Int, c: Int, efSearch: Int,
                  treeAt: Int = 64,
-                 maxDriverHits: Long = 8L * 1000 * 1000): Array[(Long, Long, Double, Long)] = {
+                 maxDriverHits: Long = 2L * 1000 * 1000): Array[(Long, Long, Double, Long)] = {
     val parts = math.max(resident.numPartitions, 1)
     val driverHits = qs.length.toLong * c * parts
     if (parts < treeAt && driverHits <= maxDriverHits)
