@@ -160,6 +160,21 @@ final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
 }
 
 object IvfIndex {
+
+  /** Corpus-relative coarse-quantizer sizing: C = max(8, ⌈4·√n⌉), the
+    * published faiss guideline (C between 4·√n and 16·√n training points
+    * per the faiss index-factory docs); the reference's own operating
+    * point sits inside it — IVF16384 on 10M rows ≈ 5.2·√n
+    * (/root/reference/filter/faiss/config.yaml:50, README.md:43). A FIXED
+    * C is a scale bug in both directions: too coarse and routing prunes a
+    * constant fraction (nprobe=6 of C=8 scans 75% of ANY corpus — the r7
+    * serving rows' 13–15× collapse at 10× rows); too fine and k-means
+    * training and routing dominate. √n growth keeps points-per-cluster
+    * growing as √n too, so both the router (O(C·d)) and the scan
+    * (O(mass·n·d)) stay sublinear in n at a fixed mass fraction. */
+  def autoC(n: Long): Int =
+    math.max(8, math.ceil(4.0 * math.sqrt(n.toDouble)).toInt)
+
   /** Build: train on the base (or a sample of it) and assign every row. */
   def build(base: DataFrame, c: Int, iters: Int): IvfIndex = {
     val centroids = KMeans.fit(base, c, iters)

@@ -88,9 +88,13 @@ final class ResidentAdc(spark: SparkSession, rdd: RDD[AdcShard],
           row += 1
         }
         // exact re-rank of the survivors against the resident floats —
-        // the refine step, touching only `rerank` rows per (query, shard)
-        (0 until filled).iterator.map { i =>
-          val v = shard.vecs(bi(i))
+        // the refine step, touching only `rerank` rows per (query, shard) —
+        // then emit only this shard's k best (ProbeMerge.selectTopK)
+        val rid = new Array[Long](filled)
+        val rdv = new Array[Double](filled)
+        var i2 = 0
+        while (i2 < filled) {
+          val v = shard.vecs(bi(i2))
           val d0 = math.min(qv.length, v.length)
           var acc = 0.0
           var x = 0
@@ -102,8 +106,12 @@ final class ResidentAdc(spark: SparkSession, rdd: RDD[AdcShard],
               val t = qv(x).toDouble - v(x).toDouble; acc += t * t; x += 1
             }
           }
-          (qid, shard.ids(bi(i)), acc)
+          rid(i2) = shard.ids(bi(i2))
+          rdv(i2) = acc
+          i2 += 1
         }
+        ProbeMerge.selectTopK(rid, rdv, filled, k).iterator
+          .map { case (id, dd) => (qid, id, dd) }
       }
     }
     val out = ProbeMerge.topK(local, k, treeMergeAt)

@@ -32,9 +32,11 @@ final case class IvfAdcShard(
   * hash-matches brute force (the degenerate-point gate). */
 final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
                            cb: Pq.Codebook,
-                           centroids: Array[(Int, Array[Float])],
+                           router: CoarseRouter,
                            metric: String,
                            residual: Boolean = false) {
+
+  private def centroids: Array[(Int, Array[Float])] = router.centroids
 
   def numClusters: Int = centroids.length
 
@@ -88,23 +90,33 @@ final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
       Some(spark.sparkContext.broadcast(tbl))
     }
 
-  /** Route one query: the `nprobe` nearest centroids by L2 (the coarse
-    * quantizer's own metric, as in faiss). */
-  private def route(qv: Array[Float], nprobe: Int): Array[Int] =
-    centroids.map { case (cid, cvec) =>
-      var acc = 0.0
-      var i = 0
-      val n = math.min(qv.length, cvec.length)
-      while (i < n) { val t = qv(i).toDouble - cvec(i).toDouble; acc += t * t; i += 1 }
-      (cid, acc)
-    }.sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
-
   /** Serving-form batch probe: (qid, qvec) in, (qid, id, dist, rank) out,
     * dist = exact metric distance of the refined rows, (dist asc, id asc)
-    * ranking. */
+    * ranking. Routing is [[CoarseRouter.byNprobe]] on client threads. */
   def probeBatch(qs: Array[(Long, Array[Float])], k: Int, nprobe: Int,
                  rerank: Int,
                  treeMergeAt: Int = 64): Array[(Long, Long, Double, Long)] = {
+    val rt = router
+    probePrepped(qs, qv => rt.byNprobe(qv, nprobe), k, rerank, treeMergeAt)
+  }
+
+  /** [[probeBatch]] with MASS-ADAPTIVE routing: the knob is the corpus
+    * fraction scanned, which keeps its meaning at every C and corpus size
+    * (see [[CoarseRouter.byMass]]); minMass = 1.0 degenerates to the full
+    * fan-out (exact with rerank ≥ n — the hash-gate point). */
+  def probeBatchMass(qs: Array[(Long, Array[Float])], k: Int,
+                     minMass: Double, rerank: Int,
+                     maxNprobe: Int = Int.MaxValue,
+                     treeMergeAt: Int = 64): Array[(Long, Long, Double, Long)] = {
+    val rt = router
+    probePrepped(qs, qv => rt.byMass(qv, minMass, maxNprobe), k, rerank,
+      treeMergeAt)
+  }
+
+  private def probePrepped(qs: Array[(Long, Array[Float])],
+                           routeFn: Array[Float] => Array[Int], k: Int,
+                           rerank: Int,
+                           treeMergeAt: Int): Array[(Long, Long, Double, Long)] = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
     val stride = cb.stride
     val dsub = cb.dsub
@@ -115,8 +127,9 @@ final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
     // m-vector of −2⟨c_j,q_j⟩ corrections per routed cluster (see term2Bc)
     // — the full per-(query, cluster) LUT is assembled shard-side from the
     // precomputed table, in m·stride adds, into a reusable scratch buffer.
-    val routed = qs.map { case (qid, qv) =>
-      val cids = route(qv, nprobe)
+    // Per-query prep (route + LUT) is independent → client-parallel.
+    val routed = Router.parallelMap(qs) { case (qid, qv) =>
+      val cids = routeFn(qv)
       val lut = Pq.lutLocal(qv, cb, metric)
       val qc: Array[Array[Double]] =
         if (isRes) cids.map { cid =>
@@ -200,9 +213,12 @@ final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
           }
           ci += 1
         }
-        // float refine of the survivors (the reference's refine step)
-        (0 until filled).iterator.map { i =>
-          val v = bVec(i)
+        // float refine of the survivors (the reference's refine step),
+        // then emit only this shard's k best — see ProbeMerge.selectTopK
+        val rd = new Array[Double](filled)
+        var i2 = 0
+        while (i2 < filled) {
+          val v = bVec(i2)
           val d0 = math.min(qv.length, v.length)
           var acc = 0.0
           var x = 0
@@ -214,8 +230,11 @@ final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
               val t = qv(x).toDouble - v(x).toDouble; acc += t * t; x += 1
             }
           }
-          (qid, bId(i), acc)
+          rd(i2) = acc
+          i2 += 1
         }
+        ProbeMerge.selectTopK(bId, rd, filled, k).iterator
+          .map { case (id, dd) => (qid, id, dd) }
       }
     }
     val out = ProbeMerge.topK(local, k, treeMergeAt)
@@ -230,6 +249,16 @@ final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
     val qs = queries.select(col("qid").cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect()
     spark.createDataFrame(probeBatch(qs, k, nprobe, rerank).toSeq)
+      .toDF("qid", "id", "dist", "rank")
+  }
+
+  /** [[probeBatchMass]] with DataFrame plumbing on both ends. */
+  def probeLocalMass(queries: DataFrame, k: Int, minMass: Double,
+                     rerank: Int): DataFrame = {
+    import spark.implicits._
+    val qs = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect()
+    spark.createDataFrame(probeBatchMass(qs, k, minMass, rerank).toSeq)
       .toDF("qid", "id", "dist", "rank")
   }
 
@@ -278,6 +307,10 @@ object ResidentIvfAdc {
       .select(col("cid").cast("int"), col("cvec")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+    // cluster populations for mass-adaptive routing: one count aggregate
+    val sizes = ivf.assigned.groupBy(col("cid").cast("int").as("cid"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Int, Long)].collect().toMap
     val rdd = coded
       .select(col("id"), col("cid"), col("vec"), col("codes"))
       .repartition(numPartitions, col("id"))
@@ -297,6 +330,7 @@ object ResidentIvfAdc {
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     rdd.count() // materialize before the first probe
-    new ResidentIvfAdc(spark, rdd, cb, cents, metric, residual)
+    new ResidentIvfAdc(spark, rdd, cb, new CoarseRouter(cents, sizes),
+      metric, residual)
   }
 }

@@ -20,38 +20,33 @@ final case class IvfSq8Shard(
 /** The reference baseline's LITERAL index composition, served resident:
   * `indexkey=IVF16384,SQ8` (/root/reference/filter/faiss/config.yaml:50-53)
   * — IVF coarse routing × scalar-quantized integer scan × exact float
-  * re-rank. A probe batch routes each query to its `nprobe` nearest
-  * centroids ON THE CLIENT (the centroid table is tiny), SQ8-encodes the
-  * query with the same trained (mins, spans) affine map the corpus codes
-  * used, broadcasts (query, query codes, routed clusters), and one narrow
-  * job integer-L2-scans ONLY the routed clusters' rows in each shard,
-  * float-refines the `rerank` best in-shard, and fans in through
-  * [[ProbeMerge]] — identical serving economics to [[ResidentIvfAdc]],
-  * with the 1-byte-per-component scan the reference's 10M×192 RAM budget
-  * relies on.
+  * re-rank. A probe batch routes each query to its nearest centroids
+  * (fixed `nprobe` or mass-adaptive `minMass` — see [[CoarseRouter]]),
+  * SQ8-encodes the query with the same trained (mins, spans) affine map
+  * the corpus codes used, broadcasts the batch, and one narrow job
+  * integer-L2-scans ONLY the routed clusters' rows in each shard,
+  * float-refines the `rerank` best in-shard, and fans the per-shard top-k
+  * in through [[ProbeMerge]] — identical serving economics to
+  * [[ResidentIvfAdc]], with the 1-byte-per-component scan the reference's
+  * 10M×192 RAM budget relies on. Routing runs client-side on many threads
+  * below [[Router.shardRouteVolume]] and SHARD-SIDE above it (the router
+  * broadcasts once at load), so neither a large C nor a large batch ever
+  * serializes on the driver.
   *
   * Per-query work is bounded by the routed clusters' population. At
-  * nprobe = C with rerank ≥ n every row reaches the exact float re-rank,
-  * so the served batch hash-matches brute force regardless of quantization
-  * error (the `ann_ivfsq8_served_exact` degenerate-point gate); operating
-  * points are recall-graded like every approximate row. Results equal
-  * [[IvfSq8.knnWith]] on the same (ivf, mins, spans) at matched knobs. */
+  * nprobe = C (or minMass = 1.0) with rerank ≥ n every row reaches the
+  * exact float re-rank, so the served batch hash-matches brute force
+  * regardless of quantization error (the `ann_ivfsq8_served_exact`
+  * degenerate-point gate); operating points are recall-graded like every
+  * approximate row. Results equal [[IvfSq8.knnWith]] on the same
+  * (ivf, mins, spans) at matched knobs. */
 final class ResidentIvfSq8(spark: SparkSession, rdd: RDD[IvfSq8Shard],
-                           centroids: Array[(Int, Array[Float])],
+                           router: CoarseRouter,
                            mins: Array[Double], spans: Array[Double]) {
 
-  def numClusters: Int = centroids.length
+  def numClusters: Int = router.numClusters
 
-  /** Route one query: the `nprobe` nearest centroids by L2 (the coarse
-    * quantizer's own metric, as in faiss). */
-  private def route(qv: Array[Float], nprobe: Int): Array[Int] =
-    centroids.map { case (cid, cvec) =>
-      var acc = 0.0
-      var i = 0
-      val n = math.min(qv.length, cvec.length)
-      while (i < n) { val t = qv(i).toDouble - cvec(i).toDouble; acc += t * t; i += 1 }
-      (cid, acc)
-    }.sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
+  private val routerBc = spark.sparkContext.broadcast(router)
 
   /** Client-side SQ8 encode — the EXACT arithmetic of [[Sq8.encodeCol]]
     * (same round-half-up on the same double expression), so served coarse
@@ -67,72 +62,75 @@ final class ResidentIvfSq8(spark: SparkSession, rdd: RDD[IvfSq8Shard],
     out
   }
 
-  /** Serving-form batch probe: (qid, qvec) in, (qid, id, dist, rank) out,
-    * dist = exact float L2 of the refined rows, (dist asc, id asc)
-    * ranking. */
+  /** Serving-form batch probe at a fixed routing count: (qid, qvec) in,
+    * (qid, id, dist, rank) out, dist = exact float L2 of the refined rows,
+    * (dist asc, id asc) ranking. */
   def probeBatch(qs: Array[(Long, Array[Float])], k: Int, nprobe: Int,
                  rerank: Int,
                  treeMergeAt: Int = 64): Array[(Long, Long, Double, Long)] = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
-    val routed = qs.map { case (qid, qv) =>
-      (qid, qv, encode(qv), route(qv, nprobe))
+    val rt = router
+    val routed = Router.parallelMap(qs) { case (qid, qv) =>
+      (qid, qv, encode(qv), rt.byNprobe(qv, nprobe))
     }
+    probeRouted(routed, k, rerank, treeMergeAt)
+  }
+
+  /** [[probeBatch]] with MASS-ADAPTIVE routing — the corpus-fraction knob
+    * that holds its meaning across scales (see [[CoarseRouter.byMass]]).
+    * Past [[Router.shardRouteVolume]] (nq·C·d) the routing itself moves
+    * into the scan job: shards route the broadcast queries themselves, so
+    * a C in the thousands never serializes the driver. `shardRoute`
+    * overrides the automatic choice (both paths produce identical rows —
+    * spec-asserted). */
+  def probeBatchMass(qs: Array[(Long, Array[Float])], k: Int,
+                     minMass: Double, rerank: Int,
+                     maxNprobe: Int = Int.MaxValue,
+                     treeMergeAt: Int = 64,
+                     shardRoute: Option[Boolean] = None): Array[(Long, Long, Double, Long)] = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val onShards = shardRoute.getOrElse(
+      qs.length.toLong * router.numClusters * mins.length >
+        Router.shardRouteVolume)
+    if (!onShards) {
+      val rt = router
+      val routed = Router.parallelMap(qs) { case (qid, qv) =>
+        (qid, qv, encode(qv), rt.byMass(qv, minMass, maxNprobe))
+      }
+      probeRouted(routed, k, rerank, treeMergeAt)
+    } else {
+      val coded = Router.parallelMap(qs) { case (qid, qv) =>
+        (qid, qv, encode(qv))
+      }
+      val bq = spark.sparkContext.broadcast(coded)
+      val rb = routerBc
+      val mm = minMass
+      val mp = maxNprobe
+      val kk = k
+      val rr = rerank
+      val local = rdd.flatMap { shard =>
+        val rt = rb.value
+        bq.value.iterator.flatMap { case (qid, qv, qc) =>
+          ResidentIvfSq8.scanShard(shard, qid, qv, qc,
+            rt.byMass(qv, mm, mp), kk, rr)
+        }
+      }
+      val out = ProbeMerge.topK(local, k, treeMergeAt)
+      bq.destroy() // serving loop: don't accumulate per-batch broadcasts
+      out
+    }
+  }
+
+  private def probeRouted(
+      routed: Array[(Long, Array[Float], Array[Short], Array[Int])],
+      k: Int, rerank: Int,
+      treeMergeAt: Int): Array[(Long, Long, Double, Long)] = {
     val bq = spark.sparkContext.broadcast(routed)
+    val kk = k
+    val rr = rerank
     val local = rdd.flatMap { shard =>
       bq.value.iterator.flatMap { case (qid, qv, qc, cids) =>
-        val r = rerank
-        // bounded insertion, (coarse dist asc, id asc) — integer SQ8
-        // distances kept exact in Int (d·255² fits comfortably)
-        val bd = new Array[Int](r)
-        val bId = new Array[Long](r)
-        val bVec = new Array[Array[Float]](r)
-        var filled = 0
-        var ci = 0
-        while (ci < cids.length) {
-          shard.clusters.get(cids(ci)) match {
-            case Some((ids, codes, vecs)) =>
-              val d = shard.d
-              val n = ids.length
-              var row = 0
-              while (row < n) {
-                val off = row * d
-                var acc = 0
-                var j = 0
-                val lim = math.min(d, qc.length)
-                while (j < lim) {
-                  val t = qc(j) - codes(off + j)
-                  acc += t * t
-                  j += 1
-                }
-                val id = ids(row)
-                if (filled < r || acc < bd(filled - 1) ||
-                    (acc == bd(filled - 1) && id < bId(filled - 1))) {
-                  var pos = math.min(filled, r - 1)
-                  while (pos > 0 && (bd(pos - 1) > acc ||
-                         (bd(pos - 1) == acc && bId(pos - 1) > id))) {
-                    bd(pos) = bd(pos - 1); bId(pos) = bId(pos - 1)
-                    bVec(pos) = bVec(pos - 1); pos -= 1
-                  }
-                  bd(pos) = acc; bId(pos) = id; bVec(pos) = vecs(row)
-                  if (filled < r) filled += 1
-                }
-                row += 1
-              }
-            case None =>
-          }
-          ci += 1
-        }
-        // exact float refine of the survivors (the reference's refine step)
-        (0 until filled).iterator.map { i =>
-          val v = bVec(i)
-          val d0 = math.min(qv.length, v.length)
-          var acc = 0.0
-          var x = 0
-          while (x < d0) {
-            val t = qv(x).toDouble - v(x).toDouble; acc += t * t; x += 1
-          }
-          (qid, bId(i), acc)
-        }
+        ResidentIvfSq8.scanShard(shard, qid, qv, qc, cids, kk, rr)
       }
     }
     val out = ProbeMerge.topK(local, k, treeMergeAt)
@@ -150,13 +148,99 @@ final class ResidentIvfSq8(spark: SparkSession, rdd: RDD[IvfSq8Shard],
       .toDF("qid", "id", "dist", "rank")
   }
 
-  def unload(): Unit = rdd.unpersist()
+  /** [[probeBatchMass]] with DataFrame plumbing on both ends. */
+  def probeLocalMass(queries: DataFrame, k: Int, minMass: Double,
+                     rerank: Int): DataFrame = {
+    import spark.implicits._
+    val qs = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect()
+    spark.createDataFrame(probeBatchMass(qs, k, minMass, rerank).toSeq)
+      .toDF("qid", "id", "dist", "rank")
+  }
+
+  def unload(): Unit = {
+    rdd.unpersist()
+    routerBc.destroy()
+  }
 }
 
 object ResidentIvfSq8 {
+
+  /** One (query, shard) probe: integer-SQ8 scan of the routed clusters
+    * into a `rerank`-bounded (coarse dist asc, id asc) buffer, exact
+    * float refine of the survivors, then this shard's k best only
+    * ([[ProbeMerge.selectTopK]]). Static so the scan closure captures no
+    * driver-side state. */
+  private[index] def scanShard(shard: IvfSq8Shard, qid: Long,
+                               qv: Array[Float], qc: Array[Short],
+                               cids: Array[Int], k: Int,
+                               rerank: Int): Iterator[(Long, Long, Double)] = {
+    val r = rerank
+    // bounded insertion, (coarse dist asc, id asc) — integer SQ8
+    // distances kept exact in Int (d·255² fits comfortably)
+    val bd = new Array[Int](r)
+    val bId = new Array[Long](r)
+    val bVec = new Array[Array[Float]](r)
+    var filled = 0
+    var ci = 0
+    while (ci < cids.length) {
+      shard.clusters.get(cids(ci)) match {
+        case Some((ids, codes, vecs)) =>
+          val d = shard.d
+          val n = ids.length
+          var row = 0
+          while (row < n) {
+            val off = row * d
+            var acc = 0
+            var j = 0
+            val lim = math.min(d, qc.length)
+            while (j < lim) {
+              val t = qc(j) - codes(off + j)
+              acc += t * t
+              j += 1
+            }
+            val id = ids(row)
+            if (filled < r || acc < bd(filled - 1) ||
+                (acc == bd(filled - 1) && id < bId(filled - 1))) {
+              var pos = math.min(filled, r - 1)
+              while (pos > 0 && (bd(pos - 1) > acc ||
+                     (bd(pos - 1) == acc && bId(pos - 1) > id))) {
+                bd(pos) = bd(pos - 1); bId(pos) = bId(pos - 1)
+                bVec(pos) = bVec(pos - 1); pos -= 1
+              }
+              bd(pos) = acc; bId(pos) = id; bVec(pos) = vecs(row)
+              if (filled < r) filled += 1
+            }
+            row += 1
+          }
+        case None =>
+      }
+      ci += 1
+    }
+    // exact float refine of the survivors (the reference's refine step),
+    // then emit only this shard's k best — see ProbeMerge.selectTopK for
+    // why k, not rerank, is the emission bound
+    val rd = new Array[Double](filled)
+    var i2 = 0
+    while (i2 < filled) {
+      val v = bVec(i2)
+      val d0 = math.min(qv.length, v.length)
+      var acc = 0.0
+      var x = 0
+      while (x < d0) {
+        val t = qv(x).toDouble - v(x).toDouble; acc += t * t; x += 1
+      }
+      rd(i2) = acc
+      i2 += 1
+    }
+    ProbeMerge.selectTopK(bId, rd, filled, k).iterator
+      .map { case (id, dd) => (qid, id, dd) }
+  }
+
   /** Assign `base` = (id, vec) to `ivf`'s clusters, SQ8-encode with the
     * trained (mins, spans), and pin cluster-grouped code shards resident.
-    * Build once, probe many. */
+    * Build once, probe many. Cluster populations (for mass routing) come
+    * from one count aggregate over the assignment. */
   def load(base: DataFrame, ivf: IvfIndex, mins: Array[Double],
            spans: Array[Double], numPartitions: Int): ResidentIvfSq8 = {
     val spark = base.sparkSession
@@ -169,6 +253,9 @@ object ResidentIvfSq8 {
       .select(col("cid").cast("int"), col("cvec")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+    val sizes = ivf.assigned.groupBy(col("cid").cast("int").as("cid"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Int, Long)].collect().toMap
     val d = mins.length
     val rdd = coded
       .select(col("id"), col("cid"), col("vec"), col("codes"))
@@ -190,6 +277,6 @@ object ResidentIvfSq8 {
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     rdd.count() // materialize before the first probe
-    new ResidentIvfSq8(spark, rdd, cents, mins, spans)
+    new ResidentIvfSq8(spark, rdd, new CoarseRouter(cents, sizes), mins, spans)
   }
 }

@@ -478,6 +478,45 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     } finally served.unload()
   }
 
+  test("mass-adaptive IVF routing: exact at minMass=1, client- and " +
+       "shard-side routing identical, ADC twin agrees at the same mass") {
+    val ivf = IvfIndex.build(base, c = 8, iters = 2)
+    val (mins, spans) = Sq8.train(base)
+    val served = ResidentIvfSq8.load(base, ivf, mins, spans, numPartitions = 4)
+    val cb = Pq.train(base, m = 4, ksub = 16, iters = 2)
+    val adc = ResidentIvfAdc.load(base, ivf, cb, numPartitions = 4)
+    try {
+      def rs(df: DataFrame) =
+        df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+      val n = base.count().toInt
+      // minMass = 1.0 walks every cluster; rerank = n floats every row
+      // through the exact refine → brute force (the hash-gate point)
+      assert(rs(served.probeLocalMass(queries, 10, minMass = 1.0,
+        rerank = n)) === rs(truth))
+      assert(rs(adc.probeLocalMass(queries, 10, minMass = 1.0,
+        rerank = n)) === rs(truth))
+      // pruned mass: shard-side routing (the large-C serving path) must
+      // produce the client-side rows verbatim — same router, same order
+      val qs = queries.select($"qid".cast("long"), $"qvec")
+        .as[(Long, Array[Float])].collect()
+      val client = served.probeBatchMass(qs, 10, minMass = 0.5, rerank = 40,
+        shardRoute = Some(false))
+      val shardSide = served.probeBatchMass(qs, 10, minMass = 0.5,
+        rerank = 40, shardRoute = Some(true))
+      assert(client.toSeq === shardSide.toSeq)
+      // mass routing scans at least the requested fraction's best clusters,
+      // so at equal (mass ≈ nprobe/C) budgets recall is comparable to the
+      // fixed-nprobe route on this near-uniform corpus
+      val r = Recall.mean(
+        served.probeLocalMass(queries, 10, minMass = 0.5, rerank = 40),
+        truth, 10)
+      assert(r >= 0.7, s"mass-routed ivf,sq8 recall $r at minMass=0.5")
+    } finally {
+      served.unload()
+      adc.unload()
+    }
+  }
+
   test("resident HNSW probes equal the per-batch persisted probes") {
     val b = TagFilter.withTags(emb)
     val q = TagFilter.tagQueries(emb, 10)

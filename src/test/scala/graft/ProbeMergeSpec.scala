@@ -49,4 +49,19 @@ class ProbeMergeSpec extends AnyFunSuite with SparkSuite {
     assert(driver.map(_._2).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L))
     assert(rows(tree) === rows(driver))
   }
+
+  test("selectTopK: (dist asc, id asc) over a filled prefix, ties and " +
+       "short inputs") {
+    val ids = Array(5L, 2L, 9L, 1L, 7L, 999L)
+    val ds = Array(3.0, 1.0, 1.0, 4.0, 1.0, -1.0)
+    // filled = 5 ignores the trailing slot; ties on 1.0 order by id asc
+    assert(ProbeMerge.selectTopK(ids, ds, filled = 5, k = 3).toSeq ===
+      Seq((2L, 1.0), (7L, 1.0), (9L, 1.0)))
+    assert(ProbeMerge.selectTopK(ids, ds, filled = 5, k = 4).toSeq ===
+      Seq((2L, 1.0), (7L, 1.0), (9L, 1.0), (5L, 3.0)))
+    // k > filled returns everything, fully ranked
+    assert(ProbeMerge.selectTopK(ids, ds, filled = 2, k = 10).toSeq ===
+      Seq((2L, 1.0), (5L, 3.0)))
+    assert(ProbeMerge.selectTopK(ids, ds, filled = 0, k = 3).isEmpty)
+  }
 }
