@@ -21,41 +21,48 @@ import scala.collection.mutable.ArrayBuffer
   *
   * INTERLEAVED reps (r7): the headline rows do NOT each run their reps in a
   * private loop. All fixtures build first (untimed), every row warms up
-  * twice (a third warmup batch is timed as the CALIBRATION batch), then the
-  * timed loop takes reps ROUND-ROBIN passes — pass i takes one SAMPLE of
-  * EVERY row, in registration order. Slow environment drift (compaction,
-  * page cache churn, a neighbor process) lands on every row's sample i
-  * equally instead of concentrating on whichever row owned that wall-clock
-  * window, which is what made single rows read spread > 2 while flat in
-  * isolation (the r6 whole-run ~2x noise band). A sample is NOT one batch:
-  * fast rows run back-to-back batches until a ~0.8 s window fills and
-  * record the per-batch mean (a transient pause perturbs the sample by its
-  * share of the window, not of one 45 ms batch), while rows whose single
-  * batch already fills the window get a GC settle BEFORE each sample so
-  * accumulated old-gen debt is collected outside the timed region.
-  * Headline QPS is the MEDIAN per-batch rate and spread is max/min over
-  * the row's samples — a JVM-wide pause still lands somewhere, the median
-  * reports steady state, the spread reports the worst case, nothing is
-  * hidden and nothing roams.
+  * once and then times two CALIBRATION batches (their min classifies the
+  * row fast/slow — min, so one transient pause can't misclassify), then
+  * the timed loop takes reps ROUND-ROBIN passes — pass i takes one SAMPLE
+  * of EVERY row, in registration order. Slow environment drift
+  * (compaction, page cache churn, a neighbor process) lands on every
+  * row's sample i equally instead of concentrating on whichever row owned
+  * that wall-clock window, which is what made single rows read spread > 2
+  * while flat in isolation (the r6 whole-run ~2x noise band). A sample is
+  * NOT one batch: fast rows run back-to-back batches until a ~0.8 s
+  * window fills and record the window's MEDIAN batch time (a transient
+  * pause inside a ≥3-batch window doesn't perturb the sample at all),
+  * while rows whose single batch already fills the window get a GC settle
+  * BEFORE each sample plus a GC-aware single retake (see the timed-loop
+  * comment). Headline QPS is the MEDIAN per-batch rate and spread is
+  * max/min over the row's samples — a JVM-wide pause still lands
+  * somewhere, the median reports steady state, the spread reports the
+  * worst case, and every sample's GC time is measured so a surviving
+  * outlier carries its stall attribution (gc_worst_ms) in the artifact.
   *
   * Methodology note (round-3 lesson): single-shot per-query times at sf0.1
   * swing up to 7× run-to-run on identical binaries, so the per-query map is
   * DIAGNOSTIC ONLY — throughput conclusions must come from the qps block.
   *
-  * Budget knobs are CORPUS-RELATIVE (r6): rerank / candidate-c / postings-m
-  * scale linearly with corpus size from their stated sf0.1 values
-  * (n = 2000 reference), and the graph beam efSearch scales with partition
-  * graph size, so rows at different scale factors compare at matched
-  * recall. The sweeps ALSO carry ABSOLUTE knob points (r7) — efSearch
-  * {8, 16, 24, 32} on the graph tracks, rerank {20, 40, 80} on ADC,
-  * candidate-c {25, 50, 100} on the binary rerank tier, {64, 128, 256} on
-  * MaxSim: corpus-relative scaling means the lowest scaled point at 10×
-  * rows already over-delivers recall, and the reference's own knobs are
-  * absolute (its sweep reaches down to Ls=30, ood/diskann/config.yaml:22-27,
-  * precisely to hit its 0.9 grading recall; faiss's k_factor doesn't scale
-  * with corpus) — the absolute points put a matched-recall operating point
-  * in the artifact at every scale. Fraction-shaped knobs (nprobe of C,
-  * minMass) don't scale.
+  * Knob policy (r8): each family SWEEPS its knob and the HEADLINE row runs
+  * at the MATCHED-RECALL operating point — the smallest swept knob whose
+  * measured recall clears 0.9 (fallback: the best-recall point if none
+  * does), the recall BASELINE.md's own rows are graded at (the reference
+  * sweeps its knobs for the same reason: Ls down to 30,
+  * ood/diskann/config.yaml:22-27). Which knobs scale with the corpus is
+  * per-family physics, and the sweep + auto-pick absorbs it instead of a
+  * blanket rule: graph beams (ef) and ADC rerank grow ~log n for fixed
+  * recall so their sweeps are ABSOLUTE grids; IVF routing is a corpus
+  * FRACTION (minMassPct — a fixed nprobe of a corpus-relative C means
+  * nothing across scales) with C itself corpus-relative
+  * (IvfIndex.autoC ≈ 4√n — the r7 bench pinned C=8 at every scale, so
+  * nprobe=6 scanned 75% of ANY corpus and the ivf*_served rows collapsed
+  * 13–15× at 10× rows); MaxSim's hit count c, the binary tier's
+  * candidate c, and the postings budget m genuinely grow ~linearly with n
+  * (measured at 10× rows: absolute c points lose recall fast — candidate
+  * generation has to cover a corpus-sized answer set), so those keep
+  * corpus-relative points in their sweeps alongside the absolute ones and
+  * their headlines stay at the corpus-relative operating point.
   *
   * Sweep points (r5 lesson, tightened r7): every sweep point reports
   * MEDIAN-batch QPS plus its own max/min spread — the curve's shape comes
@@ -171,9 +178,23 @@ object Bench {
       .empty[String, ArrayBuffer[(Int, String, Double)]]
     def registerSweepPoint(family: String, knob: Int, norm: Double,
                            recall: Double)(runOnce: => Unit): Unit = {
+      val pts = sweepReg.getOrElseUpdate(family, ArrayBuffer.empty)
+      // duplicate knobs would share one samples buffer through the
+      // name-keyed maps below and silently merge 2×reps samples
+      require(!pts.exists(_._1 == knob), s"duplicate sweep point $family:$knob")
       val nm = s"sweep:$family:$knob"
       register(nm, norm)(runOnce)
-      sweepReg.getOrElseUpdate(family, ArrayBuffer.empty) += ((knob, nm, recall))
+      pts += ((knob, nm, recall))
+    }
+
+    // matched-recall operating point: the smallest swept knob clearing the
+    // 0.9 grading recall (BASELINE.md's rows are @0.9); if no point clears
+    // it, the best-recall point — the headline is then honestly sub-0.9
+    // and its recall says so in the artifact
+    def pickKnob(points: Seq[(Int, Double)], floor: Double = 0.9): Int = {
+      val sorted = points.sortBy(_._1)
+      sorted.find(_._2 >= floor).map(_._1)
+        .getOrElse(sorted.maxBy(_._2)._1)
     }
 
     // shared serving fixtures
@@ -235,19 +256,30 @@ object Bench {
       .as[(Long, Array[Float], Int)].collect()
       .groupBy(_._3.toString)
       .map { case (key, qs) => key -> qs.map { case (qid, qv, _) => (qid, qv) } }
-    val subindexEf = 16 * knobScale
+    // per-tag graphs hold ~n/10 nodes each, so the beam is an absolute
+    // grid like the flat graphs'; truth is the exact filtered scan,
+    // collected once. Headline = matched-recall pick; the planner row
+    // below reuses the picked beam (its graph branch probes this registry).
+    val subTruth = localTruth(operators.TagFilter.filteredKnn(
+      subQ.select(col("qid"), col("qvec"), array(col("qtag")).as("qtags")),
+      tagged, 10))
+    val subindexRecalls = Seq(16, 24, 32, 48).map { ef =>
+      val got = spark.createDataFrame(
+        tagRegistry.probeGroupsBatch(subGroups, 10, ef).toSeq)
+        .toDF("qid", "id", "dist", "rank")
+      ef -> operators.Recall.mean(got, subTruth, 10)
+    }
+    subindexRecalls.foreach { case (ef, r) =>
+      registerSweepPoint("filtered_knn_subindex", ef, nq, r) {
+        require(tagRegistry
+          .probeGroupsBatch(subGroups, k = 10, efSearch = ef).nonEmpty)
+      }
+    }
+    val subindexEf = pickKnob(subindexRecalls)
+    val subindexRecall = subindexRecalls.toMap.apply(subindexEf)
     register("filtered_knn_subindex", nq) {
       require(tagRegistry
         .probeGroupsBatch(subGroups, k = 10, efSearch = subindexEf).nonEmpty)
-    }
-    val subindexRecall = {
-      val got = spark.createDataFrame(
-        tagRegistry.probeGroupsBatch(subGroups, 10, subindexEf).toSeq)
-        .toDF("qid", "id", "dist", "rank")
-      val truth = operators.TagFilter.filteredKnn(
-        subQ.select(col("qid"), col("qvec"), array(col("qtag")).as("qtags")),
-        tagged, 10)
-      operators.Recall.mean(got, truth, 10)
     }
 
     // filter track, PLANNER serving form (the reference's flagship,
@@ -312,20 +344,19 @@ object Bench {
       spark.sqlContext.clearCache()
     }
 
-    // sparse track: budgeted MIPS over term-frequency vectors (dataflow)
+    // sparse track: budgeted MIPS over term-frequency vectors. The budget
+    // sweep is the reference's swept linscan budget
+    // (sparse/linscan/config.yaml:36, 5–500 ms → our top-m bound); recall
+    // is vs the UNtruncated exact MIPS answer per operating point. The top
+    // point is m = |docs| — no truncation, recall exactly 1.0 — so the
+    // sweep always contains a ≥0.9 point, and the HEADLINES (dataflow and
+    // served, same picked m) run the matched-recall pick: BASELINE's
+    // sparse row is "QPS at ≥90% recall", so a headline at an unmatched
+    // budget point is not comparable to it. The synthetic tf corpus is
+    // tie-heavy, so small budgets trade recall much more steeply here
+    // than SPLADE weights would — the curve makes that explicit.
     val tf = operators.Sparse.fromTermFreq(Tables.documents(spark, sfDir))
     val sparseNq = math.min(200L, Tables.documents(spark, sfDir).count() / 2).toInt
-    register("sparse_budget", sparseNq) {
-      noop(operators.Sparse.budgetedMips(
-        tf.where(col("id") < sparseNq)
-          .select(col("id").as("qid"), col("dim"), col("v").as("qv")),
-        tf, k = 10, m = 16 * knobScale))
-      spark.sqlContext.clearCache()
-    }
-    // sparse track, SERVING form: executor-resident truncated postings —
-    // linscan's in-memory inverted index (linscan.py:19-56), query batch
-    // in / ranked answers out; equals the budgetedMips dataflow row-for-row
-    // (SparseSpec-asserted), so its recall is the dataflow's by identity.
     val sparseQueries = tf.where(col("id") < sparseNq)
       .select(col("id").as("qid"), col("dim"), col("v").as("qv"))
     val sqs = tf.where(col("id") < sparseNq)
@@ -334,25 +365,11 @@ object Bench {
       .as[(Long, String, Long)].collect()
       .groupBy(_._1).toArray.sortBy(_._1)
       .map { case (qid, rows) => (qid, rows.map(_._2), rows.map(_._3)) }
-    val sparseServed = index.ResidentPostings.load(tf, m = 16 * knobScale,
-      numPartitions = 8)
-    deferUnload(sparseServed.unload())
-    register("sparse_budget_served", sparseNq) {
-      require(sparseServed.probeBatch(sqs, k = 10).nonEmpty)
-    }
-    // postings-budget sweep (the reference's swept linscan budget,
-    // sparse/linscan/config.yaml:36, 5–500 ms → our top-m bound): recall
-    // vs the UNtruncated exact MIPS answer per operating point. The top
-    // point is m = |docs| — no truncation, recall exactly 1.0 — so the
-    // sweep always contains a ≥0.9-recall operating point (the BASELINE
-    // row's unit); the synthetic tf corpus is tie-heavy, so small
-    // budgets trade recall much more steeply here than SPLADE weights
-    // would, and the curve makes that explicit.
-    locally {
+    val (sparseM, sparseRecall) = locally {
       val truth = localTruth(operators.Sparse.mips(sparseQueries, tf, 10))
       val mFull = Tables.documents(spark, sfDir).count().toInt
-      Seq(16 * knobScale, 256 * knobScale, mFull)
-        .map(math.min(_, mFull)).distinct.foreach { m =>
+      val recalls = Seq(16 * knobScale, 256 * knobScale, mFull)
+        .map(math.min(_, mFull)).distinct.map { m =>
         // per-point residents stay pinned through the interleaved loop
         val s = index.ResidentPostings.load(tf, m, numPartitions = 8)
         deferUnload(s.unload())
@@ -360,57 +377,71 @@ object Bench {
         registerSweepPoint("sparse_budget_served", m, sparseNq, r) {
           require(s.probeBatch(sqs, k = 10).nonEmpty)
         }
+        m -> r
       }
+      val m = pickKnob(recalls)
+      (m, recalls.toMap.apply(m))
+    }
+    register("sparse_budget", sparseNq) {
+      noop(operators.Sparse.budgetedMips(
+        tf.where(col("id") < sparseNq)
+          .select(col("id").as("qid"), col("dim"), col("v").as("qv")),
+        tf, k = 10, m = sparseM))
+      spark.sqlContext.clearCache()
+    }
+    // SERVING form: executor-resident truncated postings — linscan's
+    // in-memory inverted index (linscan.py:19-56), query batch in / ranked
+    // answers out; equals the budgetedMips dataflow row-for-row
+    // (SparseSpec-asserted) at the same m.
+    val sparseServed = index.ResidentPostings.load(tf, m = sparseM,
+      numPartitions = 8)
+    deferUnload(sparseServed.unload())
+    register("sparse_budget_served", sparseNq) {
+      require(sparseServed.probeBatch(sqs, k = 10).nonEmpty)
     }
 
     // ood/ann track: EXECUTOR-RESIDENT HNSW probe — build once (untimed),
     // then narrow probe-only batches: the serving operating point. Measured
     // under both metrics — L2 and the OOD track's max-inner-product.
-    // efSearch = 16·knobScale is the corpus-relative operating point;
-    // recall vs exact is reported alongside QPS (the BASELINE rows are
+    // Recall vs exact is reported alongside QPS (the BASELINE rows are
     // themselves @0.9 recall), so the throughput/recall pair is explicit.
     // 8 graph partitions, not `cpus`: partition count is the SCALE-OUT
     // axis, but every query probes every graph, so serving wants the
     // fewest partitions that still fill the cluster — measured 2× QPS
     // vs 32 tiny graphs at sf0.1 (each probe batch = 2 stages either way).
-    // Sweeps carry BOTH the corpus-relative beams and the absolute
-    // {8,16,24,32} so a matched-recall (~0.9) point exists at every scale
-    // (see the scaladoc; reference sweeps Ls down to 30 for the same
-    // reason — 24 sits in the 0.84→0.95 recall gap 16 and 32 leave at
-    // 10× rows, right at the baseline's 0.9 grading recall).
-    val graphSweepEfs =
-      (Seq(8, 16, 24, 32) ++ Seq(8, 16, 32).map(_ * knobScale)).distinct.sorted
-    def residentRecallAndSweep(family: String, resident: index.HnswResident,
-                               truth: DataFrame, sweepEfs: Seq[Int]): Double = {
-      val recall = operators.Recall.mean(
-        resident.probeLocal(queries, 10, 16 * knobScale), truth, 10)
-      sweepEfs.foreach { ef =>
-        val r = operators.Recall.mean(
+    // Sweeps are an ABSOLUTE ef grid (graph beams grow ~log n for fixed
+    // recall, so an absolute grid spans the 0.9 point at every benched
+    // scale — measured: ef=24 clears 0.904 at 10× rows where the old
+    // corpus-relative 16·scale point cost 2.5× the matched-recall QPS for
+    // recall 0.9998); the headline runs the auto-picked matched-recall
+    // point (see pickKnob).
+    val graphSweepEfs = Seq(8, 16, 24, 32, 48, 64)
+    def graphFamily(family: String, resident: index.HnswResident,
+                    truth: DataFrame): (Int, Double) = {
+      val recalls = graphSweepEfs.map { ef =>
+        ef -> operators.Recall.mean(
           resident.probeLocal(queries, 10, ef), truth, 10)
+      }
+      recalls.foreach { case (ef, r) =>
         registerSweepPoint(family, ef, nq, r) {
           require(resident.probeBatch(qsFloat, k = 10, efSearch = ef).nonEmpty)
         }
       }
-      recall
+      val ef = pickKnob(recalls)
+      register(family, nq) {
+        require(resident.probeBatch(qsFloat, k = 10, efSearch = ef).nonEmpty)
+      }
+      (ef, recalls.toMap.apply(ef))
     }
     val l2Resident = index.HnswKnn.buildResident(base, numPartitions = 8,
       metric = "l2")
     deferUnload(l2Resident.unload())
-    register("ann_hnsw_probe", nq) {
-      require(l2Resident
-        .probeBatch(qsFloat, k = 10, efSearch = 16 * knobScale).nonEmpty)
-    }
-    val annRecall =
-      residentRecallAndSweep("ann_hnsw_probe", l2Resident, truthL2, graphSweepEfs)
+    val (efL2, annRecall) = graphFamily("ann_hnsw_probe", l2Resident, truthL2)
     val ipResident = index.HnswKnn.buildResident(base, numPartitions = 8,
       metric = "ip")
     deferUnload(ipResident.unload())
-    register("ann_hnsw_probe_ip", nq) {
-      require(ipResident
-        .probeBatch(qsFloat, k = 10, efSearch = 16 * knobScale).nonEmpty)
-    }
-    val annIpRecall =
-      residentRecallAndSweep("ann_hnsw_probe_ip", ipResident, truthIp, graphSweepEfs)
+    val (efIp, annIpRecall) =
+      graphFamily("ann_hnsw_probe_ip", ipResident, truthIp)
 
     // late-interaction (MaxSim) serving: one resident ip-graph probe batch
     // + the MaxSimServe reduce per query-bag batch — no corpus re-score
@@ -428,32 +459,22 @@ object Bench {
       .select(col("qid"), col("pos"), col("vec").as("qvec"))
     val maxsimQs = qbags.select((col("qid") * 2 + col("pos")).cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect()
-    register("maxsim_served", nqB) {
-      require(index.MaxSimServe.probeBatch(
-        ipResident, maxsimQs, qmax = 2, bmax = 4, k = 10, c = 128 * knobScale,
-        efSearch = 32 * knobScale).nonEmpty)
-    }
-    val maxsimRecall = {
-      // exact maxsim truth collected ONCE to a local relation — every
-      // recall eval below reuses the rows instead of re-running the
-      // full-corpus scoring join
+    // hit-count sweep: c (graph hits per query vector) is the shortcut's
+    // recall knob — more hits = fewer missing (qvec, doc) pairs. The
+    // answer set a query's hits must cover grows with the corpus
+    // (measured: absolute points lose recall fast at 10× rows), so
+    // corpus-relative points ride alongside the absolute ones, and the
+    // HEADLINE runs the matched-recall pick (BASELINE rows are @≥0.9
+    // recall; the r7 headline at c=128·scale sat at 0.82 — not
+    // baseline-comparable). Exact maxsim truth collected ONCE to a local
+    // relation; every recall eval reuses it.
+    val (maxsimC, maxsimRecall) = locally {
       val truth = localTruth(operators.MultiVec.maxSimJoin(
         qbags, operators.MultiVec.bagged(base, 4, "doc_id"), 10)
         .withColumnRenamed("doc_id", "id"))
-      val served = index.MaxSimServe.probeBatch(
-        ipResident, maxsimQs, qmax = 2, bmax = 4, k = 10, c = 128 * knobScale,
-        efSearch = 32 * knobScale)
-      val recall = operators.Recall.mean(
-        spark.createDataFrame(served.toSeq).toDF("qid", "id", "dist", "rank"),
-        truth, 10)
-      // hit-count sweep: c (graph hits per query vector) is the shortcut's
-      // recall knob — more hits = fewer missing (qvec, doc) pairs. Carries
-      // the ABSOLUTE {64,128,256} alongside the corpus-relative points
-      // (same matched-operating-point argument as the graph efSearch
-      // sweep: the PLAID-style c knob is absolute in the reference)
-      (Seq(64, 128, 256) ++
+      val recalls = (Seq(64, 128, 256) ++
         Seq(64 * knobScale, 128 * knobScale, 256 * knobScale))
-        .distinct.sorted.foreach { c =>
+        .distinct.sorted.map { c =>
         val srv = index.MaxSimServe.probeBatch(
           ipResident, maxsimQs, qmax = 2, bmax = 4, k = 10, c = c,
           efSearch = 32 * knobScale)
@@ -465,8 +486,15 @@ object Bench {
             ipResident, maxsimQs, qmax = 2, bmax = 4, k = 10, c = c,
             efSearch = 32 * knobScale).nonEmpty)
         }
+        c -> rc
       }
-      recall
+      val c = pickKnob(recalls)
+      (c, recalls.toMap.apply(c))
+    }
+    register("maxsim_served", nqB) {
+      require(index.MaxSimServe.probeBatch(
+        ipResident, maxsimQs, qmax = 2, bmax = 4, k = 10, c = maxsimC,
+        efSearch = 32 * knobScale).nonEmpty)
     }
 
     // quantized serving form: PQ codes pinned resident (m·2 bytes/row — the
@@ -476,98 +504,89 @@ object Bench {
     val pqCb = index.Pq.train(base, m = 8, ksub = 32, iters = 3)
     val adcServed = index.ResidentAdc.load(base, pqCb, numPartitions = 8)
     deferUnload(adcServed.unload())
+    // refine-budget sweep: rerank is the ADC knob (faiss's k_factor — an
+    // ABSOLUTE knob in the reference; needed rerank grows ~log n with the
+    // near-tie density, which the grid spans at every benched scale).
+    // Headline = matched-recall pick.
+    val adcReranks = Seq(20, 40, 80, 160, 320)
+    val adcRecalls = adcReranks.map { r =>
+      r -> operators.Recall.mean(
+        adcServed.probeLocal(queries, 10, rerank = r), truthL2, 10)
+    }
+    adcRecalls.foreach { case (r, rc) =>
+      registerSweepPoint("ann_adc_served", r, nq, rc) {
+        require(adcServed.probeBatch(qsFloat, k = 10, rerank = r).nonEmpty)
+      }
+    }
+    val adcRerank = pickKnob(adcRecalls)
+    val adcRecall = adcRecalls.toMap.apply(adcRerank)
     register("ann_adc_served", nq) {
       require(adcServed
-        .probeBatch(qsFloat, k = 10, rerank = 40 * knobScale).nonEmpty)
-    }
-    val adcRecall = {
-      val recall = operators.Recall.mean(
-        adcServed.probeLocal(queries, 10, rerank = 40 * knobScale), truthL2, 10)
-      // refine-budget sweep: rerank is the ADC knob (faiss's k_factor —
-      // an ABSOLUTE knob in the reference, so the absolute {20,40,80}
-      // points ride alongside the corpus-relative ones)
-      (Seq(20, 40, 80) ++
-        Seq(20 * knobScale, 40 * knobScale, 80 * knobScale))
-        .distinct.sorted.foreach { r =>
-        val rc = operators.Recall.mean(
-          adcServed.probeLocal(queries, 10, rerank = r), truthL2, 10)
-        registerSweepPoint("ann_adc_served", r, nq, rc) {
-          require(adcServed.probeBatch(qsFloat, k = 10, rerank = r).nonEmpty)
-        }
-      }
-      recall
+        .probeBatch(qsFloat, k = 10, rerank = adcRerank).nonEmpty)
     }
     // the baseline's routed composition (IVF route × resident codes × float
-    // refine) served at a partial-routing operating point; recall reported
-    // alongside, as for every approximate row.
-    // nprobe sweep shared by both IVF-ADC rows: the routing knob's
-    // recall/QPS trade, explicit like every other approximate track's
-    def ivfAdcSweep(family: String, served: index.ResidentIvfAdc): Unit =
-      Seq(4, 6, 8).foreach { np =>
-        val rc = operators.Recall.mean(
-          served.probeLocal(queries, 10, nprobe = np,
-            rerank = 40 * knobScale), truthL2, 10)
-        registerSweepPoint(family, np, nq, rc) {
-          require(served.probeBatch(qsFloat, k = 10, nprobe = np,
-            rerank = 40 * knobScale).nonEmpty)
-        }
+    // refine): coarse quantizer at the corpus-relative auto-C (≈4√n, the
+    // faiss sizing guideline the reference's IVF16384-on-10M sits inside)
+    // and the routing knob a corpus FRACTION — minMassPct is swept and the
+    // headline runs the matched-recall pick (the r7 bench pinned C=8 and
+    // nprobe=6, i.e. a fixed 75% of ANY corpus — the 13–15× collapse at
+    // 10× rows). rerank is the refine budget — ABSOLUTE, like faiss's
+    // k_factor: it corrects quantization error, which does not grow with
+    // corpus size; SQ8 needs less of it than the coarser PQ codes.
+    val benchC = index.IvfIndex.autoC(n)
+    val ivfMassPcts = Seq(15, 25, 35, 50, 75, 100)
+    def ivfMassFamily(family: String, rerank: Int,
+                      local: (Double, Int) => DataFrame,
+                      batch: (Double, Int) => Unit): (Int, Double) = {
+      val recalls = ivfMassPcts.map { p =>
+        p -> operators.Recall.mean(local(p / 100.0, rerank), truthL2, 10)
       }
-    val benchIvf = index.IvfIndex.build(base, c = 8, iters = 3)
+      recalls.foreach { case (p, r) =>
+        registerSweepPoint(family, p, nq, r) { batch(p / 100.0, rerank) }
+      }
+      val pct = pickKnob(recalls)
+      register(family, nq) { batch(pct / 100.0, rerank) }
+      (pct, recalls.toMap.apply(pct))
+    }
+    val benchIvf = index.IvfIndex.build(base, c = benchC, iters = 3)
     val ivfAdcServed = index.ResidentIvfAdc.load(base, benchIvf, pqCb,
       numPartitions = 8)
     deferUnload(ivfAdcServed.unload())
-    register("ann_ivfadc_served", nq) {
-      require(ivfAdcServed.probeBatch(qsFloat, k = 10, nprobe = 6,
-        rerank = 40 * knobScale).nonEmpty)
-    }
-    val ivfAdcRecall = operators.Recall.mean(
-      ivfAdcServed.probeLocal(queries, 10, nprobe = 6,
-        rerank = 40 * knobScale), truthL2, 10)
-    ivfAdcSweep("ann_ivfadc_served", ivfAdcServed)
+    val (ivfAdcMass, ivfAdcRecall) = ivfMassFamily("ann_ivfadc_served", 160,
+      (mm, r) => ivfAdcServed.probeLocalMass(queries, 10, mm, r),
+      (mm, r) => require(
+        ivfAdcServed.probeBatchMass(qsFloat, 10, mm, r).nonEmpty))
     // residual variant of the same composition — faiss's TRUE IVFPQ (codes
     // quantize x − centroid; probes assemble per-(query, cluster) LUTs
     // shard-side from the load-time precomputed tables). Same knobs as the
-    // raw-coded row above so the two are directly comparable: the residual
-    // codes buy recall at the same (m, ksub) byte budget.
-    val ivfPqRes = index.IvfPq.buildResidual(base, c = 8, iters = 3, m = 8,
-      ksub = 32)
+    // raw-coded row above so the two are directly comparable (the residual
+    // codes buy recall at the same (m, ksub) byte budget); ONE k-means
+    // training serves all three IVF rows (buildResidualWith).
+    val ivfPqRes = index.IvfPq.buildResidualWith(benchIvf, base, m = 8,
+      ksub = 32, iters = 3)
     val ivfAdcResServed = index.ResidentIvfAdc.loadResidual(base, ivfPqRes,
       numPartitions = 8)
     deferUnload(ivfAdcResServed.unload())
-    register("ann_ivfadc_residual_served", nq) {
-      require(ivfAdcResServed.probeBatch(qsFloat, k = 10, nprobe = 6,
-        rerank = 40 * knobScale).nonEmpty)
-    }
-    val ivfAdcResRecall = operators.Recall.mean(
-      ivfAdcResServed.probeLocal(queries, 10, nprobe = 6,
-        rerank = 40 * knobScale), truthL2, 10)
-    ivfAdcSweep("ann_ivfadc_residual_served", ivfAdcResServed)
+    val (ivfAdcResMass, ivfAdcResRecall) =
+      ivfMassFamily("ann_ivfadc_residual_served", 160,
+        (mm, r) => ivfAdcResServed.probeLocalMass(queries, 10, mm, r),
+        (mm, r) => require(
+          ivfAdcResServed.probeBatchMass(qsFloat, 10, mm, r).nonEmpty))
     // the reference baseline's LITERAL composition (`IVF16384,SQ8`,
     // filter/faiss/config.yaml:50-53) served resident: IVF routing ×
     // SQ8 integer scan × exact float re-rank — the row BASELINE.md's
     // filter-track 3,200 QPS actually ran on. Same routing knob and sweep
     // as the ADC rows; the scan reads 1 byte/component (the compression
-    // that fits the reference's 10M×192 corpus in RAM).
+    // that fits the reference's 10M×192 corpus in RAM); the near-lossless
+    // SQ8 codes need only rerank=80 where PQ needs 160.
     val (sq8Mins, sq8Spans) = index.Sq8.train(base)
     val ivfSq8Served = index.ResidentIvfSq8.load(base, benchIvf, sq8Mins,
       sq8Spans, numPartitions = 8)
     deferUnload(ivfSq8Served.unload())
-    register("ann_ivfsq8_served", nq) {
-      require(ivfSq8Served.probeBatch(qsFloat, k = 10, nprobe = 6,
-        rerank = 40 * knobScale).nonEmpty)
-    }
-    val ivfSq8Recall = operators.Recall.mean(
-      ivfSq8Served.probeLocal(queries, 10, nprobe = 6,
-        rerank = 40 * knobScale), truthL2, 10)
-    Seq(4, 6, 8).foreach { np =>
-      val rc = operators.Recall.mean(
-        ivfSq8Served.probeLocal(queries, 10, nprobe = np,
-          rerank = 40 * knobScale), truthL2, 10)
-      registerSweepPoint("ann_ivfsq8_served", np, nq, rc) {
-        require(ivfSq8Served.probeBatch(qsFloat, k = 10, nprobe = np,
-          rerank = 40 * knobScale).nonEmpty)
-      }
-    }
+    val (ivfSq8Mass, ivfSq8Recall) = ivfMassFamily("ann_ivfsq8_served", 80,
+      (mm, r) => ivfSq8Served.probeLocalMass(queries, 10, mm, r),
+      (mm, r) => require(
+        ivfSq8Served.probeBatchMass(qsFloat, 10, mm, r).nonEmpty))
 
     // binary sign-hash tier: ONE resident load (floats pinned) serves both
     // the codes-only exact Hamming scan row and the two-tier re-rank rows.
@@ -593,7 +612,7 @@ object Bench {
     val hamFidelityCos = operators.Recall.mean(
       binServed.probeLocal(queries, 10), truthCos, 10)
     // two-tier resident: binary top-c first pass + in-shard float re-rank —
-    // fidelity is vs exact float L2 (c=50·knobScale operating point); the
+    // fidelity is vs exact float L2 (matched-recall picked c); the
     // ip-refine sweep grades the SAME two-tier probe against exact-MIPS
     // truth (the OOD track's metric — text2image-style serving)
     val ham2Qs = {
@@ -602,22 +621,27 @@ object Bench {
         vecSignPack(col("qvec")).as("qcode"), col("qvec"))
         .as[(Long, Array[Long], Array[Float])].collect()
     }
+    // candidate-budget sweep: c is the binary tier's recall knob; the
+    // candidate set must cover a corpus-sized answer set, so
+    // corpus-relative points ride alongside the absolute ones and the
+    // HEADLINE runs the matched-recall pick (vs exact float L2)
+    val (ham2C, ham2Fidelity) = locally {
+      val recalls = (Seq(25, 50, 100) ++
+        Seq(25 * knobScale, 50 * knobScale, 100 * knobScale))
+        .distinct.sorted.map { c =>
+        val rc = operators.Recall.mean(
+          binServed.probeLocalRerank(queries, 10, c = c), truthL2, 10)
+        registerSweepPoint("hamming_rerank_served", c, nq, rc) {
+          require(binServed.probeBatchRerank(ham2Qs, k = 10, c = c).nonEmpty)
+        }
+        c -> rc
+      }
+      val c = pickKnob(recalls)
+      (c, recalls.toMap.apply(c))
+    }
     register("hamming_rerank_served", nq) {
       require(binServed
-        .probeBatchRerank(ham2Qs, k = 10, c = 50 * knobScale).nonEmpty)
-    }
-    val ham2Fidelity = operators.Recall.mean(
-      binServed.probeLocalRerank(queries, 10, c = 50 * knobScale), truthL2, 10)
-    // candidate-budget sweep: c is the binary tier's recall knob —
-    // absolute {25,50,100} points alongside the corpus-relative ones
-    (Seq(25, 50, 100) ++
-      Seq(25 * knobScale, 50 * knobScale, 100 * knobScale))
-      .distinct.sorted.foreach { c =>
-      val rc = operators.Recall.mean(
-        binServed.probeLocalRerank(queries, 10, c = c), truthL2, 10)
-      registerSweepPoint("hamming_rerank_served", c, nq, rc) {
-        require(binServed.probeBatchRerank(ham2Qs, k = 10, c = c).nonEmpty)
-      }
+        .probeBatchRerank(ham2Qs, k = 10, c = ham2C).nonEmpty)
     }
     locally {
       val ipMetric = operators.Metric.Ip
@@ -635,52 +659,63 @@ object Bench {
     }
 
     // centroid-ROUTED resident graphs (IVF-of-HNSW): each query probes only
-    // its nprobe nearest clusters, so per-query work is independent of shard
-    // count — the 1000-shard serving shape. On this UNCLUSTERED synthetic
-    // corpus routing trades recall steeply (real embedding corpora cluster;
-    // this one is near-uniform), so the reported operating point is the
-    // measured nprobe that clears 0.9 recall — the knob, its cost, and its
-    // recall are all explicit.
+    // its routed clusters' graphs, so per-query work is independent of
+    // shard count — the 1000-shard serving shape. C ≈ n/500 holds the
+    // within-cluster graphs at the reference's ~600 points per cluster
+    // (IVF16384 over 10M, config.yaml:50) at EVERY scale, so the beam is
+    // an absolute knob (a ~500-node graph saturates by ef≈64). On this
+    // UNCLUSTERED synthetic corpus routing trades recall steeply (real
+    // embedding corpora cluster; this one is near-uniform), so both
+    // routing knobs are swept and the headlines run the measured
+    // matched-recall picks — knob, cost, and recall all explicit.
     val routedPath = java.nio.file.Files.createTempDirectory("graft-bench-rt")
       .resolve("idx").toString
-    index.HnswRouted.buildAndSave(base, routedPath, c = 8, kmIters = 3)
+    val routedC = math.max(8L, n / 500L).toInt
+    index.HnswRouted.buildAndSave(base, routedPath, c = routedC, kmIters = 3)
     val routed = index.HnswRouted.loadResident(spark, routedPath)
     deferUnload(routed.unload())
-    register("ann_hnsw_probe_routed", nq) {
-      require(routed.probeBatch(qsFloat, k = 10, efSearch = 32 * knobScale,
-        nprobe = 6).nonEmpty)
+    val routedEf = 64
+    // fixed-count routing swept as cluster FRACTIONS of C (a raw nprobe
+    // is meaningless across scales); the recorded knob is the count
+    val routedNps =
+      Seq(1, 2, 3, 4).map(i => math.max(1, routedC * i / 4)).distinct
+    val routedNpRecalls = routedNps.map { np =>
+      np -> operators.Recall.mean(
+        routed.probeLocal(queries, 10, routedEf, nprobe = np), truthL2, 10)
     }
-    val rtRecall = operators.Recall.mean(
-      routed.probeLocal(queries, 10, 32 * knobScale, nprobe = 6), truthL2, 10)
-    // nprobe sweep: makes the routing recall/QPS trade explicit — the
-    // headline point (nprobe=6) clears 0.9 with margin to spare at
-    // nprobe=8 (every cluster probed ⇒ the unrouted graph's recall)
-    Seq(4, 6, 8).foreach { np =>
-      val r = operators.Recall.mean(
-        routed.probeLocal(queries, 10, 32 * knobScale, nprobe = np), truthL2, 10)
+    routedNpRecalls.foreach { case (np, r) =>
       registerSweepPoint("ann_hnsw_probe_routed", np, nq, r) {
-        require(routed.probeBatch(qsFloat, k = 10,
-          efSearch = 32 * knobScale, nprobe = np).nonEmpty)
+        require(routed.probeBatch(qsFloat, k = 10, efSearch = routedEf,
+          nprobe = np).nonEmpty)
       }
+    }
+    val routedNp = pickKnob(routedNpRecalls)
+    val rtRecall = routedNpRecalls.toMap.apply(routedNp)
+    register("ann_hnsw_probe_routed", nq) {
+      require(routed.probeBatch(qsFloat, k = 10, efSearch = routedEf,
+        nprobe = routedNp).nonEmpty)
     }
     // mass-adaptive routing on the same index: the knob is a corpus
     // fraction, so per-query probe counts adapt to cluster skew instead
     // of over/under-probing at a fixed nprobe. Swept over minMass (per
     // cent, to keep the sweep schema integer-knobbed like the others).
-    register("ann_hnsw_probe_routed_auto", nq) {
-      require(routed.probeBatchAuto(qsFloat, k = 10,
-        efSearch = 32 * knobScale, minMass = 0.75).nonEmpty)
+    val routedAutoPcts = Seq(25, 50, 75, 90)
+    val routedAutoRecalls = routedAutoPcts.map { pct =>
+      pct -> operators.Recall.mean(
+        routed.probeLocalAuto(queries, 10, routedEf, minMass = pct / 100.0),
+        truthL2, 10)
     }
-    val rtaRecall = operators.Recall.mean(
-      routed.probeLocalAuto(queries, 10, 32 * knobScale, minMass = 0.75), truthL2, 10)
-    Seq(50, 75, 90).foreach { pct =>
-      val mm = pct / 100.0
-      val r = operators.Recall.mean(
-        routed.probeLocalAuto(queries, 10, 32 * knobScale, minMass = mm), truthL2, 10)
+    routedAutoRecalls.foreach { case (pct, r) =>
       registerSweepPoint("ann_hnsw_probe_routed_auto", pct, nq, r) {
-        require(routed.probeBatchAuto(qsFloat, k = 10,
-          efSearch = 32 * knobScale, minMass = mm).nonEmpty)
+        require(routed.probeBatchAuto(qsFloat, k = 10, efSearch = routedEf,
+          minMass = pct / 100.0).nonEmpty)
       }
+    }
+    val routedAutoPct = pickKnob(routedAutoRecalls)
+    val rtaRecall = routedAutoRecalls.toMap.apply(routedAutoPct)
+    register("ann_hnsw_probe_routed_auto", nq) {
+      require(routed.probeBatchAuto(qsFloat, k = 10, efSearch = routedEf,
+        minMass = routedAutoPct / 100.0).nonEmpty)
     }
 
     // serving UNDER MUTATION — the steady state of the streaming track
@@ -699,13 +734,13 @@ object Bench {
     val mutDead = (mutCut until mutTombHi).toSet
     register("ann_hnsw_probe_mutated", nq) {
       require(mutResident.probeBatch(qsFloat, k = 10,
-        efSearch = 16 * knobScale, mutDead, mutDelta).nonEmpty)
+        efSearch = efL2, mutDead, mutDelta).nonEmpty)
     }
     val mutRecall = {
       val live = base.where(col("id") < mutCut || col("id") >= mutTombHi)
       val truth = operators.Knn.knnJoin(queries, live, 10, operators.Metric.L2)
       val got = spark.createDataFrame(
-        mutResident.probeBatch(qsFloat, 10, 16 * knobScale, mutDead, mutDelta).toSeq)
+        mutResident.probeBatch(qsFloat, 10, efL2, mutDead, mutDelta).toSeq)
         .toDF("qid", "id", "dist", "rank")
       operators.Recall.mean(got, truth, 10)
     }
@@ -717,52 +752,106 @@ object Bench {
     // Publishing the timed loop's steal share puts the evidence in the
     // artifact next to the spreads it explains.
     def cpuStat(): (Long, Long) = try {
-      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
-      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-      (f.sum, if (f.length > 7) f(7) else 0L)
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        // first 8 fields (user..steal) only: guest/guest_nice are already
+        // folded into user/nice, so summing them double-counts the total
+        (f.take(8).sum, if (f.length > 7) f(7) else 0L)
+      } finally src.close()
     } catch { case _: Throwable => (0L, 0L) }
 
-    // -- the interleaved timed loop (see scaladoc): 2 warmups per row in
-    // registration order (the third doubles as the calibration batch),
-    // then `reps` round-robin passes over every row
+    // -- the interleaved timed loop (see scaladoc): per row, one untimed
+    // warmup then TWO timed batches whose MIN is the calibration time — a
+    // transient pause on a single calibration batch can no longer
+    // misclassify a fast row as slow (it=1) and revert it to unwindowed
+    // samples. Then `reps` round-robin passes over every row.
     val failed = scala.collection.mutable.Set.empty[String]
     val calib = headline.map { case (name, runOnce, _) =>
       name -> {
         try {
-          runOnce(); runOnce()
+          runOnce()
           val t0 = System.nanoTime()
           runOnce()
-          (System.nanoTime() - t0) / 1e9
+          val a = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          runOnce()
+          val b = (System.nanoTime() - t1) / 1e9
+          math.min(a, b)
         } catch { case _: Throwable => failed += name; 1.0 }
       }
     }.toMap
-    // min-window sample batching (r7): a ~45 ms batch turns ANY transient
-    // pause (a late JIT pass, old-gen collection of a heavy neighbor row's
-    // debt) into a 5–10× max sample, so fast rows read spread > 5 while
-    // flat in isolation. Each timed SAMPLE of a fast row runs enough
-    // back-to-back batches to fill ~0.8 s and records the per-batch mean —
-    // a transient now perturbs the sample by its share of the window, not
-    // of one batch. Slow rows (window already ≥ the minimum) instead get a
-    // settle() BEFORE each sample: their batches are big enough to absorb
-    // a full collection of accumulated debt, so the collection is taken
-    // outside the timed region — the per-row-loop rhythm the r6 bench had.
+    // min-window sample batching (r7; GC-audited r8): a ~45 ms batch turns
+    // ANY transient pause (a late JIT pass, old-gen collection of a heavy
+    // neighbor row's debt) into a 5–10× max sample, so fast rows read
+    // spread > 5 while flat in isolation. Each timed SAMPLE of a fast row
+    // runs enough back-to-back batches to fill ~0.8 s and records the
+    // MEDIAN batch time of the window (r8: a collection inside a ≥3-batch
+    // window no longer perturbs the sample at all, where the r7 mean
+    // diluted-but-kept it). Slow rows (single batch ≥ the window) get a
+    // settle() BEFORE each sample, and if a major collection still lands
+    // inside the timed batch (> 200 ms of GC AND > 20% of the batch) the
+    // sample is RETAKEN once. Nothing is silently discarded: the retake
+    // count and each row's GC time during its WORST sample are published
+    // in the artifact, so a surviving spread outlier carries its stall
+    // attribution (gc_worst_ms ≈ 0 ⇒ the stall was not the collector).
+    // Rows whose calibration batch exceeds 5 s keep only 3 round-robin
+    // samples (published per row in reps_capped) — bounding the wall cost
+    // of the slowest sweep points at large SF.
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans()
+    def gcMsNow(): Long = {
+      var acc = 0L
+      gcBeans.forEach { b =>
+        val t = b.getCollectionTime; if (t > 0) acc += t
+      }
+      acc
+    }
     val sampleIters = headline.map { case (name, _, _) =>
       name -> math.max(1, math.min(25,
         math.ceil(minWindowSec / math.max(calib(name), 1e-3)).toInt))
     }.toMap
+    val rowReps = headline.map { case (name, _, _) =>
+      name -> (if (calib(name) > 5.0) math.min(3, reps) else reps)
+    }.toMap
+    // per sample: (sec per batch, GC ms inside the sample's timed region)
     val samples = headline.map { case (name, _, _) =>
-      name -> ArrayBuffer.empty[Double] }.toMap
+      name -> ArrayBuffer.empty[(Double, Long)] }.toMap
+    var gcRetakes = 0
     val (statTot0, statSteal0) = cpuStat()
-    for (_ <- 1 to reps) {
+    for (pass <- 1 to reps) {
       headline.foreach { case (name, runOnce, _) =>
-        if (!failed(name)) {
+        if (!failed(name) && pass <= rowReps(name)) {
           try {
             val it = sampleIters(name)
-            if (it == 1) settle()
-            val t0 = System.nanoTime()
-            var i = 0
-            while (i < it) { runOnce(); i += 1 }
-            samples(name) += (System.nanoTime() - t0) / 1e9 / it
+            if (it == 1) {
+              settle()
+              var g0 = gcMsNow()
+              var t0 = System.nanoTime()
+              runOnce()
+              var sec = (System.nanoTime() - t0) / 1e9
+              var g = gcMsNow() - g0
+              if (g > 200 && g > 0.2 * sec * 1000.0) {
+                gcRetakes += 1
+                g0 = gcMsNow(); t0 = System.nanoTime()
+                runOnce()
+                sec = (System.nanoTime() - t0) / 1e9
+                g = gcMsNow() - g0
+              }
+              samples(name) += ((sec, g))
+            } else {
+              val g0 = gcMsNow()
+              val bt = new Array[Double](it)
+              var i = 0
+              while (i < it) {
+                val t0 = System.nanoTime()
+                runOnce()
+                bt(i) = (System.nanoTime() - t0) / 1e9
+                i += 1
+              }
+              java.util.Arrays.sort(bt)
+              samples(name) += ((bt(it / 2), gcMsNow() - g0))
+            }
           } catch { case _: Throwable => failed += name }
         }
       }
@@ -772,12 +861,17 @@ object Bench {
       if (statTot1 > statTot0)
         100.0 * (statSteal1 - statSteal0) / (statTot1 - statTot0)
       else 0.0
-    // per-row median rate + max/min spread over its interleaved samples
+    // per-row median rate + max/min spread over its interleaved samples,
+    // plus the GC time inside the row's WORST sample (the stall audit)
     val qpsOf = headline.map { case (name, _, norm) =>
-      val ts = samples(name).sorted
+      val ts = samples(name).map(_._1).sorted
       if (failed(name) || ts.isEmpty) name -> (0.0, 0.0)
       else name -> (norm / ts(ts.length / 2),
         ts.last / math.max(ts.head, 1e-9))
+    }.toMap
+    val gcWorstOf = headline.map { case (name, _, _) =>
+      val ss = samples(name)
+      name -> (if (ss.isEmpty) 0L else ss.maxBy(_._1)._2)
     }.toMap
     teardowns.foreach { td => try td() catch { case _: Throwable => () } }
 
@@ -820,16 +914,17 @@ object Bench {
     // recorded under their registered point rows (see registerSweepPoint)
     val sweepKnobName = Map(
       "ann_hnsw_probe" -> "efSearch", "ann_hnsw_probe_ip" -> "efSearch",
+      "filtered_knn_subindex" -> "efSearch",
       "sparse_budget_served" -> "m", "ann_hnsw_probe_routed" -> "nprobe",
       "ann_hnsw_probe_routed_auto" -> "minMassPct",
-      "ann_adc_served" -> "rerank", "ann_ivfadc_served" -> "nprobe",
-      "ann_ivfadc_residual_served" -> "nprobe",
-      "ann_ivfsq8_served" -> "nprobe", "hamming_rerank_served" -> "c",
+      "ann_adc_served" -> "rerank", "ann_ivfadc_served" -> "minMassPct",
+      "ann_ivfadc_residual_served" -> "minMassPct",
+      "ann_ivfsq8_served" -> "minMassPct", "hamming_rerank_served" -> "c",
       "hamming_rerank_served_ip" -> "c", "maxsim_served" -> "c")
     val sweep = sweepReg.map { case (family, pts) =>
       val knob = sweepKnobName.getOrElse(family, "knob")
       val body = pts.sortBy(_._1).map { case (v, nm, r) =>
-        s"""{"$knob":$v,"qps":${q1(nm)},"spread":${q2(nm)},"recall":$r}"""
+        s"""{"$knob":$v,"qps":${q1(nm)},"spread":${q2(nm)},"recall":$r,"gc_worst_ms":${gcWorstOf.getOrElse(nm, 0L)}}"""
       }.mkString("[", ",", "]")
       s""""$family":$body"""
     }.mkString("{", ",", "}")
@@ -842,19 +937,37 @@ object Bench {
       "hamming_served", "hamming_rerank_served")
     val qpsPairs = qpsNames.map(nm => s"\"$nm\":${q1(nm)}").mkString(",")
     val spreadPairs = qpsNames.map(nm => s"\"$nm\":${q2(nm)}").mkString(",")
+    val gcPairs =
+      qpsNames.map(nm => s"\"$nm\":${gcWorstOf.getOrElse(nm, 0L)}").mkString(",")
+    // the auto-picked matched-recall operating knob per headline row (plus
+    // the corpus-relative structure sizes), so the artifact states exactly
+    // what each headline ran
+    val opJson =
+      s"""{"ann_hnsw_probe_efSearch":$efL2,"ann_hnsw_probe_ip_efSearch":$efIp,"filtered_knn_subindex_efSearch":$subindexEf,"ann_adc_served_rerank":$adcRerank,"ann_ivfadc_served_minMassPct":$ivfAdcMass,"ann_ivfadc_residual_served_minMassPct":$ivfAdcResMass,"ann_ivfsq8_served_minMassPct":$ivfSq8Mass,"ann_hnsw_probe_routed_nprobe":$routedNp,"ann_hnsw_probe_routed_auto_minMassPct":$routedAutoPct,"sparse_budget_m":$sparseM,"maxsim_served_c":$maxsimC,"hamming_rerank_served_c":$ham2C,"ivf_C":$benchC,"routed_C":$routedC,"routed_efSearch":$routedEf,"ivf_rerank_adc":160,"ivf_rerank_sq8":80}"""
+    val repsCapped = headline.collect {
+      case (nm, _, _) if rowReps(nm) < reps => s"\"$nm\":${rowReps(nm)}"
+    }.mkString("{", ",", "}")
     val qpsJson =
-      s"""{$qpsPairs,"nq":$nq,"reps":$reps,"interleaved":true,"spread":{$spreadPairs},"recall":{"filtered_knn":1.0,"filtered_knn_planner":$plannerRecall,"filtered_knn_subindex":$subindexRecall,"filtered_knn_bucketed":1.0,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall,"ann_ivfsq8_served":$ivfSq8Recall,"maxsim_served":$maxsimRecall,"hamming_served_l2_fidelity":$hamFidelity,"hamming_served_cos_fidelity":$hamFidelityCos,"hamming_rerank_served_l2_fidelity":$ham2Fidelity},"sweep":$sweep,"env":{"steal_pct":$stealPct},"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
+      s"""{$qpsPairs,"nq":$nq,"reps":$reps,"interleaved":true,"spread":{$spreadPairs},"gc_worst_ms":{$gcPairs},"op":$opJson,"reps_capped":$repsCapped,"recall":{"filtered_knn":1.0,"filtered_knn_planner":$plannerRecall,"filtered_knn_subindex":$subindexRecall,"filtered_knn_bucketed":1.0,"sparse_budget_served":$sparseRecall,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall,"ann_ivfsq8_served":$ivfSq8Recall,"maxsim_served":$maxsimRecall,"hamming_served_l2_fidelity":$hamFidelity,"hamming_served_cos_fidelity":$hamFidelityCos,"hamming_rerank_served_l2_fidelity":$ham2Fidelity},"sweep":$sweep,"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes},"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"batch_sec":$batchJson,"qps":$qpsJson,"sf":"$sfDir"}"""
-    // stdout scraping truncated BENCH_r04's tail mid-JSON ("parsed": null):
-    // the whole object ALSO lands in a file the driver (or anyone) can read
-    // intact, before the line is printed
+    // the whole object lands in a file the driver (or anyone) can read
+    // intact, before anything is printed
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_METRICS.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)
+    // the per-round runner keeps only a ~2000-char stdout TAIL: the full
+    // line above is ~10 KB, so the tail always cut it mid-object and every
+    // BENCH_r0N.json carried "parsed": null. A second SELF-CONTAINED
+    // compact line (headline qps + env + streaming, per-query map elided)
+    // prints LAST so the tail always ends with one complete parseable JSON
+    // line; the full object is the file write above.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir","qps":{$qpsPairs,"nq":$nq,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec},"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes}},"full":"$outPath"}"""
+    println(compact)
     spark.stop()
   }
 }

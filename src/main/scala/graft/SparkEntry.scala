@@ -892,6 +892,31 @@ object SparkEntry {
         nprobe = served.numClusters, rerank = n))
       finally served.unload()
     }),
+    // mass-adaptive routing (the corpus-fraction knob that replaces a
+    // fixed nprobe at scale — CoarseRouter.byMass) at ITS exact-degenerate
+    // point: minMass = 1.0 walks every cluster and rerank = n floats every
+    // row through the exact refine → hash-matches brute force. Routing is
+    // forced SHARD-SIDE, so the large-C serving path (each shard routes
+    // the broadcast queries itself) is what the oracle hashes;
+    // client-side parity is IndexSpec-asserted.
+    "ann_ivfsq8_mass_exact" -> ((s, dir) => {
+      import s.implicits._
+      val b = embBase(s, dir)
+      val ivf = ivf8(s, dir)
+      val (mins, spans) = sq8Train(s, dir)
+      val n = b.count().toInt
+      val served = graft.index.ResidentIvfSq8.load(b, ivf, mins, spans,
+        numPartitions = 4)
+      try {
+        val qs = embQueries(s, dir, 10)
+          .select(col("qid").cast("long"), col("qvec"))
+          .as[(Long, Array[Float])].collect()
+        val rows = served.probeBatchMass(qs, 10, minMass = 1.0, rerank = n,
+          shardRoute = Some(true))
+        knnResult(
+          s.createDataFrame(rows.toSeq).toDF("qid", "id", "dist", "rank"))
+      } finally served.unload()
+    }),
     // save → load → probe through the VectorIndex registry with the
     // lossless codebook: persistence must not change the exact result
     // (S7/X4 parity, same contract as ann_ivf_persisted).
@@ -1500,6 +1525,9 @@ object SparkEntry {
     // the baseline's literal IVF×SQ8 composition served resident, at
     // nprobe = C and rerank = n: exact
     "ann_ivfsq8_served_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // mass-adaptive routing at minMass = 1.0 + rerank = n, shard-side
+    // routing forced: exact
+    "ann_ivfsq8_mass_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_ivfpq_residual_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_ivfpq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     // OPQ rotation in front of the residual IVFPQ chain, original-space

@@ -316,8 +316,16 @@ object IvfPq {
   /** Build the residual index pieces once (build-once/probe-many and the
     * persistence path). */
   def buildResidual(base: DataFrame, c: Int, iters: Int, m: Int, ksub: Int,
-                    lossless: Boolean = false): IvfPqIndex = {
-    val ivf = IvfIndex.build(base, c, iters)
+                    lossless: Boolean = false): IvfPqIndex =
+    buildResidualWith(IvfIndex.build(base, c, iters), base, m, ksub, iters,
+      lossless)
+
+  /** [[buildResidual]] over a PREBUILT coarse quantizer — at a
+    * corpus-relative C the k-means training is the expensive build step,
+    * and the SQ8 / raw-ADC / residual-ADC serving forms all route through
+    * the same quantizer, so one training serves all three. */
+  def buildResidualWith(ivf: IvfIndex, base: DataFrame, m: Int, ksub: Int,
+                        iters: Int, lossless: Boolean = false): IvfPqIndex = {
     val resBase = ivf.assigned.join(base.select("id", "vec"), "id")
       .select(col("id"), col("cid"),
         residualCol(ivf, col("vec"), col("cid")).as("vec"))
