@@ -349,12 +349,12 @@ object Bench {
     // (sparse/linscan/config.yaml:36, 5–500 ms → our top-m bound); recall
     // is vs the UNtruncated exact MIPS answer per operating point. The top
     // point is m = |docs| — no truncation, recall exactly 1.0 — so the
-    // sweep always contains a ≥0.9 point, and the HEADLINES (dataflow and
-    // served, same picked m) run the matched-recall pick: BASELINE's
-    // sparse row is "QPS at ≥90% recall", so a headline at an unmatched
-    // budget point is not comparable to it. The synthetic tf corpus is
-    // tie-heavy, so small budgets trade recall much more steeply here
-    // than SPLADE weights would — the curve makes that explicit.
+    // sweep always contains a ≥0.9 point, and the SERVED headline runs
+    // the matched-recall pick: BASELINE's sparse row is "QPS at ≥90%
+    // recall", so a headline at an unmatched budget point is not
+    // comparable to it. The synthetic tf corpus is tie-heavy, so small
+    // budgets trade recall much more steeply here than SPLADE weights
+    // would — the curve makes that explicit.
     val tf = operators.Sparse.fromTermFreq(Tables.documents(spark, sfDir))
     val sparseNq = math.min(200L, Tables.documents(spark, sfDir).count() / 2).toInt
     val sparseQueries = tf.where(col("id") < sparseNq)
@@ -382,11 +382,19 @@ object Bench {
       val m = pickKnob(recalls)
       (m, recalls.toMap.apply(m))
     }
+    // DATAFLOW row: the full Spark-plan form of the same operator
+    // (SparseSpec asserts row-parity with the resident form at equal m).
+    // It is a PLAN-OVERHEAD diagnostic, not the baseline-comparable row —
+    // the served row above it is — so it stays at the oracle gate's
+    // diagnostic budget (16·scale): at the matched-recall pick (m = |docs|
+    // on this tie-heavy corpus) one batch of the dataflow join is minutes
+    // of wall at 100× rows, all of it re-measuring the same linear-scan
+    // physics the served row already prices.
     register("sparse_budget", sparseNq) {
       noop(operators.Sparse.budgetedMips(
         tf.where(col("id") < sparseNq)
           .select(col("id").as("qid"), col("dim"), col("v").as("qv")),
-        tf, k = 10, m = sparseM))
+        tf, k = 10, m = 16 * knobScale))
       spark.sqlContext.clearCache()
     }
     // SERVING form: executor-resident truncated postings — linscan's

@@ -7,7 +7,14 @@ This is NOT a correctness-gate input — the driver's /root/testdata parquet
 stays the only oracle source. It exists so serving-path scale claims can be
 exercised at 10x rows before anyone claims 100x.
 
-Usage: gen_bench_sf.py OUTDIR SCALE  (SCALE multiplies sf0.1's row counts)
+Usage: gen_bench_sf.py OUTDIR SCALE [clusters]
+  SCALE multiplies sf0.1's row counts. The optional third arg draws the
+  embeddings from that many gaussian clusters instead of one isotropic
+  shell: real embedding corpora (deep1b, text2image, msturing) cluster,
+  and cluster structure is what lets IVF routing's matched-recall mass
+  fraction SHRINK as the corpus grows — the uniform shell is the
+  worst case for routing (every query's neighbors spread over all
+  clusters, so the needed fraction is scale-invariant).
 """
 import sys
 
@@ -18,7 +25,7 @@ import pyarrow.parquet as pq
 REF = "/root/testdata/sf0.1"
 
 
-def main(outdir: str, scale: int) -> None:
+def main(outdir: str, scale: int, clusters: int = 0) -> None:
     rng = np.random.default_rng(42)
 
     ref_emb = pq.read_table(f"{REF}/embeddings.parquet")
@@ -27,6 +34,14 @@ def main(outdir: str, scale: int) -> None:
     # unit-norm gaussian directions — the reference embeddings' shape
     # (norms are exactly 1, components ~ N(0, 1/sqrt(d)) after normalize)
     vecs = rng.standard_normal((n_emb, dim), dtype=np.float32)
+    if clusters > 0:
+        # mixture of gaussians on the sphere: cluster centers are unit
+        # directions, points are center + within-cluster noise (sigma
+        # sized so clusters are tight but overlapping), re-normalized
+        centers = rng.standard_normal((clusters, dim), dtype=np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        asg = rng.integers(0, clusters, n_emb)
+        vecs = centers[asg] + 0.25 * vecs
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     n_labels = int(ref_emb.column("label").to_pandas().max()) + 1
     emb = pa.table({
@@ -60,6 +75,7 @@ def main(outdir: str, scale: int) -> None:
 
 if __name__ == "__main__":
     out, scale = sys.argv[1], int(sys.argv[2])
+    nclusters = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     import os
     os.makedirs(out, exist_ok=True)
-    main(out, scale)
+    main(out, scale, nclusters)
