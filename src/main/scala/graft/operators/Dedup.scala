@@ -489,20 +489,39 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Corpus-relative LSH band width: wide enough bands that the EXPECTED
+    * bucket holds ~16 unrelated vectors regardless of corpus size. The
+    * candidate join generates Σ|bucket|² pairs per band; with a FIXED
+    * band width buckets grow ∝ n and the join grows ∝ n² — measured: one
+    * aggregation task owning 31 CPU-minutes at 200k rows where 20k rows
+    * took 20 s. Constant expected occupancy makes candidate volume ∝ n.
+    * Floor 8 = the oracle gate's pinned width (sf0.01/sf0.1 corpora sit
+    * at or under the floor, so gate semantics never move); cap 14 keeps
+    * the 4-band signature inside a long with sign headroom. */
+  def autoBandBits(n: Long): Int =
+    math.min(14, math.max(8,
+      math.ceil(math.log(n / 16.0) / math.log(2)).toInt))
+
   /** Embedding near-dup dedup, LSH-bucketed (the 100 TB path): signatures
-    * map-side, candidates from a 4×8-bit band equi-join (bucket-keyed
-    * shuffle — never all-pairs), then each vector's nearest CANDIDATE by
-    * exact cosine. True near-dups (cosine → 1) agree on nearly every
-    * hyperplane sign, so they always share a band; unrelated vectors share
-    * one with p ≈ 4/256. Returns (qid, id, dist, rank); vectors with no
-    * candidate emit no row. Reference analog: the brute-force scan
-    * (/root/reference/filter/hnsw/bruteforce.h:10-172) replaced by the
-    * banding construction of [[minhashLsh]] applied to vectors. */
-  def embeddingLshNearestNeighbor(emb: DataFrame, dim: Int, k: Int): DataFrame = {
+    * map-side, candidates from a 4×`bandBits`-bit band equi-join
+    * (bucket-keyed shuffle — never all-pairs), then each vector's nearest
+    * CANDIDATE by exact cosine. True near-dups (cosine → 1) agree on
+    * nearly every hyperplane sign, so they always share a band; unrelated
+    * vectors share one with p ≈ 4/2^bandBits. Returns (qid, id, dist,
+    * rank); vectors with no candidate emit no row. Reference analog: the
+    * brute-force scan (/root/reference/filter/hnsw/bruteforce.h:10-172)
+    * replaced by the banding construction of [[minhashLsh]] applied to
+    * vectors. Pass [[autoBandBits]] at scale — the default 8 is the
+    * oracle gate's pinned width. */
+  def embeddingLshNearestNeighbor(emb: DataFrame, dim: Int, k: Int,
+                                  bandBits: Int = 8): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 14, s"bandBits out of range: $bandBits")
+    val mask = (1L << bandBits) - 1
     val sig = emb.select(col("vec_id"),
-      embedLshSig(col("embedding"), dim).as("sig"))
+      embedLshSig(col("embedding"), dim, nBits = 4 * bandBits).as("sig"))
     val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band"), expr(s"(sig >> ${8 * b}) & 255").as("bval"))
+      struct(lit(b).as("band"),
+        expr(s"(sig >> ${bandBits * b}) & $mask").as("bval"))
     }
     val bands = sig.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.bval").as("bval"))

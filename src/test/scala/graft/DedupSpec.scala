@@ -241,4 +241,27 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       .select("qid", "id")
     assert(exact.exceptAll(lsh).count() === 0)
   }
+
+  test("LSH embedding NN: corpus-relative band width") {
+    // the auto rule holds expected bucket occupancy constant: floor 8
+    // covers the oracle-gate corpora, one extra bit per doubling after
+    // n=4096, capped at 14 so the 4-band signature stays inside a long
+    assert(Dedup.autoBandBits(200) === 8)
+    assert(Dedup.autoBandBits(2000) === 8)
+    assert(Dedup.autoBandBits(20000) === 11)
+    assert(Dedup.autoBandBits(200000) === 14)
+    assert(Dedup.autoBandBits(1000000000L) === 14)
+    // wider bands are strictly finer buckets of the same signs: every
+    // returned pair still shares a wide band, no self pairs, and every
+    // true near-dup (cosine >= 0.95) still collides — near-dups agree on
+    // nearly every hyperplane sign, so band width barely affects them
+    val emb = Tables.embeddings(spark, sfDir)
+    val wide = Dedup.embeddingLshNearestNeighbor(emb, dim = 64, k = 1,
+      bandBits = 11).cache()
+    assert(wide.count() > 0)
+    assert(wide.where($"qid" === $"id").count() === 0)
+    val exact = Dedup.embeddingNearestNeighborExact(emb, 1)
+      .where(-$"dist" >= 0.95).select("qid", "id")
+    assert(exact.exceptAll(wide.select("qid", "id")).count() === 0)
+  }
 }
