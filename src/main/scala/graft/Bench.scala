@@ -438,7 +438,7 @@ object Bench {
     // corpus-relative 16·scale point cost 2.5× the matched-recall QPS for
     // recall 0.9998); the headline runs the auto-picked matched-recall
     // point (see pickKnob).
-    val graphSweepEfs = Seq(8, 16, 24, 32, 48, 64)
+    val graphSweepEfs = Seq(8, 16, 24, 32, 48, 64, 96, 128)
     def graphFamily(family: String, resident: index.HnswResident,
                     truth: DataFrame): (Int, Double) = {
       val recalls = graphSweepEfs.map { ef =>
@@ -531,7 +531,7 @@ object Bench {
     // ABSOLUTE knob in the reference; needed rerank grows ~log n with the
     // near-tie density, which the grid spans at every benched scale).
     // Headline = matched-recall pick.
-    val adcReranks = Seq(20, 40, 80, 160, 320)
+    val adcReranks = Seq(20, 40, 80, 160, 320, 640)
     val adcRecalls = adcReranks.map { r =>
       r -> operators.Recall.mean(
         adcServed.probeLocal(queries, 10, rerank = r), truthL2, 10)
@@ -557,7 +557,7 @@ object Bench {
     // k_factor: it corrects quantization error, which does not grow with
     // corpus size; SQ8 needs less of it than the coarser PQ codes.
     val benchC = index.IvfIndex.autoC(n)
-    val ivfMassPcts = Seq(15, 25, 35, 50, 75, 100)
+    val ivfMassPcts = Seq(5, 8, 15, 25, 35, 50, 75, 100)
     def ivfMassFamily(family: String, rerank: Int,
                       local: (Double, Int) => DataFrame,
                       batch: (Double, Int) => Unit): (Int, Double) = {
@@ -701,7 +701,9 @@ object Bench {
     // fixed-count routing swept as cluster FRACTIONS of C (a raw nprobe
     // is meaningless across scales); the recorded knob is the count
     val routedNps =
-      Seq(1, 2, 3, 4).map(i => math.max(1, routedC * i / 4)).distinct
+      (Seq(routedC / 16, routedC / 8) ++
+        Seq(1, 2, 3, 4).map(i => routedC * i / 4))
+        .map(math.max(1, _)).distinct.sorted
     val routedNpRecalls = routedNps.map { np =>
       np -> operators.Recall.mean(
         routed.probeLocal(queries, 10, routedEf, nprobe = np), truthL2, 10)
@@ -722,7 +724,7 @@ object Bench {
     // fraction, so per-query probe counts adapt to cluster skew instead
     // of over/under-probing at a fixed nprobe. Swept over minMass (per
     // cent, to keep the sweep schema integer-knobbed like the others).
-    val routedAutoPcts = Seq(25, 50, 75, 90)
+    val routedAutoPcts = Seq(10, 15, 25, 50, 75, 90)
     val routedAutoRecalls = routedAutoPcts.map { pct =>
       pct -> operators.Recall.mean(
         routed.probeLocalAuto(queries, 10, routedEf, minMass = pct / 100.0),
