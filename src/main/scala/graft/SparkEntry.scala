@@ -917,6 +917,33 @@ object SparkEntry {
           s.createDataFrame(rows.toSeq).toDF("qid", "id", "dist", "rank"))
       } finally served.unload()
     }),
+    // graph-routed coarse quantizer (HNSW over the centroids — faiss's
+    // IVF_HNSW shape, the O(log C) router the 100 TB regime needs once
+    // autoC ~ 4*sqrt(n) reaches the hundreds of thousands) at ITS
+    // exact-degenerate point: efRoute = C serves the ranking by the exact
+    // linear rank (HnswIndex answers ef >= size with a true exact scan),
+    // so minMass = 1.0 + rerank = n still hash-matches brute force through
+    // the efRoute-threaded shard-side path. Pruned-beam behavior (the
+    // genuinely approximate regime) is IndexSpec-gated: shard/client row
+    // identity and recall within eps of the linear rank.
+    "ann_ivfsq8_graphroute_exact" -> ((s, dir) => {
+      import s.implicits._
+      val b = embBase(s, dir)
+      val ivf = graft.index.IvfIndex.build(b, c = 64, iters = 2)
+      val (mins, spans) = sq8Train(s, dir)
+      val n = b.count().toInt
+      val served = graft.index.ResidentIvfSq8.load(b, ivf, mins, spans,
+        numPartitions = 4)
+      try {
+        val qs = embQueries(s, dir, 10)
+          .select(col("qid").cast("long"), col("qvec"))
+          .as[(Long, Array[Float])].collect()
+        val rows = served.probeBatchMass(qs, 10, minMass = 1.0, rerank = n,
+          shardRoute = Some(true), efRoute = served.numClusters)
+        knnResult(
+          s.createDataFrame(rows.toSeq).toDF("qid", "id", "dist", "rank"))
+      } finally served.unload()
+    }),
     // save → load → probe through the VectorIndex registry with the
     // lossless codebook: persistence must not change the exact result
     // (S7/X4 parity, same contract as ann_ivf_persisted).
@@ -1528,6 +1555,9 @@ object SparkEntry {
     // mass-adaptive routing at minMass = 1.0 + rerank = n, shard-side
     // routing forced: exact
     "ann_ivfsq8_mass_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
+    // graph-routed coarse quantizer at efRoute = C (exact linear rank),
+    // minMass = 1.0 + rerank = n, shard-side: exact
+    "ann_ivfsq8_graphroute_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_ivfpq_residual_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     "ann_ivfpq_persisted_exact" -> knnOracle(10, 10, l2Sql, "ASC"),
     // OPQ rotation in front of the residual IVFPQ chain, original-space

@@ -44,6 +44,27 @@ final class HnswRouted(spark: SparkSession,
   private def route(qv: Array[Float], nprobe: Int): Array[Int] =
     rankCentroids(qv).take(nprobe).map(_._2)
 
+  /** HNSW over the centroids under the INDEX metric (ip routes by negated
+    * dot, same as [[rankCentroids]]) — the O(efRoute·log C) router for the
+    * regime where C reaches the hundreds of thousands and the linear rank
+    * above is the per-query serial floor (see [[CoarseRouter]]'s graph
+    * notes; faiss's IVF_HNSW shape). Built deterministically from the
+    * centroid array on first use; concurrent searches are safe. */
+  @transient private lazy val centroidGraph: HnswIndex = {
+    val g = new HnswIndex(m = 16, efConstruction = 100,
+      metric = if (ipMetric) "ip" else "l2")
+    centroids.foreach { case (cid, cvec) => g.add(cid.toLong, cvec) }
+    g
+  }
+
+  /** Graph-ranked centroid prefix as (dist asc, cid asc); `efRoute` ≥ C
+    * falls back to the exact linear rank. */
+  private def rankCentroidsGraph(qv: Array[Float], width: Int,
+                                 efRoute: Int): Array[(Double, Int)] =
+    if (efRoute >= centroids.length) rankCentroids(qv)
+    else centroidGraph.search(qv, k = width, ef = efRoute)
+      .map { case (cid, d) => (d, cid.toInt) }
+
   /** Mass-adaptive routing: walk centroids in metric order and stop once
     * the probed clusters hold ≥ `minMass` of the corpus (or `maxNprobe`
     * clusters, whichever first). A fixed nprobe probes a data-dependent
@@ -54,10 +75,11 @@ final class HnswRouted(spark: SparkSession,
     * an exhaustive beam). Needs `clusterSizes` (loadResident records them;
     * one aggregate over the node layout). */
   private[graft] def routeByMass(qv: Array[Float], minMass: Double,
-                                 maxNprobe: Int): Array[Int] = {
+                                 maxNprobe: Int,
+                                 efRoute: Int = Int.MaxValue): Array[Int] = {
     require(clusterSizes.nonEmpty, "mass routing needs clusterSizes")
     val total = clusterSizes.valuesIterator.sum.toDouble
-    val ranked = rankCentroids(qv)
+    val ranked = rankCentroidsGraph(qv, efRoute, efRoute)
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     var mass = 0.0
     var i = 0
@@ -75,14 +97,19 @@ final class HnswRouted(spark: SparkSession,
     * sorted by (qid, rank). One broadcast + one narrow job per batch; a
     * graph only evaluates the queries routed to it. */
   def probeBatch(qs: Array[(Long, Array[Float])], k: Int, efSearch: Int = 64,
-                 nprobe: Int = 2): Array[(Long, Long, Double, Long)] =
-    probeRouted(qs, qv => route(qv, nprobe), k, efSearch)
+                 nprobe: Int = 2,
+                 efRoute: Int = Int.MaxValue): Array[(Long, Long, Double, Long)] =
+    probeRouted(qs,
+      qv => rankCentroidsGraph(qv, nprobe, efRoute).take(nprobe).map(_._2),
+      k, efSearch)
 
   /** [[probeBatch]] with mass-adaptive routing instead of a fixed nprobe. */
   def probeBatchAuto(qs: Array[(Long, Array[Float])], k: Int,
                      efSearch: Int = 64, minMass: Double = 0.5,
-                     maxNprobe: Int = Int.MaxValue): Array[(Long, Long, Double, Long)] =
-    probeRouted(qs, qv => routeByMass(qv, minMass, maxNprobe), k, efSearch)
+                     maxNprobe: Int = Int.MaxValue,
+                     efRoute: Int = Int.MaxValue): Array[(Long, Long, Double, Long)] =
+    probeRouted(qs, qv => routeByMass(qv, minMass, maxNprobe, efRoute), k,
+      efSearch)
 
   private def probeRouted(qs: Array[(Long, Array[Float])],
                           routeFn: Array[Float] => Array[Int], k: Int,
@@ -116,23 +143,24 @@ final class HnswRouted(spark: SparkSession,
 
   /** [[probeBatch]] with DataFrame plumbing on both ends. */
   def probeLocal(queries: DataFrame, k: Int, efSearch: Int = 64,
-                 nprobe: Int = 2): DataFrame = {
+                 nprobe: Int = 2, efRoute: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     val qs = queries.select(col("qid").cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect()
-    spark.createDataFrame(probeBatch(qs, k, efSearch, nprobe).toSeq)
+    spark.createDataFrame(probeBatch(qs, k, efSearch, nprobe, efRoute).toSeq)
       .toDF("qid", "id", "dist", "rank")
   }
 
   /** [[probeBatchAuto]] with DataFrame plumbing on both ends. */
   def probeLocalAuto(queries: DataFrame, k: Int, efSearch: Int = 64,
                      minMass: Double = 0.5,
-                     maxNprobe: Int = Int.MaxValue): DataFrame = {
+                     maxNprobe: Int = Int.MaxValue,
+                     efRoute: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     val qs = queries.select(col("qid").cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect()
     spark.createDataFrame(
-      probeBatchAuto(qs, k, efSearch, minMass, maxNprobe).toSeq)
+      probeBatchAuto(qs, k, efSearch, minMass, maxNprobe, efRoute).toSeq)
       .toDF("qid", "id", "dist", "rank")
   }
 

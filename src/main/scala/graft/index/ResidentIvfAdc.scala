@@ -95,9 +95,11 @@ final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
     * ranking. Routing is [[CoarseRouter.byNprobe]] on client threads. */
   def probeBatch(qs: Array[(Long, Array[Float])], k: Int, nprobe: Int,
                  rerank: Int,
-                 treeMergeAt: Int = 64): Array[(Long, Long, Double, Long)] = {
+                 treeMergeAt: Int = 64,
+                 efRoute: Int = Int.MaxValue): Array[(Long, Long, Double, Long)] = {
     val rt = router
-    probePrepped(qs, qv => rt.byNprobe(qv, nprobe), k, rerank, treeMergeAt)
+    probePrepped(qs, qv => rt.byNprobeGraph(qv, nprobe, efRoute), k, rerank,
+      treeMergeAt)
   }
 
   /** [[probeBatch]] with MASS-ADAPTIVE routing: the knob is the corpus
@@ -107,10 +109,11 @@ final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
   def probeBatchMass(qs: Array[(Long, Array[Float])], k: Int,
                      minMass: Double, rerank: Int,
                      maxNprobe: Int = Int.MaxValue,
-                     treeMergeAt: Int = 64): Array[(Long, Long, Double, Long)] = {
+                     treeMergeAt: Int = 64,
+                     efRoute: Int = Int.MaxValue): Array[(Long, Long, Double, Long)] = {
     val rt = router
-    probePrepped(qs, qv => rt.byMass(qv, minMass, maxNprobe), k, rerank,
-      treeMergeAt)
+    probePrepped(qs, qv => rt.byMassGraph(qv, minMass, efRoute, maxNprobe),
+      k, rerank, treeMergeAt)
   }
 
   private def probePrepped(qs: Array[(Long, Array[Float])],
@@ -244,21 +247,23 @@ final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
 
   /** [[probeBatch]] with DataFrame plumbing on both ends. */
   def probeLocal(queries: DataFrame, k: Int, nprobe: Int,
-                 rerank: Int): DataFrame = {
+                 rerank: Int, efRoute: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     val qs = queries.select(col("qid").cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect()
-    spark.createDataFrame(probeBatch(qs, k, nprobe, rerank).toSeq)
+    spark.createDataFrame(
+      probeBatch(qs, k, nprobe, rerank, efRoute = efRoute).toSeq)
       .toDF("qid", "id", "dist", "rank")
   }
 
   /** [[probeBatchMass]] with DataFrame plumbing on both ends. */
   def probeLocalMass(queries: DataFrame, k: Int, minMass: Double,
-                     rerank: Int): DataFrame = {
+                     rerank: Int, efRoute: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     val qs = queries.select(col("qid").cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect()
-    spark.createDataFrame(probeBatchMass(qs, k, minMass, rerank).toSeq)
+    spark.createDataFrame(
+      probeBatchMass(qs, k, minMass, rerank, efRoute = efRoute).toSeq)
       .toDF("qid", "id", "dist", "rank")
   }
 

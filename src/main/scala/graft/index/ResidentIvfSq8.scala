@@ -31,7 +31,10 @@ final case class IvfSq8Shard(
   * 10M×192 RAM budget relies on. Routing runs client-side on many threads
   * below [[Router.shardRouteVolume]] and SHARD-SIDE above it (the router
   * broadcasts once at load), so neither a large C nor a large batch ever
-  * serializes on the driver.
+  * serializes on the driver; `efRoute` < C further swaps the linear
+  * centroid rank for the O(efRoute·log C) centroid-graph beam (see
+  * [[CoarseRouter]]'s graph notes) — the router the 100 TB regime needs
+  * once autoC reaches the hundreds of thousands.
   *
   * Per-query work is bounded by the routed clusters' population. At
   * nprobe = C (or minMass = 1.0) with rerank ≥ n every row reaches the
@@ -67,11 +70,12 @@ final class ResidentIvfSq8(spark: SparkSession, rdd: RDD[IvfSq8Shard],
     * (dist asc, id asc) ranking. */
   def probeBatch(qs: Array[(Long, Array[Float])], k: Int, nprobe: Int,
                  rerank: Int,
-                 treeMergeAt: Int = 64): Array[(Long, Long, Double, Long)] = {
+                 treeMergeAt: Int = 64,
+                 efRoute: Int = Int.MaxValue): Array[(Long, Long, Double, Long)] = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
     val rt = router
     val routed = Router.parallelMap(qs) { case (qid, qv) =>
-      (qid, qv, encode(qv), rt.byNprobe(qv, nprobe))
+      (qid, qv, encode(qv), rt.byNprobeGraph(qv, nprobe, efRoute))
     }
     probeRouted(routed, k, rerank, treeMergeAt)
   }
@@ -87,15 +91,22 @@ final class ResidentIvfSq8(spark: SparkSession, rdd: RDD[IvfSq8Shard],
                      minMass: Double, rerank: Int,
                      maxNprobe: Int = Int.MaxValue,
                      treeMergeAt: Int = 64,
-                     shardRoute: Option[Boolean] = None): Array[(Long, Long, Double, Long)] = {
+                     shardRoute: Option[Boolean] = None,
+                     efRoute: Int = Int.MaxValue): Array[(Long, Long, Double, Long)] = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
+    // graph routing drops the per-query routing term from O(C·d) to
+    // O(efRoute·log C), so the shard-route bound scales by the work the
+    // graph actually does per query rather than by C
+    val routeCost =
+      if (efRoute >= router.numClusters) router.numClusters.toLong
+      else efRoute.toLong * (1 + 31 - Integer.numberOfLeadingZeros(
+        math.max(2, router.numClusters)))
     val onShards = shardRoute.getOrElse(
-      qs.length.toLong * router.numClusters * mins.length >
-        Router.shardRouteVolume)
+      qs.length.toLong * routeCost * mins.length > Router.shardRouteVolume)
     if (!onShards) {
       val rt = router
       val routed = Router.parallelMap(qs) { case (qid, qv) =>
-        (qid, qv, encode(qv), rt.byMass(qv, minMass, maxNprobe))
+        (qid, qv, encode(qv), rt.byMassGraph(qv, minMass, efRoute, maxNprobe))
       }
       probeRouted(routed, k, rerank, treeMergeAt)
     } else {
@@ -106,13 +117,14 @@ final class ResidentIvfSq8(spark: SparkSession, rdd: RDD[IvfSq8Shard],
       val rb = routerBc
       val mm = minMass
       val mp = maxNprobe
+      val ef = efRoute
       val kk = k
       val rr = rerank
       val local = rdd.flatMap { shard =>
         val rt = rb.value
         bq.value.iterator.flatMap { case (qid, qv, qc) =>
           ResidentIvfSq8.scanShard(shard, qid, qv, qc,
-            rt.byMass(qv, mm, mp), kk, rr)
+            rt.byMassGraph(qv, mm, ef, mp), kk, rr)
         }
       }
       val out = ProbeMerge.topK(local, k, treeMergeAt)
@@ -140,21 +152,23 @@ final class ResidentIvfSq8(spark: SparkSession, rdd: RDD[IvfSq8Shard],
 
   /** [[probeBatch]] with DataFrame plumbing on both ends. */
   def probeLocal(queries: DataFrame, k: Int, nprobe: Int,
-                 rerank: Int): DataFrame = {
+                 rerank: Int, efRoute: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     val qs = queries.select(col("qid").cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect()
-    spark.createDataFrame(probeBatch(qs, k, nprobe, rerank).toSeq)
+    spark.createDataFrame(
+      probeBatch(qs, k, nprobe, rerank, efRoute = efRoute).toSeq)
       .toDF("qid", "id", "dist", "rank")
   }
 
   /** [[probeBatchMass]] with DataFrame plumbing on both ends. */
   def probeLocalMass(queries: DataFrame, k: Int, minMass: Double,
-                     rerank: Int): DataFrame = {
+                     rerank: Int, efRoute: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     val qs = queries.select(col("qid").cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect()
-    spark.createDataFrame(probeBatchMass(qs, k, minMass, rerank).toSeq)
+    spark.createDataFrame(
+      probeBatchMass(qs, k, minMass, rerank, efRoute = efRoute).toSeq)
       .toDF("qid", "id", "dist", "rank")
   }
 

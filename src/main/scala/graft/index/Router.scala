@@ -29,7 +29,7 @@ package graft.index
   * Reference analog: the IVF16384 coarse quantizer the faiss baseline
   * routes through (/root/reference/filter/faiss/config.yaml:50-53,
   * faiss.py:617-645). */
-private[index] final class CoarseRouter(
+private[graft] final class CoarseRouter(
     val centroids: Array[(Int, Array[Float])],
     val sizes: Map[Int, Long]) extends Serializable {
 
@@ -64,8 +64,11 @@ private[index] final class CoarseRouter(
     * the probed clusters hold ≥ `minMass` of the corpus (or `maxNprobe`
     * clusters, whichever first). Always probes at least one cluster. */
   def byMass(qv: Array[Float], minMass: Double,
-             maxNprobe: Int = Int.MaxValue): Array[Int] = {
-    val ranked = rank(qv)
+             maxNprobe: Int = Int.MaxValue): Array[Int] =
+    massWalk(rank(qv), minMass, maxNprobe)
+
+  private def massWalk(ranked: Array[(Double, Int)], minMass: Double,
+                       maxNprobe: Int): Array[Int] = {
     val out = Array.newBuilder[Int]
     var mass = 0L
     val need = math.ceil(minMass * totalMass).toLong
@@ -81,9 +84,55 @@ private[index] final class CoarseRouter(
     }
     out.result()
   }
+
+  // -- graph routing (the 100 TB router) ------------------------------------
+  // autoC ~ 4*sqrt(n) puts C in the hundreds of thousands at reference-fleet
+  // corpus sizes (C = 400k at 10^10 rows), where the linear O(C·d) rank above
+  // becomes the per-query serial floor no amount of scan parallelism hides.
+  // faiss's answer is a graph quantizer over the centroids (IVF_HNSW — the
+  // same composition the reference's IVF16384 baseline would reach for at
+  // the next corpus decade); ours is an [[HnswIndex]] over the centroid
+  // vectors, O(efRoute·log C) per query. Routing is then approximate —
+  // efRoute ≥ C degenerates to the exact linear rank (the hash-gate point),
+  // and routing recall vs the linear rank is spec-gated at operating
+  // efRoute.
+
+  /** HNSW over the centroids, built deterministically from the centroid
+    * array on FIRST USE in each JVM (driver or shard executor): the
+    * broadcast payload stays the raw centroids, and level draws key on cid
+    * so every rebuild yields the identical graph. Concurrent searches are
+    * safe (all search scratch is per-call). */
+  @transient private lazy val centroidGraph: HnswIndex = {
+    val g = new HnswIndex(m = 16, efConstruction = 100, metric = "l2")
+    centroids.foreach { case (cid, cvec) => g.add(cid.toLong, cvec) }
+    g
+  }
+
+  /** Graph-ranked centroid prefix: up to `width` centroids as (L2 asc, cid
+    * asc), beam width `efRoute`. */
+  private def rankGraph(qv: Array[Float], width: Int,
+                        efRoute: Int): Array[(Double, Int)] =
+    centroidGraph.search(qv, k = width, ef = efRoute)
+      .map { case (cid, d) => (d, cid.toInt) }
+
+  /** [[byNprobe]] with the ranking served by the centroid graph;
+    * `efRoute` ≥ C falls back to the exact linear rank. */
+  def byNprobeGraph(qv: Array[Float], nprobe: Int, efRoute: Int): Array[Int] =
+    if (efRoute >= numClusters) byNprobe(qv, nprobe)
+    else rankGraph(qv, nprobe, efRoute).map(_._2)
+
+  /** [[byMass]] with the candidate ranking served by the centroid graph:
+    * the mass walk runs over the beam's `efRoute` nearest centroids (a
+    * mass target the beam can't cover stops at the beam edge — efRoute
+    * bounds the probe fan-out, exactly like `maxNprobe`); `efRoute` ≥ C
+    * falls back to the exact linear rank. */
+  def byMassGraph(qv: Array[Float], minMass: Double, efRoute: Int,
+                  maxNprobe: Int = Int.MaxValue): Array[Int] =
+    if (efRoute >= numClusters) byMass(qv, minMass, maxNprobe)
+    else massWalk(rankGraph(qv, efRoute, efRoute), minMass, maxNprobe)
 }
 
-private[index] object Router {
+private[graft] object Router {
 
   /** Client-side routing volume bound (nq·C·d float ops): past it the
     * batch routes shard-side instead of on the driver. ~3e8 keeps a

@@ -292,6 +292,37 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     routed.unload()
   }
 
+  test("routed graphs with a graph-routed centroid rank: degenerate at " +
+       "efRoute >= C, recall within eps of the linear rank at a pruned beam") {
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw-rtg")
+      .resolve("idx").toString
+    // C large enough that the centroid HNSW is a real graph
+    HnswRouted.buildAndSave(base, path, c = 48, kmIters = 2)
+    val routed = HnswRouted.loadResident(spark, path)
+    def rs(df: DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    // efRoute >= C is the linear rank verbatim: full fan-out stays exact
+    val t = truth.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(rs(routed.probeLocal(queries, 10, efSearch = 1 << 20, nprobe = 48,
+      efRoute = 48)) === t)
+    assert(rs(routed.probeLocalAuto(queries, 10, efSearch = 1 << 20,
+      minMass = 1.0, efRoute = 48)) === t)
+    // pruned centroid beam: routing error stays within eps of the linear
+    // rank at the same probe budget, for both routing shapes
+    val linN = Recall.mean(
+      routed.probeLocal(queries, 10, efSearch = 64, nprobe = 12), truth, 10)
+    val grN = Recall.mean(
+      routed.probeLocal(queries, 10, efSearch = 64, nprobe = 12,
+        efRoute = 24), truth, 10)
+    assert(grN >= linN - 0.05, s"graph-routed recall $grN vs linear $linN")
+    val linM = Recall.mean(routed.probeLocalAuto(queries, 10, efSearch = 64,
+      minMass = 0.3), truth, 10)
+    val grM = Recall.mean(routed.probeLocalAuto(queries, 10, efSearch = 64,
+      minMass = 0.3, efRoute = 24), truth, 10)
+    assert(grM >= linM - 0.05, s"graph mass-routed recall $grM vs linear $linM")
+    routed.unload()
+  }
+
   test("mass-adaptive routing: exact at minMass=1, mass target met, recall monotone") {
     val path = java.nio.file.Files.createTempDirectory("graft-hnsw-rta")
       .resolve("idx").toString
@@ -511,6 +542,54 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
         served.probeLocalMass(queries, 10, minMass = 0.5, rerank = 40),
         truth, 10)
       assert(r >= 0.7, s"mass-routed ivf,sq8 recall $r at minMass=0.5")
+    } finally {
+      served.unload()
+      adc.unload()
+    }
+  }
+
+  test("graph-routed coarse quantizer: degenerate at efRoute >= C, shard- " +
+       "and client-side identical, recall holds at a pruned beam") {
+    // C large enough that the centroid HNSW is a real graph, not a clique
+    val ivf = IvfIndex.build(base, c = 64, iters = 2)
+    val (mins, spans) = Sq8.train(base)
+    val served = ResidentIvfSq8.load(base, ivf, mins, spans, numPartitions = 4)
+    val cb = Pq.train(base, m = 4, ksub = 16, iters = 2)
+    val adc = ResidentIvfAdc.load(base, ivf, cb, numPartitions = 4)
+    try {
+      def rs(df: DataFrame) =
+        df.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+      val n = base.count().toInt
+      // efRoute >= C is the exact linear rank verbatim, so the full
+      // degenerate composition (minMass=1, rerank=n) stays brute force —
+      // the driver gate's point, now through the efRoute-threaded path
+      assert(rs(served.probeLocalMass(queries, 10, minMass = 1.0, rerank = n,
+        efRoute = served.numClusters)) === rs(truth))
+      assert(rs(adc.probeLocalMass(queries, 10, minMass = 1.0, rerank = n,
+        efRoute = adc.numClusters)) === rs(truth))
+      // pruned beam: routing goes through the centroid graph. Client- and
+      // shard-side routing build the same deterministic graph (level draws
+      // key on cid), so the rows must match verbatim.
+      val qs = queries.select($"qid".cast("long"), $"qvec")
+        .as[(Long, Array[Float])].collect()
+      val client = served.probeBatchMass(qs, 10, minMass = 0.3, rerank = 40,
+        shardRoute = Some(false), efRoute = 32)
+      val shardSide = served.probeBatchMass(qs, 10, minMass = 0.3, rerank = 40,
+        shardRoute = Some(true), efRoute = 32)
+      assert(client.toSeq === shardSide.toSeq)
+      // end-to-end recall at the pruned beam stays within eps of the
+      // linear rank at the same scan mass (graph routing error only)
+      val lin = Recall.mean(served.probeLocalMass(queries, 10,
+        minMass = 0.3, rerank = 40), truth, 10)
+      val gr = Recall.mean(served.probeLocalMass(queries, 10,
+        minMass = 0.3, rerank = 40, efRoute = 32), truth, 10)
+      assert(gr >= lin - 0.05, s"graph-routed recall $gr vs linear $lin")
+      // and the fixed-count route shape concurs
+      val grN = Recall.mean(served.probeLocal(queries, 10, nprobe = 16,
+        rerank = 40, efRoute = 32), truth, 10)
+      val linN = Recall.mean(served.probeLocal(queries, 10, nprobe = 16,
+        rerank = 40), truth, 10)
+      assert(grN >= linN - 0.05, s"graph nprobe recall $grN vs linear $linN")
     } finally {
       served.unload()
       adc.unload()
