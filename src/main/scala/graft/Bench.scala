@@ -907,6 +907,17 @@ object Bench {
       }
       acc
     }
+    // process-CPU share of a sample's wall window: ~1.0 when the JVM's
+    // threads actually ran the whole window, collapsing when the HOST
+    // stalled the process (descheduling, cpu-band contention) — the
+    // attribution for spread outliers whose gc_worst_ms reads 0 (r8/r9:
+    // whole adjacent row-stretches at spread 3-9 with zero GC and steal
+    // < 0.1%; medians reproduce, worst samples track the band)
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def procCpuNs(): Long = osBean.getProcessCpuTime
+    val nProcs = Runtime.getRuntime.availableProcessors()
     val sampleIters = headline.map { case (name, _, _) =>
       name -> math.max(1, math.min(25,
         math.ceil(minWindowSec / math.max(calib(name), 1e-3)).toInt))
@@ -914,9 +925,10 @@ object Bench {
     val rowReps = headline.map { case (name, _, _) =>
       name -> (if (calib(name) > 5.0) math.min(3, reps) else reps)
     }.toMap
-    // per sample: (sec per batch, GC ms inside the sample's timed region)
+    // per sample: (sec per batch, GC ms inside the sample's timed region,
+    // process-CPU share of the sample's wall window)
     val samples = headline.map { case (name, _, _) =>
-      name -> ArrayBuffer.empty[(Double, Long)] }.toMap
+      name -> ArrayBuffer.empty[(Double, Long, Double)] }.toMap
     var gcRetakes = 0
     val (statTot0, statSteal0) = cpuStat()
     for (pass <- 1 to reps) {
@@ -927,20 +939,27 @@ object Bench {
             if (it == 1) {
               settle()
               var g0 = gcMsNow()
+              var c0 = procCpuNs()
               var t0 = System.nanoTime()
               runOnce()
-              var sec = (System.nanoTime() - t0) / 1e9
+              var wall = System.nanoTime() - t0
+              var sec = wall / 1e9
+              var cf = (procCpuNs() - c0).toDouble / (wall.toDouble * nProcs)
               var g = gcMsNow() - g0
               if (g > 200 && g > 0.2 * sec * 1000.0) {
                 gcRetakes += 1
-                g0 = gcMsNow(); t0 = System.nanoTime()
+                g0 = gcMsNow(); c0 = procCpuNs(); t0 = System.nanoTime()
                 runOnce()
-                sec = (System.nanoTime() - t0) / 1e9
+                wall = System.nanoTime() - t0
+                sec = wall / 1e9
+                cf = (procCpuNs() - c0).toDouble / (wall.toDouble * nProcs)
                 g = gcMsNow() - g0
               }
-              samples(name) += ((sec, g))
+              samples(name) += ((sec, g, cf))
             } else {
               val g0 = gcMsNow()
+              val c0 = procCpuNs()
+              val t0w = System.nanoTime()
               val bt = new Array[Double](it)
               var i = 0
               while (i < it) {
@@ -949,8 +968,10 @@ object Bench {
                 bt(i) = (System.nanoTime() - t0) / 1e9
                 i += 1
               }
+              val wallW = System.nanoTime() - t0w
+              val cf = (procCpuNs() - c0).toDouble / (wallW.toDouble * nProcs)
               java.util.Arrays.sort(bt)
-              samples(name) += ((bt(it / 2), gcMsNow() - g0))
+              samples(name) += ((bt(it / 2), gcMsNow() - g0, cf))
             }
           } catch { case _: Throwable => failed += name }
         }
@@ -972,6 +993,23 @@ object Bench {
     val gcWorstOf = headline.map { case (name, _, _) =>
       val ss = samples(name)
       name -> (if (ss.isEmpty) 0L else ss.maxBy(_._1)._2)
+    }.toMap
+    // process-CPU share inside the row's worst sample, rounded for the
+    // artifact: ~1.0 = the JVM computed the whole window (slowness was
+    // real work or in-JVM), << 1 = the host withheld cycles
+    val cpuFracOf = headline.map { case (name, _, _) =>
+      val ss = samples(name)
+      name -> (if (ss.isEmpty) 0.0
+               else math.rint(ss.maxBy(_._1)._3 * 1000) / 1000)
+    }.toMap
+    // ...and the MEDIAN sample's share as the row's own baseline: serving
+    // batches legitimately run ~0.1 of 32 cores (shard fan-out, short
+    // batches), so the outlier signal is worst-vs-median collapse, not
+    // the absolute value
+    val cpuFracMedOf = headline.map { case (name, _, _) =>
+      val ss = samples(name).sortBy(_._1)
+      name -> (if (ss.isEmpty) 0.0
+               else math.rint(ss(ss.length / 2)._3 * 1000) / 1000)
     }.toMap
     teardowns.foreach { td => try td() catch { case _: Throwable => () } }
 
@@ -1026,7 +1064,7 @@ object Bench {
     val sweep = sweepReg.map { case (family, pts) =>
       val knob = sweepKnobName.getOrElse(family, "knob")
       val body = pts.sortBy(_._1).map { case (v, nm, r) =>
-        s"""{"$knob":$v,"qps":${q1(nm)},"spread":${q2(nm)},"recall":$r,"gc_worst_ms":${gcWorstOf.getOrElse(nm, 0L)}}"""
+        s"""{"$knob":$v,"qps":${q1(nm)},"spread":${q2(nm)},"recall":$r,"gc_worst_ms":${gcWorstOf.getOrElse(nm, 0L)},"cpu_frac_worst":${cpuFracOf.getOrElse(nm, 0.0)},"cpu_frac_med":${cpuFracMedOf.getOrElse(nm, 0.0)}}"""
       }.mkString("[", ",", "]")
       s""""$family":$body"""
     }.mkString("{", ",", "}")
@@ -1043,6 +1081,10 @@ object Bench {
     val spreadPairs = qpsNames.map(nm => s"\"$nm\":${q2(nm)}").mkString(",")
     val gcPairs =
       qpsNames.map(nm => s"\"$nm\":${gcWorstOf.getOrElse(nm, 0L)}").mkString(",")
+    val cpuPairs =
+      qpsNames.map(nm => s"\"$nm\":${cpuFracOf.getOrElse(nm, 0.0)}").mkString(",")
+    val cpuMedPairs =
+      qpsNames.map(nm => s"\"$nm\":${cpuFracMedOf.getOrElse(nm, 0.0)}").mkString(",")
     // the auto-picked matched-recall operating knob per headline row (plus
     // the corpus-relative structure sizes), so the artifact states exactly
     // what each headline ran
@@ -1052,7 +1094,7 @@ object Bench {
       case (nm, _, _) if rowReps(nm) < reps => s"\"$nm\":${rowReps(nm)}"
     }.mkString("{", ",", "}")
     val qpsJson =
-      s"""{$qpsPairs,"nq":$nq,"reps":$reps,"interleaved":true,"spread":{$spreadPairs},"gc_worst_ms":{$gcPairs},"op":$opJson,"reps_capped":$repsCapped,"recall":{"filtered_knn":1.0,"filtered_knn_planner":$plannerRecall,"filtered_knn_subindex":$subindexRecall,"filtered_knn_bucketed":1.0,"sparse_budget_served":$sparseRecall,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall,"ann_ivfsq8_served":$ivfSq8Recall,"ann_ivfsq8_graphroute_served":$ivfSq8GrRecall,"route_graph_agreement":$routeAgree,"maxsim_served":$maxsimRecall,"hamming_served_l2_fidelity":$hamFidelity,"hamming_served_cos_fidelity":$hamFidelityCos,"hamming_rerank_served_l2_fidelity":$ham2Fidelity},"sweep":$sweep,"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes},"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
+      s"""{$qpsPairs,"nq":$nq,"reps":$reps,"interleaved":true,"spread":{$spreadPairs},"gc_worst_ms":{$gcPairs},"cpu_frac_worst":{$cpuPairs},"cpu_frac_med":{$cpuMedPairs},"op":$opJson,"reps_capped":$repsCapped,"recall":{"filtered_knn":1.0,"filtered_knn_planner":$plannerRecall,"filtered_knn_subindex":$subindexRecall,"filtered_knn_bucketed":1.0,"sparse_budget_served":$sparseRecall,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall,"ann_ivfsq8_served":$ivfSq8Recall,"ann_ivfsq8_graphroute_served":$ivfSq8GrRecall,"route_graph_agreement":$routeAgree,"maxsim_served":$maxsimRecall,"hamming_served_l2_fidelity":$hamFidelity,"hamming_served_cos_fidelity":$hamFidelityCos,"hamming_rerank_served_l2_fidelity":$ham2Fidelity},"sweep":$sweep,"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes},"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"batch_sec":$batchJson,"qps":$qpsJson,"sf":"$sfDir"}"""
     // the whole object lands in a file the driver (or anyone) can read
