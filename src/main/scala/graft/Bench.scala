@@ -103,6 +103,28 @@ object Bench {
     // full TPC-H star schema isn't present and the serving qps block is
     // the object of measurement
     val qpsOnly = sys.env.get("SPARK_GRAFT_QPS_ONLY").contains("1")
+    // SPARK_GRAFT_TRACKS=graph,ivf,routed restricts the qps block to the
+    // named serving families (plus "batch" for the pipeline slice and
+    // "streaming" for the replay). Unset = everything, unchanged. The
+    // point is the largest scale decades: the scan-bound families are
+    // measured linear through sf10 — re-paying a known-linear scan's
+    // minutes-per-batch at 1000× rows buys no information, while the
+    // sublinear families (graph beams, IVF routing) are exactly what the
+    // next decade has to prove. A filtered artifact names its tracks in
+    // the env block.
+    val tracks = sys.env.get("SPARK_GRAFT_TRACKS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def trackOn(t: String): Boolean = tracks.forall(_.contains(t))
+    val tracksLabel = tracks.map(_.toSeq.sorted.mkString(",")).getOrElse("all")
+    // SPARK_GRAFT_SWEEP_CAP_PCT caps the corpus-FRACTION sweep grids (IVF
+    // minMassPct, routed cluster fractions). The high-fraction tail exists
+    // to anchor the exact-scan end of each curve; at the largest decades a
+    // 75–100%-of-corpus point is minutes of wall re-measuring linear scan
+    // physics the smaller SFs already anchor, while every measured
+    // matched-recall pick FALLS with n (35% → 15% across sf0.1→sf10).
+    // The artifact's sweep block states whatever grid actually ran.
+    val sweepCapPct = sys.env.get("SPARK_GRAFT_SWEEP_CAP_PCT")
+      .map(_.toInt).getOrElse(100)
     // untimed warmups: q1_agg pays the session's first-job costs (codegen,
     // parquet footer reads); knn_maxsim_ann builds the session-memoized
     // flat-ip graph fixture so the one-time build doesn't land on whichever
@@ -125,7 +147,7 @@ object Bench {
     // the artifact alongside the serving rows — at normal SFs the full
     // per-query map already covers these.
     val batchResults =
-      if (!qpsOnly) Map.empty[String, Double]
+      if (!qpsOnly || !trackOn("batch")) Map.empty[String, Double]
       else {
         // dedup_embed_nn runs its CORPUS-RELATIVE band width here (the
         // oracle gate stays at the pinned 8-bit default, which equals the
@@ -225,14 +247,26 @@ object Bench {
         df.select(col("qid").cast("long"), col("id").cast("long"),
           col("rank").cast("long")).as[(Long, Long, Long)].collect().toSeq)
         .toDF("qid", "id", "rank")
-    val truthL2 = localTruth(
-      operators.Knn.knnJoin(queries, base, 10, operators.Metric.L2))
-    val truthIp = localTruth(
-      operators.Knn.knnJoin(queries, base, 10, operators.Metric.Ip))
-    val truthCos = localTruth(
-      operators.Knn.knnJoin(queries, base, 10, operators.Metric.Cosine))
-    spark.sqlContext.clearCache()
+    // lazy: a tracks-filtered run only pays for the truths its families
+    // grade against (each is a full brute-force join over the corpus)
+    lazy val truthL2 = {
+      val t = localTruth(
+        operators.Knn.knnJoin(queries, base, 10, operators.Metric.L2))
+      spark.sqlContext.clearCache(); t
+    }
+    lazy val truthIp = {
+      val t = localTruth(
+        operators.Knn.knnJoin(queries, base, 10, operators.Metric.Ip))
+      spark.sqlContext.clearCache(); t
+    }
+    lazy val truthCos = {
+      val t = localTruth(
+        operators.Knn.knnJoin(queries, base, 10, operators.Metric.Cosine))
+      spark.sqlContext.clearCache(); t
+    }
 
+    val (subindexEf, subindexRecall, plannerRecall) =
+      if (!trackOn("filter")) (0, 0.0, 0.0) else {
     // filter track: exact conjunctive 2-tag filtered kNN, k=10, served from
     // EXECUTOR-RESIDENT signature-scan shards (build+pin excluded from the
     // timed loop — the reference's QPS excludes its index build too, and
@@ -358,6 +392,8 @@ object Bench {
         bucketQ, k = 10))
       spark.sqlContext.clearCache()
     }
+    (subindexEf, subindexRecall, plannerRecall)
+    }
 
     // sparse track: budgeted MIPS over term-frequency vectors. The budget
     // sweep is the reference's swept linscan budget
@@ -370,6 +406,7 @@ object Bench {
     // comparable to it. The synthetic tf corpus is tie-heavy, so small
     // budgets trade recall much more steeply here than SPLADE weights
     // would — the curve makes that explicit.
+    val (sparseM, sparseRecall) = if (!trackOn("sparse")) (0, 0.0) else {
     val tf = operators.Sparse.fromTermFreq(Tables.documents(spark, sfDir))
     val sparseNq = math.min(200L, Tables.documents(spark, sfDir).count() / 2).toInt
     val sparseQueries = tf.where(col("id") < sparseNq)
@@ -422,6 +459,8 @@ object Bench {
     register("sparse_budget_served", sparseNq) {
       require(sparseServed.probeBatch(sqs, k = 10).nonEmpty)
     }
+    (sparseM, sparseRecall)
+    }
 
     // ood/ann track: EXECUTOR-RESIDENT HNSW probe — build once (untimed),
     // then narrow probe-only batches: the serving operating point. Measured
@@ -456,15 +495,23 @@ object Bench {
       }
       (ef, recalls.toMap.apply(ef))
     }
-    val l2Resident = index.HnswKnn.buildResident(base, numPartitions = 8,
-      metric = "l2")
-    deferUnload(l2Resident.unload())
-    val (efL2, annRecall) = graphFamily("ann_hnsw_probe", l2Resident, truthL2)
-    val ipResident = index.HnswKnn.buildResident(base, numPartitions = 8,
-      metric = "ip")
-    deferUnload(ipResident.unload())
+    val (efL2, annRecall) = if (!trackOn("graph")) (0, 0.0) else {
+      val l2Resident = index.HnswKnn.buildResident(base, numPartitions = 8,
+        metric = "l2")
+      deferUnload(l2Resident.unload())
+      graphFamily("ann_hnsw_probe", l2Resident, truthL2)
+    }
+    // shared by the ip probe family and the MaxSim rows — built if either
+    // track is on
+    val ipResident: index.HnswResident =
+      if (trackOn("graph") || trackOn("maxsim")) {
+        val r = index.HnswKnn.buildResident(base, numPartitions = 8,
+          metric = "ip")
+        deferUnload(r.unload()); r
+      } else null
     val (efIp, annIpRecall) =
-      graphFamily("ann_hnsw_probe_ip", ipResident, truthIp)
+      if (!trackOn("graph")) (0, 0.0)
+      else graphFamily("ann_hnsw_probe_ip", ipResident, truthIp)
 
     // late-interaction (MaxSim) serving: one resident ip-graph probe batch
     // + the MaxSimServe reduce per query-bag batch — no corpus re-score
@@ -476,6 +523,7 @@ object Bench {
     // ranking is reported alongside. 4-vector docs, 2-vector queries over
     // the SAME flat corpus the ip row probes — the graph is reused, not
     // rebuilt.
+    val (maxsimC, maxsimRecall) = if (!trackOn("maxsim")) (0, 0.0) else {
     val nqB = math.min(250L, n / 4).toInt
     val qbags = operators.MultiVec
       .bagged(base.where(col("id") < 2L * nqB), 2, "qid")
@@ -519,11 +567,23 @@ object Bench {
         ipResident, maxsimQs, qmax = 2, bmax = 4, k = 10, c = maxsimC,
         efSearch = 32 * knobScale).nonEmpty)
     }
+    (maxsimC, maxsimRecall)
+    }
 
     // quantized serving form: PQ codes pinned resident (m·2 bytes/row — the
     // memory shape that still fits at 100 TB), ADC gather-scan + in-shard
     // float re-rank. Trained codebook (ONE train, shared with the ivfadc
     // row below — identical parameters), so recall is reported alongside.
+    val benchC = index.IvfIndex.autoC(n)
+    val routeC = 65536
+    val (adcRerank, adcRecall,
+         ivfAdcMass, ivfAdcRecall, ivfAdcRerank,
+         ivfAdcResMass, ivfAdcResRecall, ivfAdcResRerank,
+         ivfSq8Mass, ivfSq8Recall, ivfSq8Rerank,
+         ivfSq8GrEf, ivfSq8GrRecall, routeAgree) =
+      if (!trackOn("ivf"))
+        (0, 0.0, 0, 0.0, 0, 0, 0.0, 0, 0, 0.0, 0, 0, 0.0, 0.0)
+      else {
     val pqCb = index.Pq.train(base, m = 8, ksub = 32, iters = 3)
     val adcServed = index.ResidentAdc.load(base, pqCb, numPartitions = 8)
     deferUnload(adcServed.unload())
@@ -556,8 +616,8 @@ object Bench {
     // 10× rows). rerank is the refine budget — ABSOLUTE, like faiss's
     // k_factor: it corrects quantization error, which does not grow with
     // corpus size; SQ8 needs less of it than the coarser PQ codes.
-    val benchC = index.IvfIndex.autoC(n)
     val ivfMassPcts = Seq(5, 8, 15, 25, 35, 50, 75, 100)
+      .filter(_ <= sweepCapPct)
     def ivfMassFamily(family: String, rerank: Int,
                       local: (Double, Int) => DataFrame,
                       batch: (Double, Int) => Unit): (Int, Double, Int) = {
@@ -662,7 +722,6 @@ object Bench {
     // graph beam O(efRoute·log C) on the same centroids, same queries,
     // both on client threads. The graph row's top-16 agreement vs the
     // linear rank is published as its recall.
-    val routeC = 65536
     val routeCents = Array.tabulate(routeC) { c =>
       val rnd = new scala.util.Random(0xC0FFEE ^ c)
       (c, Array.fill(qsFloat.head._2.length)(rnd.nextGaussian().toFloat))
@@ -685,9 +744,16 @@ object Bench {
       require(index.Router.parallelMap(qsFloat)(q =>
         microRouter.byNprobeGraph(q._2, 16, 64)).nonEmpty)
     }
+    (adcRerank, adcRecall, ivfAdcMass, ivfAdcRecall, ivfAdcRerank,
+     ivfAdcResMass, ivfAdcResRecall, ivfAdcResRerank,
+     ivfSq8Mass, ivfSq8Recall, ivfSq8Rerank,
+     ivfSq8GrEf, ivfSq8GrRecall, routeAgree)
+    }
 
     // binary sign-hash tier: ONE resident load (floats pinned) serves both
     // the codes-only exact Hamming scan row and the two-tier re-rank rows.
+    val (hamFidelity, hamFidelityCos, ham2C, ham2Fidelity) =
+      if (!trackOn("hamming")) (0.0, 0.0, 0, 0.0) else {
     val binServed = index.ResidentBinary.load(base, numPartitions = 8,
       pinFloats = true)
     deferUnload(binServed.unload())
@@ -755,6 +821,8 @@ object Bench {
         }
       }
     }
+    (hamFidelity, hamFidelityCos, ham2C, ham2Fidelity)
+    }
 
     // centroid-ROUTED resident graphs (IVF-of-HNSW): each query probes only
     // its routed clusters' graphs, so per-query work is independent of
@@ -766,19 +834,22 @@ object Bench {
     // embedding corpora cluster; this one is near-uniform), so both
     // routing knobs are swept and the headlines run the measured
     // matched-recall picks — knob, cost, and recall all explicit.
+    val routedC = math.max(8L, n / 500L).toInt
+    val routedEf = 64
+    val (routedNp, rtRecall, routedAutoPct, rtaRecall) =
+      if (!trackOn("routed")) (0, 0.0, 0, 0.0) else {
     val routedPath = java.nio.file.Files.createTempDirectory("graft-bench-rt")
       .resolve("idx").toString
-    val routedC = math.max(8L, n / 500L).toInt
     index.HnswRouted.buildAndSave(base, routedPath, c = routedC, kmIters = 3)
     val routed = index.HnswRouted.loadResident(spark, routedPath)
     deferUnload(routed.unload())
-    val routedEf = 64
     // fixed-count routing swept as cluster FRACTIONS of C (a raw nprobe
     // is meaningless across scales); the recorded knob is the count
     val routedNps =
       (Seq(routedC / 16, routedC / 8) ++
         Seq(1, 2, 3, 4).map(i => routedC * i / 4))
         .map(math.max(1, _)).distinct.sorted
+        .filter(np => np * 100L <= sweepCapPct.toLong * routedC || np <= 1)
     val routedNpRecalls = routedNps.map { np =>
       np -> operators.Recall.mean(
         routed.probeLocal(queries, 10, routedEf, nprobe = np), truthL2, 10)
@@ -800,6 +871,7 @@ object Bench {
     // of over/under-probing at a fixed nprobe. Swept over minMass (per
     // cent, to keep the sweep schema integer-knobbed like the others).
     val routedAutoPcts = Seq(10, 15, 25, 50, 75, 90)
+      .filter(_ <= sweepCapPct)
     val routedAutoRecalls = routedAutoPcts.map { pct =>
       pct -> operators.Recall.mean(
         routed.probeLocalAuto(queries, 10, routedEf, minMass = pct / 100.0),
@@ -817,12 +889,15 @@ object Bench {
       require(routed.probeBatchAuto(qsFloat, k = 10, efSearch = routedEf,
         minMass = routedAutoPct / 100.0).nonEmpty)
     }
+    (routedNp, rtRecall, routedAutoPct, rtaRecall)
+    }
 
     // serving UNDER MUTATION — the steady state of the streaming track
     // between consolidations: a resident generation probed with a live
     // tombstone set (deletes since build, honored in-traversal) AND a
     // delta buffer (inserts since build, exact-scanned and merged). The
     // row shows what mutation costs relative to the clean probe.
+    val mutRecall = if (!trackOn("graph")) 0.0 else {
     val mutCut = math.max(n / 20, 1L) // 5% of the corpus arrives post-build
     val mutTombHi = 2 * mutCut // and 5% of the built graph is deleted
     val mutResident = index.HnswKnn.buildResident(
@@ -836,13 +911,14 @@ object Bench {
       require(mutResident.probeBatch(qsFloat, k = 10,
         efSearch = efL2, mutDead, mutDelta).nonEmpty)
     }
-    val mutRecall = {
+    locally {
       val live = base.where(col("id") < mutCut || col("id") >= mutTombHi)
       val truth = operators.Knn.knnJoin(queries, live, 10, operators.Metric.L2)
       val got = spark.createDataFrame(
         mutResident.probeBatch(qsFloat, 10, efL2, mutDead, mutDelta).toSeq)
         .toDF("qid", "id", "dist", "rank")
       operators.Recall.mean(got, truth, 10)
+    }
     }
 
     // hypervisor steal meter: this box steals CPU from the guest in
@@ -910,7 +986,7 @@ object Bench {
     // process-CPU share of a sample's wall window: ~1.0 when the JVM's
     // threads actually ran the whole window, collapsing when the HOST
     // stalled the process (descheduling, cpu-band contention) — the
-    // attribution for spread outliers whose gc_worst_ms reads 0 (r8/r9:
+    // attribution for spread outliers whose gc_worst_ms reads 0 (r8:
     // whole adjacent row-stretches at spread 3-9 with zero GC and steal
     // < 0.1%; medians reproduce, worst samples track the band)
     val osBean = java.lang.management.ManagementFactory
@@ -1017,7 +1093,8 @@ object Bench {
     // time, not QPS): replay the reference's own delete_runbook scaled
     // into this SF's id space and grade every search checkpoint against
     // the exact live-set kNN.
-    val (streamRecall, streamSec) = {
+    val (streamRecall, streamSec) = if (!trackOn("streaming")) (0.0, 0.0)
+    else {
       try {
         val yaml = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(
@@ -1094,7 +1171,7 @@ object Bench {
       case (nm, _, _) if rowReps(nm) < reps => s"\"$nm\":${rowReps(nm)}"
     }.mkString("{", ",", "}")
     val qpsJson =
-      s"""{$qpsPairs,"nq":$nq,"reps":$reps,"interleaved":true,"spread":{$spreadPairs},"gc_worst_ms":{$gcPairs},"cpu_frac_worst":{$cpuPairs},"cpu_frac_med":{$cpuMedPairs},"op":$opJson,"reps_capped":$repsCapped,"recall":{"filtered_knn":1.0,"filtered_knn_planner":$plannerRecall,"filtered_knn_subindex":$subindexRecall,"filtered_knn_bucketed":1.0,"sparse_budget_served":$sparseRecall,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall,"ann_ivfsq8_served":$ivfSq8Recall,"ann_ivfsq8_graphroute_served":$ivfSq8GrRecall,"route_graph_agreement":$routeAgree,"maxsim_served":$maxsimRecall,"hamming_served_l2_fidelity":$hamFidelity,"hamming_served_cos_fidelity":$hamFidelityCos,"hamming_rerank_served_l2_fidelity":$ham2Fidelity},"sweep":$sweep,"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes},"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
+      s"""{$qpsPairs,"nq":$nq,"reps":$reps,"interleaved":true,"spread":{$spreadPairs},"gc_worst_ms":{$gcPairs},"cpu_frac_worst":{$cpuPairs},"cpu_frac_med":{$cpuMedPairs},"op":$opJson,"reps_capped":$repsCapped,"recall":{"filtered_knn":1.0,"filtered_knn_planner":$plannerRecall,"filtered_knn_subindex":$subindexRecall,"filtered_knn_bucketed":1.0,"sparse_budget_served":$sparseRecall,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall,"ann_ivfsq8_served":$ivfSq8Recall,"ann_ivfsq8_graphroute_served":$ivfSq8GrRecall,"route_graph_agreement":$routeAgree,"maxsim_served":$maxsimRecall,"hamming_served_l2_fidelity":$hamFidelity,"hamming_served_cos_fidelity":$hamFidelityCos,"hamming_rerank_served_l2_fidelity":$ham2Fidelity},"sweep":$sweep,"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes,"tracks":"$tracksLabel"},"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"batch_sec":$batchJson,"qps":$qpsJson,"sf":"$sfDir"}"""
     // the whole object lands in a file the driver (or anyone) can read
@@ -1112,7 +1189,7 @@ object Bench {
     // prints LAST so the tail always ends with one complete parseable JSON
     // line; the full object is the file write above.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir","qps":{$qpsPairs,"nq":$nq,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec},"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes}},"full":"$outPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir","qps":{$qpsPairs,"nq":$nq,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec},"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes,"tracks":"$tracksLabel"}},"full":"$outPath"}"""
     println(compact)
     spark.stop()
   }

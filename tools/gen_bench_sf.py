@@ -7,7 +7,7 @@ This is NOT a correctness-gate input — the driver's /root/testdata parquet
 stays the only oracle source. It exists so serving-path scale claims can be
 exercised at 10x rows before anyone claims 100x.
 
-Usage: gen_bench_sf.py OUTDIR SCALE [clusters]
+Usage: gen_bench_sf.py OUTDIR SCALE [clusters] [embonly]
   SCALE multiplies sf0.1's row counts. The optional third arg draws the
   embeddings from that many gaussian clusters instead of one isotropic
   shell: real embedding corpora (deep1b, text2image, msturing) cluster,
@@ -25,7 +25,8 @@ import pyarrow.parquet as pq
 REF = "/root/testdata/sf0.1"
 
 
-def main(outdir: str, scale: int, clusters: int = 0) -> None:
+def main(outdir: str, scale: int, clusters: int = 0,
+         emb_only: bool = False) -> None:
     rng = np.random.default_rng(42)
 
     ref_emb = pq.read_table(f"{REF}/embeddings.parquet")
@@ -51,6 +52,12 @@ def main(outdir: str, scale: int, clusters: int = 0) -> None:
     })
     pq.write_table(emb, f"{outdir}/embeddings.parquet")
 
+    if emb_only:
+        # serving-only scale runs (SPARK_GRAFT_TRACKS without sparse/batch)
+        # read nothing but embeddings; 5M-row python text synthesis is the
+        # generator's wall-clock at SCALE >= 1000
+        print(f"wrote {n_emb} embeddings (d={dim}), no documents -> {outdir}")
+        return
     ref_doc = pq.read_table(f"{REF}/documents.parquet").to_pandas()
     vocab = sorted({w for t in ref_doc["text"] for w in t.split()})
     langs = sorted(ref_doc["lang"].unique())
@@ -76,6 +83,7 @@ def main(outdir: str, scale: int, clusters: int = 0) -> None:
 if __name__ == "__main__":
     out, scale = sys.argv[1], int(sys.argv[2])
     nclusters = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    embonly = len(sys.argv) > 4 and sys.argv[4] == "embonly"
     import os
     os.makedirs(out, exist_ok=True)
-    main(out, scale, nclusters)
+    main(out, scale, nclusters, embonly)
