@@ -845,8 +845,12 @@ object Bench {
     deferUnload(routed.unload())
     // fixed-count routing swept as cluster FRACTIONS of C (a raw nprobe
     // is meaningless across scales); the recorded knob is the count
+    // floor at C/64: the 2M-row decade showed C/16 (6.25% of clusters)
+    // already over-delivering recall 0.997 — the matched-recall fraction
+    // keeps FALLING with n, so the grid must reach below wherever the
+    // last decade's pick landed for the next decade's pick to exist
     val routedNps =
-      (Seq(routedC / 16, routedC / 8) ++
+      (Seq(routedC / 64, routedC / 32, routedC / 16, routedC / 8) ++
         Seq(1, 2, 3, 4).map(i => routedC * i / 4))
         .map(math.max(1, _)).distinct.sorted
         .filter(np => np * 100L <= sweepCapPct.toLong * routedC || np <= 1)
@@ -870,7 +874,7 @@ object Bench {
     // fraction, so per-query probe counts adapt to cluster skew instead
     // of over/under-probing at a fixed nprobe. Swept over minMass (per
     // cent, to keep the sweep schema integer-knobbed like the others).
-    val routedAutoPcts = Seq(10, 15, 25, 50, 75, 90)
+    val routedAutoPcts = Seq(3, 5, 10, 15, 25, 50, 75, 90)
       .filter(_ <= sweepCapPct)
     val routedAutoRecalls = routedAutoPcts.map { pct =>
       pct -> operators.Recall.mean(
