@@ -616,7 +616,12 @@ object Bench {
     // 10× rows). rerank is the refine budget — ABSOLUTE, like faiss's
     // k_factor: it corrects quantization error, which does not grow with
     // corpus size; SQ8 needs less of it than the coarser PQ codes.
-    val ivfMassPcts = Seq(5, 8, 15, 25, 35, 50, 75, 100)
+    // floor at 1%: the 2M-row decade's 5% floor over-delivered recall
+    // 0.994 on sq8/residual — like the routed grid, the mass floor must
+    // sit below the previous decade's matched pick or the next decade's
+    // pick can't exist (routeByMass always takes >= 1 cluster, so tiny
+    // fractions stay well-defined at small C)
+    val ivfMassPcts = Seq(1, 2, 3, 5, 8, 15, 25, 35, 50, 75, 100)
       .filter(_ <= sweepCapPct)
     def ivfMassFamily(family: String, rerank: Int,
                       local: (Double, Int) => DataFrame,
