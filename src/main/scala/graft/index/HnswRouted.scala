@@ -177,12 +177,23 @@ object HnswRouted {
     * part layout prunes loads to the probed clusters. */
   def buildAndSave(base: DataFrame, path: String, c: Int, kmIters: Int = 3,
                    m: Int = 16, efConstruction: Int = 100,
-                   metric: String = "l2"): Unit = {
+                   metric: String = "l2", atScale: Boolean = false,
+                   n: Long = 0L): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
     val vecs = base.select(col("id").cast("long"), col("vec"))
-    val centroids = KMeans.fit(vecs, c, kmIters)
-    val nodes = KMeans.assignCarry(vecs, centroids)
+    // atScale: Lloyd trains on a deterministic ~64·C-row sample and, past
+    // IvfIndex.graphAssignMinC clusters, both training and the one full
+    // assignment pass route through the centroid HNSW instead of the
+    // O(n·C·d) linear argmin (KMeans.assignCarryGraph — faiss's IVF_HNSW
+    // quantizer). Default false keeps every existing build byte-identical.
+    val ga = atScale && c >= IvfIndex.graphAssignMinC
+    val fitBase = if (atScale) KMeans.trainSample(vecs, c, n) else vecs
+    val centroids = KMeans.fit(fitBase, c, kmIters, ga)
+    val assigned =
+      if (ga) KMeans.assignCarryGraph(vecs, centroids)
+      else KMeans.assignCarry(vecs, centroids)
+    val nodes = assigned
       .select(col("cid").cast("int"), col("id"), col("vec"))
       .as[(Int, Long, Array[Float])]
       .groupByKey(_._1)

@@ -56,8 +56,65 @@ object KMeans {
     base.select(col("id"), col("vec"), argmin(col("vec")).as("cid"))
   }
 
+  /** [[assignCarry]] with the per-row argmin served by an HNSW graph over
+    * the centroids instead of the linear O(C·d) rank — faiss's IVF_HNSW
+    * quantizer shape, the assignment form that stays affordable once
+    * autoC(n) ≈ 4√n puts C in the tens of thousands (the linear argmin is
+    * O(n·C·d) over the corpus: at 10M rows × C=12,649 × d=64 that is
+    * ~10^13 flops for ONE pass; the beam is O(n·efRoute·deg·d) — ~25×
+    * less at efRoute=48, and the gap widens as √n).
+    *
+    * The closure ships the raw centroid array; [[CoarseRouter]] rebuilds
+    * its centroid graph lazily ONCE per executor JVM (deterministic —
+    * level draws key on cid), so assignment stays a map-side projection
+    * with no shuffle. Assignment becomes approximate (a row can land in a
+    * near-tied neighbor cluster); for an inverted file that moves mass
+    * between adjacent lists without breaking the contract — probes rank
+    * the TRUE distances inside whatever lists they scan, and end-to-end
+    * recall is what the bench grades. efRoute ≥ C degenerates to the
+    * exact linear rank. */
+  def assignCarryGraph(base: DataFrame, centroids: DataFrame,
+                       efRoute: Int = 48): DataFrame = {
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col("cid").cast("long"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    // CoarseRouter keys on Int cids; centroid cids are row ids (Long), so
+    // route on the sorted index and translate back
+    val cidOf: Array[Long] = cents.map(_._1)
+    val router = new CoarseRouter(
+      cents.zipWithIndex.map { case ((_, cv), i) => (i, cv) }, Map.empty)
+    val ef = efRoute
+    val nearest = udf { (vec: Seq[Float]) =>
+      cidOf(router.byNprobeGraph(vec.toArray, nprobe = 1, efRoute = ef).head)
+    }
+    base.select(col("id"), col("vec"), nearest(col("vec")).as("cid"))
+  }
+
+  /** Deterministic training sample for [[fit]] at scale: ~`perCentroid`
+    * rows per centroid (the faiss guideline trains on 39–256·C points),
+    * selected by id-hash so the sample is stable across runs and
+    * partitionings — never an `orderBy`/`limit` over the corpus. Returns
+    * the base unchanged when it is already within 2× of the target. */
+  def trainSample(base: DataFrame, c: Int, n: Long,
+                  perCentroid: Int = 64): DataFrame = {
+    val target = math.max(perCentroid.toLong * c, 100000L)
+    if (n <= 2L * target) base
+    else base.where(pmod(xxhash64(col("id")), lit(n / target)) === 0)
+  }
+
   /** Train C centroids with `iters` Lloyd iterations: (cid, cvec). */
-  def fit(base: DataFrame, c: Int, iters: Int): DataFrame = {
+  def fit(base: DataFrame, c: Int, iters: Int): DataFrame =
+    fit(base, c, iters, graphAssign = false)
+
+  /** [[fit]] with the per-iteration assignment optionally served by the
+    * centroid graph ([[assignCarryGraph]]) — the O(C·d) → O(efRoute·log C)
+    * swap each Lloyd pass pays for at large C. The centroid graph is
+    * rebuilt per iteration (C inserts — seconds even at C=20k, against a
+    * corpus pass it saves minutes of). */
+  def fit(base: DataFrame, c: Int, iters: Int,
+          graphAssign: Boolean): DataFrame = {
     val spark = base.sparkSession
     var centroids = base.orderBy("id").limit(c)
       .select(col("id").as("cid"), col("vec").as("cvec")).cache()
@@ -67,7 +124,10 @@ object KMeans {
       // group, map-side combining — dimension-scalable where d avg columns
       // are not); assignCarry keeps the vector in-row so the base is never
       // joined back to itself
-      val next = assignCarry(base, centroids)
+      val assigned =
+        if (graphAssign) assignCarryGraph(base, centroids)
+        else assignCarry(base, centroids)
+      val next = assigned
         .groupBy("cid")
         .agg(graft.functions.VectorAggs.vecMean(col("vec")).as("cvec"))
         .cache()
@@ -179,6 +239,29 @@ object IvfIndex {
   def build(base: DataFrame, c: Int, iters: Int): IvfIndex = {
     val centroids = KMeans.fit(base, c, iters)
     IvfIndex(centroids, KMeans.assign(base, centroids).cache())
+  }
+
+  /** C at which [[buildAtScale]] switches assignment from the exact linear
+    * argmin to the centroid-graph beam: below it the linear rank is cheap
+    * and keeps builds byte-identical to [[build]]; above it the O(n·C·d)
+    * passes dominate the build wall-clock. */
+  val graphAssignMinC = 2048
+
+  /** [[build]] for corpora where n·C·d passes are the wall: Lloyd trains
+    * on a deterministic ~64·C-row sample ([[KMeans.trainSample]] — the
+    * faiss training-points guideline; only the FINAL assignment pass
+    * touches every row, which is the 100 TB shape this file's scaladoc
+    * promises), and when C ≥ [[graphAssignMinC]] both the training
+    * iterations and the full assignment pass route through the centroid
+    * HNSW ([[KMeans.assignCarryGraph]] — faiss's IVF_HNSW quantizer).
+    * Below both thresholds this IS [[build]], byte for byte. */
+  def buildAtScale(base: DataFrame, c: Int, iters: Int, n: Long): IvfIndex = {
+    val ga = c >= graphAssignMinC
+    val centroids = KMeans.fit(KMeans.trainSample(base, c, n), c, iters, ga)
+    val assigned =
+      if (ga) KMeans.assignCarryGraph(base, centroids).select("id", "cid")
+      else KMeans.assign(base, centroids)
+    IvfIndex(centroids, assigned.cache())
   }
 
   /** Persist the index as parquet artifacts (S7/X4 analog of the

@@ -62,6 +62,38 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(full === t)
   }
 
+  test("graph-routed assignment: efRoute >= C degenerates to the exact argmin") {
+    val cents = KMeans.fit(base, 8, 2)
+    val exact = KMeans.assignCarry(base, cents)
+      .select("id", "cid").as[(Long, Long)].collect().toMap
+    val graph = KMeans.assignCarryGraph(base, cents, efRoute = 64)
+      .select("id", "cid").as[(Long, Long)].collect().toMap
+    assert(graph === exact)
+  }
+
+  test("graph-routed assignment at a narrow beam agrees with the exact argmin") {
+    // C=64 over 500 rows with efRoute=8 exercises the genuinely-approximate
+    // beam; near-tied rows may land in an adjacent cluster, but the beam
+    // must find the true nearest centroid for almost every row
+    val cents = KMeans.fit(base, 64, 1)
+    val exact = KMeans.assignCarry(base, cents)
+      .select("id", "cid").as[(Long, Long)].collect().toMap
+    val graph = KMeans.assignCarryGraph(base, cents, efRoute = 8)
+      .select("id", "cid").as[(Long, Long)].collect().toMap
+    assert(graph.keySet === exact.keySet)
+    val agree = exact.count { case (id, cid) => graph(id) == cid }
+    assert(agree >= (exact.size * 0.9).toInt,
+      s"graph assignment agreement $agree/${exact.size}")
+  }
+
+  test("buildAtScale below its thresholds probes identically to build") {
+    val a = IvfIndex.build(base, c = 8, iters = 3)
+    val b = IvfIndex.buildAtScale(base, c = 8, iters = 3, n = base.count())
+    def rs(i: IvfIndex) = i.probe(queries, base, 10, nprobe = 8)
+      .select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(rs(b) === rs(a))
+  }
+
   test("KMeans assigns every row to exactly one of C clusters") {
     val cents = KMeans.fit(base, 8, 2)
     assert(cents.count() === 8)

@@ -45,9 +45,15 @@ def main(outdir: str, scale: int, clusters: int = 0,
         vecs = centers[asg] + 0.25 * vecs
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     n_labels = int(ref_emb.column("label").to_pandas().max()) + 1
+    # build the list column from the flat float buffer + row offsets —
+    # pa.array(list(vecs)) materializes n_emb python row objects and takes
+    # tens of minutes at 10M rows; this is zero-copy and runs in seconds
+    offsets = pa.array(
+        np.arange(0, (n_emb + 1) * dim, dim, dtype=np.int32))
+    emb_col = pa.ListArray.from_arrays(offsets, pa.array(vecs.reshape(-1)))
     emb = pa.table({
         "vec_id": pa.array(np.arange(n_emb, dtype=np.int64)),
-        "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+        "embedding": emb_col,
         "label": pa.array(rng.integers(0, n_labels, n_emb, dtype=np.int32)),
     })
     pq.write_table(emb, f"{outdir}/embeddings.parquet")
