@@ -87,6 +87,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // tiny-state aggs (top-k heaps, vec means) must never hit the
+      // 128-key sort-based fallback (see TopK.ensureHashAggKeyRoom)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
+      // fixture passes over the scaled corpora are scan-bound: 64 MB
+      // splits give local[32] full parallelism on a ~2.6 GB parquet
+      // (default 128 MB → ~20 tasks pins a third of the box idle)
+      .config("spark.sql.files.maxPartitionBytes", "67108864")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -860,9 +868,16 @@ object Bench {
     // floor at C/64: the 2M-row decade showed C/16 (6.25% of clusters)
     // already over-delivering recall 0.997 — the matched-recall fraction
     // keeps FALLING with n, so the grid must reach below wherever the
-    // last decade's pick landed for the next decade's pick to exist
+    // last decade's pick landed for the next decade's pick to exist.
+    // SPARK_GRAFT_ROUTED_FLOOR_DIV extends the floor for the follow-up
+    // routed-only runs the floor-bind keeps asking for (2M: the C/64
+    // floor STILL over-delivered 0.993) without re-running every track
+    val routedFloorDiv = sys.env.get("SPARK_GRAFT_ROUTED_FLOOR_DIV")
+      .map(_.toInt).getOrElse(64)
+    val routedFloorDivs =
+      Iterator.iterate(routedFloorDiv)(_ / 2).takeWhile(_ >= 8).toSeq
     val routedNps =
-      (Seq(routedC / 64, routedC / 32, routedC / 16, routedC / 8) ++
+      (routedFloorDivs.map(routedC / _) ++
         Seq(1, 2, 3, 4).map(i => routedC * i / 4))
         .map(math.max(1, _)).distinct.sorted
         .filter(np => np * 100L <= sweepCapPct.toLong * routedC || np <= 1)
@@ -886,7 +901,9 @@ object Bench {
     // fraction, so per-query probe counts adapt to cluster skew instead
     // of over/under-probing at a fixed nprobe. Swept over minMass (per
     // cent, to keep the sweep schema integer-knobbed like the others).
-    val routedAutoPcts = Seq(3, 5, 10, 15, 25, 50, 75, 90)
+    val routedAutoPcts =
+      ((if (routedFloorDiv > 64) Seq(1, 2) else Seq.empty) ++
+        Seq(3, 5, 10, 15, 25, 50, 75, 90))
       .filter(_ <= sweepCapPct)
     val routedAutoRecalls = routedAutoPcts.map { pct =>
       pct -> operators.Recall.mean(

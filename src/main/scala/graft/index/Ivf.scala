@@ -116,6 +116,9 @@ object KMeans {
   def fit(base: DataFrame, c: Int, iters: Int,
           graphAssign: Boolean): DataFrame = {
     val spark = base.sparkSession
+    // C > 128 groups would tip the vecMean ObjectHashAggregate into its
+    // sort-based fallback — a full sort of the corpus per Lloyd pass
+    graft.operators.TopK.ensureHashAggKeyRoom(spark)
     var centroids = base.orderBy("id").limit(c)
       .select(col("id").as("cid"), col("vec").as("cvec")).cache()
     centroids.count()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
@@ -79,11 +79,29 @@ class TopKAggregator(k: Int) extends Aggregator[ScoredId, TopKBuffer, Seq[Scored
 }
 
 object TopK {
+  /** ObjectHashAggregate (the physical operator behind every
+    * TypedImperativeAggregate, incl. [[TopKAggregator]] and the k-means
+    * vecMean) falls back to SORT-BASED aggregation once a partition sees
+    * more than `fallbackThreshold` distinct keys — Spark's default is 128,
+    * sized for large per-group state. Our aggregation states are tiny
+    * (k-element heaps, d-length running means), so past the threshold the
+    * fallback SORTS THE ENTIRE JOINED INPUT instead of holding a few
+    * thousand 100-byte buffers: at 10M rows × 500 query groups the exact
+    * truth join spilled ~200 GB of (qid, id, dist) rows where the hash map
+    * needed ~1 MB. Raised once per session before building any such agg;
+    * 64k buffers × ~1 KB is still driver-memory-trivial. */
+  def ensureHashAggKeyRoom(spark: SparkSession): Unit = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val cur = scala.util.Try(spark.conf.get(key).toInt).getOrElse(128)
+    if (cur < 65536) spark.conf.set(key, "65536")
+  }
+
   /** Hash-aggregation top-k: `df` must carry `groupCol`, `idCol`, `distCol`.
     * Returns (groupCol, id, dist, rank) with rank 1..k ordered by
     * (dist asc, id asc). Scale path: partial heaps combine map-side, the
     * shuffle moves only O(k) rows per group. */
   def aggTopK(df: DataFrame, groupCol: String, idCol: String, distCol: String, k: Int): DataFrame = {
+    ensureHashAggKeyRoom(df.sparkSession)
     val topk = udaf(new TopKAggregator(k))
     df.groupBy(col(groupCol))
       .agg(topk(col(idCol).cast("long"), col(distCol).cast("double")).as("topk"))
