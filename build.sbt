@@ -33,8 +33,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // land inside a timed batch.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  "-XX:+AlwaysPreTouch",
-) ++ sys.env.get("GRAFT_JVM_EXTRA").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
+  // SPARK_GRAFT_PRETOUCH=0 skips pre-touch: on this host the JVM zeroes
+  // a 64 GB heap for ~15 min of VM-init wall before main() runs, and the
+  // scale-ratchet runs touch tens of GB in their fixture stage anyway —
+  // by their timed loop the heap is warm without paying the init tax.
+  // Default keeps pre-touch: the sf0.1 run's fixtures are tiny, so its
+  // timed loop WOULD otherwise fault in fresh pages mid-batch.
+) ++ (if (sys.env.get("SPARK_GRAFT_PRETOUCH").contains("0")) Seq.empty
+      else Seq("-XX:+AlwaysPreTouch")) ++
+  sys.env.get("GRAFT_JVM_EXTRA").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
 // the big pre-touched heap is a BENCHMARK requirement (run = Bench/Verify,
 // which the per-round runner invokes without env overrides); tests don't
 // time batches, so they get a modest growable heap instead — `sbt test`

@@ -133,12 +133,17 @@ final class HnswRouted(spark: SparkSession,
           idx.search(qv, k, efSearch).iterator.map { case (id, d) => (qid, id, d) }
         }
       }
-    }.collect()
+    }
+    // ProbeMerge, not a raw collect: each probed cluster emits k rows per
+    // routed query, so the fan-in is nq·nprobe·k — at C=20,000 with a 25%
+    // sweep point that is ~25M rows (>1 GB serialized), which must reduce
+    // to nq·k BEFORE the driver (treeAggregate past ProbeMerge's treeAt;
+    // the grid's big-fraction points killed the first 10M-row run on
+    // spark.driver.maxResultSize). Small-C probes keep the one-narrow-job
+    // driver merge through topK's collect regime, byte-identical rows.
+    val out = ProbeMerge.topK(local, k)
     bq.destroy(); br.destroy()
-    local.groupBy(_._1).iterator.flatMap { case (qid, cand) =>
-      cand.sortBy(c => (c._3, c._2)).take(k).iterator.zipWithIndex
-        .map { case ((_, id, d), i) => (qid, id, d, (i + 1).toLong) }
-    }.toArray.sortBy(t => (t._1, t._4))
+    out
   }
 
   /** [[probeBatch]] with DataFrame plumbing on both ends. */

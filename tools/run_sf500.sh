@@ -6,6 +6,7 @@
 set -euo pipefail
 cd /root/repo
 SPARK_DRIVER_MEM=64g \
+SPARK_GRAFT_PRETOUCH=0 \
 SPARK_GRAFT_SF_DIR=/tmp/graft_sf500 \
 SPARK_GRAFT_CPUS=32 \
 SPARK_GRAFT_QPS_ONLY=1 \
