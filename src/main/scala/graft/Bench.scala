@@ -713,7 +713,14 @@ object Bench {
     // Swept knob: efRoute (ABSOLUTE — beam width grows ~log C, not with
     // corpus mass). Headline = matched-recall pick at the linear family's
     // picked mass fraction.
-    val graphEfs = Seq(8, 16, 32, 64, 128).filter(_ < benchC)
+    // grid extends to C/8-ish at large C: byMassGraph can route to at most
+    // efRoute clusters, so once the linear family's mass pick needs more
+    // clusters than the beam returns (10M uniform: 15% of C=12,650 ≈ 1,898
+    // > 128) every swept point under-routes and the family's recall
+    // ceiling binds at the grid, not the algorithm. Sub-256 corpora keep
+    // the r8 grid exactly (filter < benchC), so sf0.1 rows are unchanged.
+    val graphEfs = Seq(8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+      .filter(_ < benchC)
     val (ivfSq8GrEf, ivfSq8GrRecall) = {
       val recalls = graphEfs.map { ef =>
         ef -> operators.Recall.mean(
