@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round runner parses the bench's final stdout line as JSON. sbt
+// decorates forked-run stdout with an "[info] " prefix and appends a
+// "[success] Total time: …" epilogue — either breaks the parse (three
+// rounds of "parsed": null artifacts). StdoutOutput passes the forked
+// JVM's stdout through verbatim; showSuccess drops the epilogue, so the
+// last line the runner sees is Bench's bare compact JSON line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -124,6 +124,9 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def trackOn(t: String): Boolean = tracks.forall(_.contains(t))
     val tracksLabel = tracks.map(_.toSeq.sorted.mkString(",")).getOrElse("all")
+    // ivf-track sub-family filter label (the filter itself is read inside
+    // the ivf block); a filtered artifact names its families in env
+    val ivfFamsLabel = sys.env.getOrElse("SPARK_GRAFT_IVF_FAMILIES", "all")
     // SPARK_GRAFT_SWEEP_CAP_PCT caps the corpus-FRACTION sweep grids (IVF
     // minMassPct, routed cluster fractions). The high-fraction tail exists
     // to anchor the exact-scan end of each curve; at the largest decades a
@@ -485,7 +488,14 @@ object Bench {
     // corpus-relative 16·scale point cost 2.5× the matched-recall QPS for
     // recall 0.9998); the headline runs the auto-picked matched-recall
     // point (see pickKnob).
-    val graphSweepEfs = Seq(8, 16, 24, 32, 48, 64, 96, 128)
+    // grid extends corpus-relative past 1M rows (the sf10-xgrid treatment,
+    // next decade): on the uniform shell the matched-recall beam grows with
+    // near-tie density — ef=128 read 0.686 at 2M rows while ef=96 already
+    // cleared 0.9068 at 200k — so the absolute grid must reach the ~2×-per-
+    // decade beam (256–512 at 2M) or the family's recall ceiling binds at
+    // the grid, not the algorithm. Sub-1M corpora keep the r8 grid exactly.
+    val graphSweepEfs = Seq(8, 16, 24, 32, 48, 64, 96, 128) ++
+      (if (n >= 1000000L) Seq(256, 512) else Seq.empty)
     def graphFamily(family: String, resident: index.HnswResident,
                     truth: DataFrame): (Int, Double) = {
       val recalls = graphSweepEfs.map { ef =>
@@ -592,17 +602,51 @@ object Bench {
       if (!trackOn("ivf"))
         (0, 0.0, 0, 0.0, 0, 0, 0.0, 0, 0, 0.0, 0, 0, 0.0, 0.0)
       else {
-    val pqCb = index.Pq.train(base, m = 8, ksub = 32, iters = 3)
+    // SPARK_GRAFT_IVF_FAMILIES=adc,ivfadc,residual,sq8,route restricts the
+    // ivf track to the named sub-families (unset = all). Same rationale as
+    // SPARK_GRAFT_TRACKS, one level down: at the 10M decade a single flat-
+    // ADC recall eval is a full-corpus code scan × 500 queries (~minutes),
+    // so a follow-up run chasing ONE family's operating point (the r9
+    // uniform graphroute re-grid) shouldn't re-pay every other family's
+    // sweep. A filtered artifact names the families in its env block.
+    val ivfFams = sys.env.get("SPARK_GRAFT_IVF_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def famOn(f: String): Boolean = ivfFams.forall(_.contains(f))
+    // shared fixtures build lazily: ONE pq train serves adc + ivfadc, ONE
+    // k-means serves ivfadc/residual/sq8 — and a family filter that uses
+    // neither pays for neither
+    lazy val pqCb = index.Pq.train(base, m = 8, ksub = 32, iters = 3)
+    val (adcRerank, adcRecall) = if (!famOn("adc")) (0, 0.0) else {
     val adcServed = index.ResidentAdc.load(base, pqCb, numPartitions = 8)
     deferUnload(adcServed.unload())
-    // refine-budget sweep: rerank is the ADC knob (faiss's k_factor — an
-    // ABSOLUTE knob in the reference; needed rerank grows ~log n with the
-    // near-tie density, which the grid spans at every benched scale).
-    // Headline = matched-recall pick.
-    val adcReranks = Seq(20, 40, 80, 160, 320, 640)
-    val adcRecalls = adcReranks.map { r =>
-      r -> operators.Recall.mean(
-        adcServed.probeLocal(queries, 10, rerank = r), truthL2, 10)
+    // refine-budget sweep: rerank is the ADC knob (faiss's k_factor·k).
+    // The r8 grid was a FIXED 20–640, and at 10M uniform rows the family
+    // ceilinged at 0.5416 @640: the candidates the refine must separate are
+    // false positives of the fixed-precision codes, and their count grows
+    // with the scanned population (full-n here), so the needed budget is
+    // corpus-relative, not absolute. The grid therefore ESCALATES — keep
+    // doubling the top point while the best recall is < 0.9 AND still
+    // improving ≥ 0.005/doubling (the plateau guard: past the code's own
+    // error floor more refine buys nothing and the family's scaladoc regime
+    // bound applies). Refine cost is rerank·d flops/query — even 20k is
+    // small next to the full-corpus code scan, so escalation trades nothing.
+    val adcRecalls = {
+      val buf = ArrayBuffer(Seq(20, 40, 80, 160, 320, 640).map { r =>
+        r -> operators.Recall.mean(
+          adcServed.probeLocal(queries, 10, rerank = r), truthL2, 10)
+      }: _*)
+      var guard = 0
+      var go = buf.last._2 < 0.9
+      while (go && guard < 5) {
+        val r2 = buf.last._1 * 2
+        val prev = buf.last._2
+        val rc = operators.Recall.mean(
+          adcServed.probeLocal(queries, 10, rerank = r2), truthL2, 10)
+        buf += ((r2, rc))
+        go = rc < 0.9 && rc >= prev + 0.005
+        guard += 1
+      }
+      buf.toSeq
     }
     adcRecalls.foreach { case (r, rc) =>
       registerSweepPoint("ann_adc_served", r, nq, rc) {
@@ -610,10 +654,11 @@ object Bench {
       }
     }
     val adcRerank = pickKnob(adcRecalls)
-    val adcRecall = adcRecalls.toMap.apply(adcRerank)
     register("ann_adc_served", nq) {
       require(adcServed
         .probeBatch(qsFloat, k = 10, rerank = adcRerank).nonEmpty)
+    }
+    (adcRerank, adcRecalls.toMap.apply(adcRerank))
     }
     // the baseline's routed composition (IVF route × resident codes × float
     // refine): coarse quantizer at the corpus-relative auto-C (≈4√n, the
@@ -637,23 +682,41 @@ object Bench {
       def grid(r: Int) = ivfMassPcts.map { p =>
         p -> operators.Recall.mean(local(p / 100.0, r), truthL2, 10)
       }
-      var recalls = grid(rerank)
-      recalls.foreach { case (p, r) =>
-        registerSweepPoint(family, p, nq, r) { batch(p / 100.0, rerank) }
-      }
-      // the refine budget is what binds at large n (near-tie density grows
-      // ~log n; r8 sf10: raw-ADC recall plateaued at 0.82 across the WHOLE
-      // mass grid at rerank=160) — if no swept mass clears 0.9 at the
-      // family's base rerank, escalate rerank (2×, then 4×) and re-pick;
-      // the headline publishes its actual rerank in the op block (sweep
-      // points keep the base rerank — they chart the mass knob)
+      // the refine budget is what binds at large n: the code scan's false
+      // positives grow with the SCANNED POPULATION (mass·n), so a fixed
+      // rerank floods as either knob grows — r8 measured raw-ADC recall
+      // FALLING with mass at rerank=640 at 10M rows (0.4178 @5% → 0.3916
+      // @25%) and the r8 2×-then-4× escalation ceilinged at 0.42/0.57.
+      // Escalation is therefore (a) deeper — up to 6 doublings, 160→10,240
+      // — and (b) probed on the LARGEST swept mass point only (recall at
+      // fixed rerank is maximized where the candidate pool is biggest OR
+      // flooded — either way the top point tells whether more refine still
+      // buys recall), with a plateau guard (< 0.005/doubling = the code's
+      // own error floor; the family then formally defers to SQ8/residual,
+      // whose codes hold 0.93+ on the same sweeps). The full mass grid is
+      // graded ONCE at the final rerank, so the published sweep charts the
+      // mass knob at the headline's actual refine budget (in the op block).
       var rr = rerank
-      var tries = 0
-      while (tries < 2 && recalls.iterator.map(_._2).max < 0.9) {
-        rr *= 2; tries += 1; recalls = grid(rr)
+      var recalls = grid(rr)
+      if (recalls.iterator.map(_._2).max < 0.9) {
+        val topPct = ivfMassPcts.max
+        var best = recalls.iterator.map(_._2).max
+        var guard = 0
+        var go = true
+        while (go && guard < 6 && best < 0.9) {
+          val next = operators.Recall.mean(
+            local(topPct / 100.0, rr * 2), truthL2, 10)
+          if (next >= best + 0.005 || next >= 0.9) { rr *= 2; best = next }
+          else go = false
+          guard += 1
+        }
+        if (rr != rerank) recalls = grid(rr)
+      }
+      val rrF = rr
+      recalls.foreach { case (p, r) =>
+        registerSweepPoint(family, p, nq, r) { batch(p / 100.0, rrF) }
       }
       val pct = pickKnob(recalls)
-      val rrF = rr
       register(family, nq) { batch(pct / 100.0, rrF) }
       (pct, recalls.toMap.apply(pct), rr)
     }
@@ -663,31 +726,36 @@ object Bench {
     // thousands it is what keeps the O(n·C·d) build passes off the
     // fixture wall-clock (the serving numbers grade the probe, and recall
     // is measured end-to-end against exact truth either way)
-    val benchIvf = index.IvfIndex.buildAtScale(base, c = benchC, iters = 3, n)
+    lazy val benchIvf =
+      index.IvfIndex.buildAtScale(base, c = benchC, iters = 3, n)
+    val (ivfAdcMass, ivfAdcRecall, ivfAdcRerank) =
+      if (!famOn("ivfadc")) (0, 0.0, 0) else {
     val ivfAdcServed = index.ResidentIvfAdc.load(base, benchIvf, pqCb,
       numPartitions = 8)
     deferUnload(ivfAdcServed.unload())
-    val (ivfAdcMass, ivfAdcRecall, ivfAdcRerank) =
-      ivfMassFamily("ann_ivfadc_served", 160,
+    ivfMassFamily("ann_ivfadc_served", 160,
       (mm, r) => ivfAdcServed.probeLocalMass(queries, 10, mm, r),
       (mm, r) => require(
         ivfAdcServed.probeBatchMass(qsFloat, 10, mm, r).nonEmpty))
+    }
     // residual variant of the same composition — faiss's TRUE IVFPQ (codes
     // quantize x − centroid; probes assemble per-(query, cluster) LUTs
     // shard-side from the load-time precomputed tables). Same knobs as the
     // raw-coded row above so the two are directly comparable (the residual
     // codes buy recall at the same (m, ksub) byte budget); ONE k-means
     // training serves all three IVF rows (buildResidualWith).
+    val (ivfAdcResMass, ivfAdcResRecall, ivfAdcResRerank) =
+      if (!famOn("residual")) (0, 0.0, 0) else {
     val ivfPqRes = index.IvfPq.buildResidualWith(benchIvf, base, m = 8,
       ksub = 32, iters = 3)
     val ivfAdcResServed = index.ResidentIvfAdc.loadResidual(base, ivfPqRes,
       numPartitions = 8)
     deferUnload(ivfAdcResServed.unload())
-    val (ivfAdcResMass, ivfAdcResRecall, ivfAdcResRerank) =
-      ivfMassFamily("ann_ivfadc_residual_served", 160,
+    ivfMassFamily("ann_ivfadc_residual_served", 160,
         (mm, r) => ivfAdcResServed.probeLocalMass(queries, 10, mm, r),
         (mm, r) => require(
           ivfAdcResServed.probeBatchMass(qsFloat, 10, mm, r).nonEmpty))
+    }
     // the reference baseline's LITERAL composition (`IVF16384,SQ8`,
     // filter/faiss/config.yaml:50-53) served resident: IVF routing ×
     // SQ8 integer scan × exact float re-rank — the row BASELINE.md's
@@ -695,6 +763,8 @@ object Bench {
     // as the ADC rows; the scan reads 1 byte/component (the compression
     // that fits the reference's 10M×192 corpus in RAM); the near-lossless
     // SQ8 codes need only rerank=80 where PQ needs 160.
+    val (ivfSq8Mass, ivfSq8Recall, ivfSq8Rerank, ivfSq8GrEf, ivfSq8GrRecall) =
+      if (!famOn("sq8")) (0, 0.0, 0, 0, 0.0) else {
     val (sq8Mins, sq8Spans) = index.Sq8.train(base)
     val ivfSq8Served = index.ResidentIvfSq8.load(base, benchIvf, sq8Mins,
       sq8Spans, numPartitions = 8)
@@ -740,6 +810,8 @@ object Bench {
       }
       (ef, recalls.toMap.apply(ef))
     }
+    (ivfSq8Mass, ivfSq8Recall, ivfSq8Rerank, ivfSq8GrEf, ivfSq8GrRecall)
+    }
     // router scaling microbench: routing-only batches against a synthetic
     // C = 2^16 coarse quantizer (the regime autoC implies at ~2.7e8 rows;
     // IVF16384 is one decade below). The served rows above can't show the
@@ -748,6 +820,7 @@ object Bench {
     // graph beam O(efRoute·log C) on the same centroids, same queries,
     // both on client threads. The graph row's top-16 agreement vs the
     // linear rank is published as its recall.
+    val routeAgree = if (!famOn("route")) 0.0 else {
     val routeCents = Array.tabulate(routeC) { c =>
       val rnd = new scala.util.Random(0xC0FFEE ^ c)
       (c, Array.fill(qsFloat.head._2.length)(rnd.nextGaussian().toFloat))
@@ -769,6 +842,8 @@ object Bench {
     register("route_graph_c65536", nq) {
       require(index.Router.parallelMap(qsFloat)(q =>
         microRouter.byNprobeGraph(q._2, 16, 64)).nonEmpty)
+    }
+    routeAgree
     }
     (adcRerank, adcRecall, ivfAdcMass, ivfAdcRecall, ivfAdcRerank,
      ivfAdcResMass, ivfAdcResRecall, ivfAdcResRerank,
@@ -881,8 +956,14 @@ object Bench {
     // floor STILL over-delivered 0.993) without re-running every track
     val routedFloorDiv = sys.env.get("SPARK_GRAFT_ROUTED_FLOOR_DIV")
       .map(_.toInt).getOrElse(64)
+    require(routedFloorDiv >= 8,
+      s"SPARK_GRAFT_ROUTED_FLOOR_DIV must be >= 8, got $routedFloorDiv")
+    // union with the legacy divisors: a non-power-of-two env value (e.g.
+    // 100 → 100,50,25,12) must still produce every legacy grid point, and
+    // the halving walk alone would silently drop them
     val routedFloorDivs =
-      Iterator.iterate(routedFloorDiv)(_ / 2).takeWhile(_ >= 8).toSeq
+      (Iterator.iterate(routedFloorDiv)(_ / 2).takeWhile(_ >= 8) ++
+        Iterator(64, 32, 16, 8)).toSeq.distinct
     val routedNps =
       (routedFloorDivs.map(routedC / _) ++
         Seq(1, 2, 3, 4).map(i => routedC * i / 4))
@@ -983,37 +1064,6 @@ object Bench {
     // misclassify a fast row as slow (it=1) and revert it to unwindowed
     // samples. Then `reps` round-robin passes over every row.
     val failed = scala.collection.mutable.Set.empty[String]
-    val calib = headline.map { case (name, runOnce, _) =>
-      name -> {
-        try {
-          runOnce()
-          val t0 = System.nanoTime()
-          runOnce()
-          val a = (System.nanoTime() - t0) / 1e9
-          val t1 = System.nanoTime()
-          runOnce()
-          val b = (System.nanoTime() - t1) / 1e9
-          math.min(a, b)
-        } catch { case _: Throwable => failed += name; 1.0 }
-      }
-    }.toMap
-    // min-window sample batching (r7; GC-audited r8): a ~45 ms batch turns
-    // ANY transient pause (a late JIT pass, old-gen collection of a heavy
-    // neighbor row's debt) into a 5–10× max sample, so fast rows read
-    // spread > 5 while flat in isolation. Each timed SAMPLE of a fast row
-    // runs enough back-to-back batches to fill ~0.8 s and records the
-    // MEDIAN batch time of the window (r8: a collection inside a ≥3-batch
-    // window no longer perturbs the sample at all, where the r7 mean
-    // diluted-but-kept it). Slow rows (single batch ≥ the window) get a
-    // settle() BEFORE each sample, and if a major collection still lands
-    // inside the timed batch (> 200 ms of GC AND > 20% of the batch) the
-    // sample is RETAKEN once. Nothing is silently discarded: the retake
-    // count and each row's GC time during its WORST sample are published
-    // in the artifact, so a surviving spread outlier carries its stall
-    // attribution (gc_worst_ms ≈ 0 ⇒ the stall was not the collector).
-    // Rows whose calibration batch exceeds 5 s keep only 3 round-robin
-    // samples (published per row in reps_capped) — bounding the wall cost
-    // of the slowest sweep points at large SF.
     val gcBeans = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans()
     def gcMsNow(): Long = {
@@ -1034,6 +1084,57 @@ object Bench {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def procCpuNs(): Long = osBean.getProcessCpuTime
     val nProcs = Runtime.getRuntime.availableProcessors()
+    // per-row cpu-frac history, seeded by calibration: the cpu-frac retake
+    // below compares a sample against the MEDIAN share the row itself has
+    // shown (serving batches legitimately run ~0.1 of 32 cores, and a
+    // row's share naturally swings ~2× sample-to-sample — referencing the
+    // row's best-ever share re-took ~half of all samples in the shakedown
+    // run; the median is the robust "typical" the judge's worst-vs-median
+    // collapse signal is defined against)
+    val cfHist = scala.collection.mutable.HashMap
+      .empty[String, ArrayBuffer[Double]]
+    def cfMedian(name: String): Double = {
+      val h = cfHist.getOrElse(name, ArrayBuffer.empty[Double])
+      if (h.length < 2) 0.0
+      else { val s = h.sorted; s(s.length / 2) }
+    }
+    def cfRecord(name: String, cf: Double): Unit =
+      cfHist.getOrElseUpdate(name, ArrayBuffer.empty) += cf
+    val calib = headline.map { case (name, runOnce, _) =>
+      name -> {
+        try {
+          runOnce()
+          val c0 = procCpuNs()
+          val t0 = System.nanoTime()
+          runOnce()
+          val w0 = System.nanoTime() - t0
+          cfRecord(name, (procCpuNs() - c0).toDouble / (w0.toDouble * nProcs))
+          val c1 = procCpuNs()
+          val t1 = System.nanoTime()
+          runOnce()
+          val w1 = System.nanoTime() - t1
+          cfRecord(name, (procCpuNs() - c1).toDouble / (w1.toDouble * nProcs))
+          math.min(w0 / 1e9, w1 / 1e9)
+        } catch { case _: Throwable => failed += name; 1.0 }
+      }
+    }.toMap
+    // min-window sample batching (r7; GC-audited r8): a ~45 ms batch turns
+    // ANY transient pause (a late JIT pass, old-gen collection of a heavy
+    // neighbor row's debt) into a 5–10× max sample, so fast rows read
+    // spread > 5 while flat in isolation. Each timed SAMPLE of a fast row
+    // runs enough back-to-back batches to fill ~0.8 s and records the
+    // MEDIAN batch time of the window (r8: a collection inside a ≥3-batch
+    // window no longer perturbs the sample at all, where the r7 mean
+    // diluted-but-kept it). Slow rows (single batch ≥ the window) get a
+    // settle() BEFORE each sample, and if a major collection still lands
+    // inside the timed batch (> 200 ms of GC AND > 20% of the batch) the
+    // sample is RETAKEN once. Nothing is silently discarded: the retake
+    // count and each row's GC time during its WORST sample are published
+    // in the artifact, so a surviving spread outlier carries its stall
+    // attribution (gc_worst_ms ≈ 0 ⇒ the stall was not the collector).
+    // Rows whose calibration batch exceeds 5 s keep only 3 round-robin
+    // samples (published per row in reps_capped) — bounding the wall cost
+    // of the slowest sweep points at large SF.
     val sampleIters = headline.map { case (name, _, _) =>
       name -> math.max(1, math.min(25,
         math.ceil(minWindowSec / math.max(calib(name), 1e-3)).toInt))
@@ -1046,6 +1147,24 @@ object Bench {
     val samples = headline.map { case (name, _, _) =>
       name -> ArrayBuffer.empty[(Double, Long, Double)] }.toMap
     var gcRetakes = 0
+    // cpu-frac retake (r9): r8's audit showed 13 headline rows at spread
+    // 2–9.5 with gc_worst_ms 0, steal < 0.1%, and the worst sample's
+    // cpu_frac BELOW the row median — host CPU starvation the GC retake
+    // can't see. Mirror it: a sample whose process-CPU share collapses
+    // below 60% of the row's own median share is retaken ONCE (retake kept
+    // regardless), at most 3 retakes per row so a genuinely-degraded
+    // environment can't double a run's wall. Count published next to
+    // gc_retakes — nothing is silently discarded.
+    var cpuRetakes = 0
+    val cpuRetakesByRow = scala.collection.mutable.HashMap
+      .empty[String, Int].withDefaultValue(0)
+    val cfCollapse = 0.6
+    def cpuRetakeOk(name: String, cf: Double): Boolean = {
+      val ref = cfMedian(name)
+      val hit = ref > 0 && cf < cfCollapse * ref && cpuRetakesByRow(name) < 3
+      if (hit) { cpuRetakes += 1; cpuRetakesByRow(name) += 1 }
+      hit
+    }
     val (statTot0, statSteal0) = cpuStat()
     for (pass <- 1 to reps) {
       headline.foreach { case (name, runOnce, _) =>
@@ -1054,40 +1173,47 @@ object Bench {
             val it = sampleIters(name)
             if (it == 1) {
               settle()
-              var g0 = gcMsNow()
-              var c0 = procCpuNs()
-              var t0 = System.nanoTime()
-              runOnce()
-              var wall = System.nanoTime() - t0
-              var sec = wall / 1e9
-              var cf = (procCpuNs() - c0).toDouble / (wall.toDouble * nProcs)
-              var g = gcMsNow() - g0
-              if (g > 200 && g > 0.2 * sec * 1000.0) {
-                gcRetakes += 1
-                g0 = gcMsNow(); c0 = procCpuNs(); t0 = System.nanoTime()
-                runOnce()
-                wall = System.nanoTime() - t0
-                sec = wall / 1e9
-                cf = (procCpuNs() - c0).toDouble / (wall.toDouble * nProcs)
-                g = gcMsNow() - g0
-              }
-              samples(name) += ((sec, g, cf))
-            } else {
-              val g0 = gcMsNow()
-              val c0 = procCpuNs()
-              val t0w = System.nanoTime()
-              val bt = new Array[Double](it)
-              var i = 0
-              while (i < it) {
+              def one(): (Double, Long, Double) = {
+                val g0 = gcMsNow()
+                val c0 = procCpuNs()
                 val t0 = System.nanoTime()
                 runOnce()
-                bt(i) = (System.nanoTime() - t0) / 1e9
-                i += 1
+                val wall = System.nanoTime() - t0
+                val cf = (procCpuNs() - c0).toDouble / (wall.toDouble * nProcs)
+                (wall / 1e9, gcMsNow() - g0, cf)
               }
-              val wallW = System.nanoTime() - t0w
-              val cf = (procCpuNs() - c0).toDouble / (wallW.toDouble * nProcs)
-              java.util.Arrays.sort(bt)
-              samples(name) += ((bt(it / 2), gcMsNow() - g0, cf))
+              var s = one()
+              if (s._2 > 200 && s._2 > 0.2 * s._1 * 1000.0) {
+                gcRetakes += 1
+                s = one()
+              }
+              if (cpuRetakeOk(name, s._3)) s = one()
+              cfRecord(name, s._3)
+              samples(name) += s
+            } else {
+              def window(): (Double, Long, Double) = {
+                val g0 = gcMsNow()
+                val c0 = procCpuNs()
+                val t0w = System.nanoTime()
+                val bt = new Array[Double](it)
+                var i = 0
+                while (i < it) {
+                  val t0 = System.nanoTime()
+                  runOnce()
+                  bt(i) = (System.nanoTime() - t0) / 1e9
+                  i += 1
+                }
+                val wallW = System.nanoTime() - t0w
+                val cf = (procCpuNs() - c0).toDouble / (wallW.toDouble * nProcs)
+                java.util.Arrays.sort(bt)
+                (bt(it / 2), gcMsNow() - g0, cf)
+              }
+              var s = window()
+              // a host stall spanning the whole window defeats the
+              // in-window median — the same collapse test applies
+              if (cpuRetakeOk(name, s._3)) s = window()
+              cfRecord(name, s._3)
+              samples(name) += s
             }
           } catch { case _: Throwable => failed += name }
         }
@@ -1211,7 +1337,7 @@ object Bench {
       case (nm, _, _) if rowReps(nm) < reps => s"\"$nm\":${rowReps(nm)}"
     }.mkString("{", ",", "}")
     val qpsJson =
-      s"""{$qpsPairs,"nq":$nq,"reps":$reps,"interleaved":true,"spread":{$spreadPairs},"gc_worst_ms":{$gcPairs},"cpu_frac_worst":{$cpuPairs},"cpu_frac_med":{$cpuMedPairs},"op":$opJson,"reps_capped":$repsCapped,"recall":{"filtered_knn":1.0,"filtered_knn_planner":$plannerRecall,"filtered_knn_subindex":$subindexRecall,"filtered_knn_bucketed":1.0,"sparse_budget_served":$sparseRecall,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall,"ann_ivfsq8_served":$ivfSq8Recall,"ann_ivfsq8_graphroute_served":$ivfSq8GrRecall,"route_graph_agreement":$routeAgree,"maxsim_served":$maxsimRecall,"hamming_served_l2_fidelity":$hamFidelity,"hamming_served_cos_fidelity":$hamFidelityCos,"hamming_rerank_served_l2_fidelity":$ham2Fidelity},"sweep":$sweep,"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes,"tracks":"$tracksLabel"},"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
+      s"""{$qpsPairs,"nq":$nq,"reps":$reps,"interleaved":true,"spread":{$spreadPairs},"gc_worst_ms":{$gcPairs},"cpu_frac_worst":{$cpuPairs},"cpu_frac_med":{$cpuMedPairs},"op":$opJson,"reps_capped":$repsCapped,"recall":{"filtered_knn":1.0,"filtered_knn_planner":$plannerRecall,"filtered_knn_subindex":$subindexRecall,"filtered_knn_bucketed":1.0,"sparse_budget_served":$sparseRecall,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall,"ann_ivfsq8_served":$ivfSq8Recall,"ann_ivfsq8_graphroute_served":$ivfSq8GrRecall,"route_graph_agreement":$routeAgree,"maxsim_served":$maxsimRecall,"hamming_served_l2_fidelity":$hamFidelity,"hamming_served_cos_fidelity":$hamFidelityCos,"hamming_rerank_served_l2_fidelity":$ham2Fidelity},"sweep":$sweep,"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes,"cpu_retakes":$cpuRetakes,"tracks":"$tracksLabel","ivf_families":"$ivfFamsLabel"},"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"batch_sec":$batchJson,"qps":$qpsJson,"sf":"$sfDir"}"""
     // the whole object lands in a file the driver (or anyone) can read
@@ -1229,7 +1355,7 @@ object Bench {
     // prints LAST so the tail always ends with one complete parseable JSON
     // line; the full object is the file write above.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir","qps":{$qpsPairs,"nq":$nq,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec},"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes,"tracks":"$tracksLabel"}},"full":"$outPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir","qps":{$qpsPairs,"nq":$nq,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec},"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes,"cpu_retakes":$cpuRetakes,"tracks":"$tracksLabel","ivf_families":"$ivfFamsLabel"}},"full":"$outPath"}"""
     println(compact)
     spark.stop()
   }

@@ -135,13 +135,18 @@ final class HnswRouted(spark: SparkSession,
       }
     }
     // ProbeMerge, not a raw collect: each probed cluster emits k rows per
-    // routed query, so the fan-in is nq·nprobe·k — at C=20,000 with a 25%
-    // sweep point that is ~25M rows (>1 GB serialized), which must reduce
-    // to nq·k BEFORE the driver (treeAggregate past ProbeMerge's treeAt;
-    // the grid's big-fraction points killed the first 10M-row run on
-    // spark.driver.maxResultSize). Small-C probes keep the one-narrow-job
-    // driver merge through topK's collect regime, byte-identical rows.
-    val out = ProbeMerge.topK(local, k)
+    // routed query, so the fan-in is (routed pairs)·k — at C=20,000 with a
+    // 25% sweep point that is ~25M rows (>1 GB serialized), which must
+    // reduce to nq·k BEFORE the driver (the grid's big-fraction points
+    // killed the first 10M-row run on spark.driver.maxResultSize). The
+    // regime gate is the ESTIMATED fan-in itself — routesByPart is in hand
+    // before the job launches — not the partition count: a large-C index
+    // whose node parquet reads in fewer than treeAt splits would otherwise
+    // take the raw collect with the same oversized fan-in. Small fan-ins
+    // keep the one-narrow-job driver merge, byte-identical rows.
+    val fanIn = routesByPart.valuesIterator.map(_.length.toLong).sum * k
+    val out = ProbeMerge.topK(local, k,
+      treeAt = if (fanIn > ProbeMerge.maxCollectRows) 0 else 64)
     bq.destroy(); br.destroy()
     out
   }

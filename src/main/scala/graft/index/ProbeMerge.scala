@@ -24,6 +24,16 @@ import scala.collection.mutable
   * (qid, rank) — the contract every probeBatch documents. */
 private[index] object ProbeMerge {
 
+  /** Collect-regime row budget for callers that can ESTIMATE their fan-in
+    * up front (routed probes know the routed (query, cluster) pair count
+    * before launching the job): at ~80 serialized bytes per
+    * (Long, Long, Double) tuple, 4M rows stay well under
+    * spark.driver.maxResultSize's 1 GB default. The partition-count
+    * `treeAt` gate alone is not volume-safe — a large-C index whose node
+    * parquet happens to read in few splits would take the raw collect with
+    * an nq·nprobe·k fan-in and abort. */
+  val maxCollectRows: Long = 4000000L
+
   /** Bounded (dist asc, id asc) top-k over `filled` parallel (id, dist)
     * entries — the per-(query, shard) emission bound for refine-style
     * probes. A row lives in exactly one shard, so the global top-k is a

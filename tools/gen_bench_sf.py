@@ -48,9 +48,19 @@ def main(outdir: str, scale: int, clusters: int = 0,
     # build the list column from the flat float buffer + row offsets —
     # pa.array(list(vecs)) materializes n_emb python row objects and takes
     # tens of minutes at 10M rows; this is zero-copy and runs in seconds
-    offsets = pa.array(
-        np.arange(0, (n_emb + 1) * dim, dim, dtype=np.int32))
-    emb_col = pa.ListArray.from_arrays(offsets, pa.array(vecs.reshape(-1)))
+    # int32 ListArray offsets wrap negative once n_emb*dim exceeds 2^31-1
+    # (SCALE ~ 16700 at d=64 — the decade past 10M rows); switch to
+    # 64-bit-offset LargeListArray there (same parquet LIST annotation,
+    # Spark reads both identically)
+    if (n_emb + 1) * dim > 2**31 - 1:
+        offsets = pa.array(
+            np.arange(0, (n_emb + 1) * dim, dim, dtype=np.int64))
+        emb_col = pa.LargeListArray.from_arrays(
+            offsets, pa.array(vecs.reshape(-1)))
+    else:
+        offsets = pa.array(
+            np.arange(0, (n_emb + 1) * dim, dim, dtype=np.int32))
+        emb_col = pa.ListArray.from_arrays(offsets, pa.array(vecs.reshape(-1)))
     emb = pa.table({
         "vec_id": pa.array(np.arange(n_emb, dtype=np.int64)),
         "embedding": emb_col,

@@ -1,8 +1,10 @@
 #!/bin/bash
 # 10M-row (reference-corpus-scale) bench: ivf + routed tracks, QPS only.
-# Corpus: tools/gen_bench_sf.py /tmp/graft_sf500 500 '' embonly  (d=64,
-# uniform shell — routing's worst case; clustered controls exist at
-# sf1/sf10). 64g pre-touched heap: five resident forms at 10M rows.
+# Corpus: tools/gen_bench_sf.py /tmp/graft_sf500 5000 0 embonly  (d=64,
+# uniform shell — routing's worst case; the clustered 10M control is
+# /tmp/graft_sf500c, gen'd with 3162 clusters = sqrt(n)). 64g heap,
+# pre-touch skipped (the fixture stage warms it; AlwaysPreTouch on a
+# 64 GB heap costs ~15 min of VM-init wall on this host).
 set -euo pipefail
 cd /root/repo
 SPARK_DRIVER_MEM=64g \

@@ -41,6 +41,8 @@ def main(pairs):
             cols.append((label, load(path)))
         except (OSError, json.JSONDecodeError, AttributeError):
             pass
+    if not cols:
+        sys.exit("no artifact loaded: " + ", ".join(p for _, p in pairs))
     for fam in FAMILIES:
         row, prev = [], None
         for label, q in cols:
