@@ -149,17 +149,35 @@ object ClusterHistogram {
     * lay clusters out contiguously (/root/reference/streaming/
     * clustered_data_gen.py:10-42) and the IVF list-size stats faiss keeps
     * per inverted list. One partial-aggregating shuffle keyed on cid, then
-    * exclusive prefix offsets via a triangular broadcast self-join over the
-    * C-row histogram (C ≪ n; C² pairs of tiny rows — no global window, so
-    * nothing ever funnels into one task). Input: any (id, cid) assignment.
-    * Returns (cid, cnt, offset). */
+    * exclusive prefix offsets via the same distributed two-pass prefix sum
+    * as [[graft.operators.Pipeline.rankGlobal]]: range-partition the C-row
+    * histogram on cid, one tiny job sums cnt per partition, and a second
+    * pass adds each partition's broadcast offset to an in-partition running
+    * total. O(C log C) work and C rows ever in flight — the previous
+    * triangular broadcast self-join was O(C²) pairs, fine at the benched
+    * C ≤ 20k but 1.6·10¹¹ pairs at the C = 400k a 10⁹-row corpus wants.
+    * Input: any (id, cid) assignment. Returns (cid, cnt, offset). */
   def histogram(assigned: DataFrame): DataFrame = {
+    val spark = assigned.sparkSession
     val counts = assigned.groupBy("cid").agg(count(lit(1)).as("cnt"))
-    counts.as("a")
-      .join(broadcast(counts.select(col("cid").as("b_cid"), col("cnt").as("b_cnt"))),
-        col("b_cid") < col("a.cid"), "left")
-      .groupBy(col("a.cid").as("cid"), col("a.cnt").as("cnt"))
-      .agg(coalesce(sum("b_cnt"), lit(0L)).as("offset"))
+    val sorted = counts.repartitionByRange(col("cid")).sortWithinPartitions("cid")
+    val cntIdx = sorted.schema.fieldIndex("cnt")
+    val partSums = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(cntIdx)); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var running = offsets.value(i)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ running)
+        running += r.getLong(cntIdx)
+        out
+      }
+    }
+    spark.createDataFrame(rows,
+        sorted.schema.add("offset", org.apache.spark.sql.types.LongType))
       .select("cid", "cnt", "offset")
   }
 }

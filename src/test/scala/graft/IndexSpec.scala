@@ -102,6 +102,28 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     assert(assigned.select("id").distinct().count() === base.count())
   }
 
+  test("cluster histogram: exclusive prefix offsets across many range partitions") {
+    // enough distinct cids that the C-row histogram spans several range
+    // partitions — exercises the cross-partition leg of the two-pass
+    // prefix sum (a single-partition run would pass with running=0 alone)
+    val assigned = spark.range(0, 5000).toDF("id")
+      .withColumn("cid", pmod(col("id") * 37 % 997, lit(997)))
+    val got = ClusterHistogram.histogram(assigned)
+      .select("cid", "cnt", "offset").as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).distinct.length === got.length)
+    val byCid = got.sortBy(_._1)
+    var running = 0L
+    byCid.foreach { case (cid, cnt, offset) =>
+      assert(offset === running, s"cid=$cid offset")
+      running += cnt
+    }
+    assert(running === 5000L)
+    // counts match a plain groupBy
+    val expect = assigned.groupBy("cid").count()
+      .as[(Long, Long)].collect().toMap
+    byCid.foreach { case (cid, cnt, _) => assert(cnt === expect(cid)) }
+  }
+
   test("cluster permutation is a bijection with clusters contiguous") {
     val perm = ClusterPermute.permutation(base, c = 4, iters = 2)
       .select("id", "cid", "pos").as[(Long, Long, Long)].collect().sortBy(_._3)
