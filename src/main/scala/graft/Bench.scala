@@ -192,6 +192,20 @@ object Bench {
     val n = emb.count()
     val nq = math.min(500L, n / 2).toInt
     val reps = 10
+    // Resident serving forms shard CORPUS-RELATIVE, floor 8, cap = session
+    // cores: shards are the scale-out axis (one per executor core on a
+    // cluster) and a probe batch is ONE job whose task count = shard
+    // count. The fixed 8 shards used through r8 left 3/4 of a 32-core
+    // host idle in every timed scan at the big decades (load average
+    // pinned at 8 mid-sweep — the 10M rows' QPS under-reported the
+    // machine ~4×), while 32 shards of a 2,000-row corpus are 62-row
+    // tasks whose scheduling overhead halves the tiny-SF rows. ~16k rows
+    // per shard amortizes task launch into the scan at every benched
+    // decade; the floor keeps sf0.1–sf10 rows shard-identical to the r8
+    // artifacts. SPARK_GRAFT_SHARDS overrides for fleet-shape experiments.
+    val serveShards = math.max(1, sys.env.get("SPARK_GRAFT_SHARDS")
+      .map(_.toInt)
+      .getOrElse(math.min(cpus.toInt, math.max(8, (n / 16384L).toInt))))
     // corpus-relative budget-knob scale (see methodology note): 1 at the
     // sf0.1 reference corpus, 10 at 10× rows, etc.
     val knobScale = math.max(1L, n / 2000L).toInt
@@ -286,7 +300,7 @@ object Bench {
     // IndexSpec-asserted). 8 shards, not `cpus`: same sizing argument as
     // the graph partitions below.
     val tagged = operators.TagFilter.withTags(emb)
-    val filterServed = index.ResidentScan.load(tagged, numPartitions = 8)
+    val filterServed = index.ResidentScan.load(tagged, numPartitions = serveShards)
     deferUnload(filterServed.unload())
     val filterQs = operators.TagFilter
       .withSignature(operators.TagFilter.tagQueries(emb, nq), "qtags")
@@ -434,7 +448,7 @@ object Bench {
       val recalls = Seq(16 * knobScale, 256 * knobScale, mFull)
         .map(math.min(_, mFull)).distinct.map { m =>
         // per-point residents stay pinned through the interleaved loop
-        val s = index.ResidentPostings.load(tf, m, numPartitions = 8)
+        val s = index.ResidentPostings.load(tf, m, numPartitions = serveShards)
         deferUnload(s.unload())
         val r = operators.Recall.mean(s.probeLocal(sparseQueries, 10), truth, 10)
         registerSweepPoint("sparse_budget_served", m, sparseNq, r) {
@@ -465,7 +479,7 @@ object Bench {
     // answers out; equals the budgetedMips dataflow row-for-row
     // (SparseSpec-asserted) at the same m.
     val sparseServed = index.ResidentPostings.load(tf, m = sparseM,
-      numPartitions = 8)
+      numPartitions = serveShards)
     deferUnload(sparseServed.unload())
     register("sparse_budget_served", sparseNq) {
       require(sparseServed.probeBatch(sqs, k = 10).nonEmpty)
@@ -514,7 +528,7 @@ object Bench {
       (ef, recalls.toMap.apply(ef))
     }
     val (efL2, annRecall) = if (!trackOn("graph")) (0, 0.0) else {
-      val l2Resident = index.HnswKnn.buildResident(base, numPartitions = 8,
+      val l2Resident = index.HnswKnn.buildResident(base, numPartitions = serveShards,
         metric = "l2")
       deferUnload(l2Resident.unload())
       graphFamily("ann_hnsw_probe", l2Resident, truthL2)
@@ -523,7 +537,7 @@ object Bench {
     // track is on
     val ipResident: index.HnswResident =
       if (trackOn("graph") || trackOn("maxsim")) {
-        val r = index.HnswKnn.buildResident(base, numPartitions = 8,
+        val r = index.HnswKnn.buildResident(base, numPartitions = serveShards,
           metric = "ip")
         deferUnload(r.unload()); r
       } else null
@@ -617,7 +631,7 @@ object Bench {
     // neither pays for neither
     lazy val pqCb = index.Pq.train(base, m = 8, ksub = 32, iters = 3)
     val (adcRerank, adcRecall) = if (!famOn("adc")) (0, 0.0) else {
-    val adcServed = index.ResidentAdc.load(base, pqCb, numPartitions = 8)
+    val adcServed = index.ResidentAdc.load(base, pqCb, numPartitions = serveShards)
     deferUnload(adcServed.unload())
     // refine-budget sweep: rerank is the ADC knob (faiss's k_factor·k).
     // The r8 grid was a FIXED 20–640, and at 10M uniform rows the family
@@ -731,7 +745,7 @@ object Bench {
     val (ivfAdcMass, ivfAdcRecall, ivfAdcRerank) =
       if (!famOn("ivfadc")) (0, 0.0, 0) else {
     val ivfAdcServed = index.ResidentIvfAdc.load(base, benchIvf, pqCb,
-      numPartitions = 8)
+      numPartitions = serveShards)
     deferUnload(ivfAdcServed.unload())
     ivfMassFamily("ann_ivfadc_served", 160,
       (mm, r) => ivfAdcServed.probeLocalMass(queries, 10, mm, r),
@@ -749,7 +763,7 @@ object Bench {
     val ivfPqRes = index.IvfPq.buildResidualWith(benchIvf, base, m = 8,
       ksub = 32, iters = 3)
     val ivfAdcResServed = index.ResidentIvfAdc.loadResidual(base, ivfPqRes,
-      numPartitions = 8)
+      numPartitions = serveShards)
     deferUnload(ivfAdcResServed.unload())
     ivfMassFamily("ann_ivfadc_residual_served", 160,
         (mm, r) => ivfAdcResServed.probeLocalMass(queries, 10, mm, r),
@@ -767,7 +781,7 @@ object Bench {
       if (!famOn("sq8")) (0, 0.0, 0, 0, 0.0) else {
     val (sq8Mins, sq8Spans) = index.Sq8.train(base)
     val ivfSq8Served = index.ResidentIvfSq8.load(base, benchIvf, sq8Mins,
-      sq8Spans, numPartitions = 8)
+      sq8Spans, numPartitions = serveShards)
     deferUnload(ivfSq8Served.unload())
     val (ivfSq8Mass, ivfSq8Recall, ivfSq8Rerank) =
       ivfMassFamily("ann_ivfsq8_served", 80,
@@ -855,7 +869,7 @@ object Bench {
     // the codes-only exact Hamming scan row and the two-tier re-rank rows.
     val (hamFidelity, hamFidelityCos, ham2C, ham2Fidelity) =
       if (!trackOn("hamming")) (0.0, 0.0, 0, 0.0) else {
-    val binServed = index.ResidentBinary.load(base, numPartitions = 8,
+    val binServed = index.ResidentBinary.load(base, numPartitions = serveShards,
       pinFloats = true)
     deferUnload(binServed.unload())
     // codes-only exact Hamming scan — QPS plus binarization fidelity
@@ -1022,7 +1036,7 @@ object Bench {
     val mutCut = math.max(n / 20, 1L) // 5% of the corpus arrives post-build
     val mutTombHi = 2 * mutCut // and 5% of the built graph is deleted
     val mutResident = index.HnswKnn.buildResident(
-      base.where(col("id") >= mutCut), numPartitions = 8)
+      base.where(col("id") >= mutCut), numPartitions = serveShards)
     deferUnload(mutResident.unload())
     val mutDelta = base.where(col("id") < mutCut)
       .select(col("id").cast("long"), col("vec"))
