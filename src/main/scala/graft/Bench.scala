@@ -734,12 +734,13 @@ object Bench {
       register(family, nq) { batch(pct / 100.0, rrF) }
       (pct, recalls.toMap.apply(pct), rr)
     }
-    // buildAtScale: sampled Lloyd training + (past C=2048) centroid-graph
-    // assignment — at C < 2048 and benched corpus sizes through sf10 this
-    // is byte-identical to the exact build; at sf100+/autoC in the
-    // thousands it is what keeps the O(n·C·d) build passes off the
-    // fixture wall-clock (the serving numbers grade the probe, and recall
-    // is measured end-to-end against exact truth either way)
+    // buildAtScale: sampled Lloyd training (graph-assigned past C=2048)
+    // + an EXACT full assignment pass — at C < 2048 and benched corpus
+    // sizes through sf10 this is byte-identical to the exact build; at
+    // sf100+ the sampled training keeps the per-iteration O(n·C·d)
+    // passes off the fixture wall-clock while the one exact assignment
+    // preserves routing recall (r9: graph-assigning the full pass cost
+    // 3x matched-recall mass on every IVF family — see the scaladoc)
     lazy val benchIvf =
       index.IvfIndex.buildAtScale(base, c = benchC, iters = 3, n)
     val (ivfAdcMass, ivfAdcRecall, ivfAdcRerank) =

@@ -262,25 +262,50 @@ object IvfIndex {
     IvfIndex(centroids, KMeans.assign(base, centroids).cache())
   }
 
-  /** C at which [[buildAtScale]] switches assignment from the exact linear
-    * argmin to the centroid-graph beam: below it the linear rank is cheap
-    * and keeps builds byte-identical to [[build]]; above it the O(n·C·d)
-    * passes dominate the build wall-clock. */
-  val graphAssignMinC = 2048
+  /** C at which [[buildAtScale]]'s TRAINING iterations switch from the
+    * exact linear argmin to the centroid-graph beam. Training on the
+    * ~64·C-row sample costs 3·64·C²·d flops exactly — ~2·10¹² at
+    * C = 12,650 (a minute of a 32-core box), so the beam buys nothing
+    * until C is in the tens of thousands, and it is NOT free: beam-served
+    * training at efRoute = 48 mis-groups enough points per Lloyd pass to
+    * degrade the trained centroids themselves — measured (r9, 2M uniform
+    * rows, C = 5,657): routing-limited recall at 5% scanned mass reads
+    * 0.9942 with exact training and 0.75 with beam training, the SAME
+    * final exact assignment both ways. 32,768 keeps every corpus through
+    * ~6·10⁷ rows (autoC) on exact training; past it, raise efRoute with C
+    * (the miss rate that merely nudges provisional centroids at small C
+    * compounds at large C). */
+  val graphAssignMinC = 32768
 
   /** [[build]] for corpora where n·C·d passes are the wall: Lloyd trains
     * on a deterministic ~64·C-row sample ([[KMeans.trainSample]] — the
-    * faiss training-points guideline; only the FINAL assignment pass
-    * touches every row, which is the 100 TB shape this file's scaladoc
-    * promises), and when C ≥ [[graphAssignMinC]] both the training
-    * iterations and the full assignment pass route through the centroid
-    * HNSW ([[KMeans.assignCarryGraph]] — faiss's IVF_HNSW quantizer).
-    * Below both thresholds this IS [[build]], byte for byte. */
-  def buildAtScale(base: DataFrame, c: Int, iters: Int, n: Long): IvfIndex = {
-    val ga = c >= graphAssignMinC
-    val centroids = KMeans.fit(KMeans.trainSample(base, c, n), c, iters, ga)
+    * faiss training-points guideline), with per-iteration assignment
+    * served by the centroid HNSW past C ≥ [[graphAssignMinC]]; the ONE
+    * full assignment pass stays the EXACT linear argmin by default.
+    *
+    * Assignment exactness is the invariant IVF routing depends on: a row
+    * beam-assigned to a non-nearest centroid is invisible to query-side
+    * routing until the routed set happens to include the wrong cluster.
+    * Measured (r9, 2M uniform rows, C = 5,657): graph-assigning the full
+    * pass at efRoute = 48 dropped routing-limited recall at 5% scanned
+    * mass from 0.9942 to 0.7474 — a 3× matched-recall mass penalty on
+    * every downstream IVF family — while the exact pass costs one
+    * broadcast-argmin map over the corpus (n·C·d ≈ 10^13 flops at 10M
+    * rows ≈ minutes of a build that is paid once). faiss's default coarse
+    * quantizer is exact (IndexFlat) for the same reason. `graphAssign =
+    * true` opts the full pass into the beam (at 4× the training beam
+    * width) for the regime where even one exact pass is unaffordable
+    * (C ≳ 10^5, i.e. n ≳ 10^9 at autoC) — the measured recall cost above
+    * is the price sheet for that trade. */
+  def buildAtScale(base: DataFrame, c: Int, iters: Int, n: Long,
+                   graphAssign: Boolean = false): IvfIndex = {
+    val gaTrain = c >= graphAssignMinC
+    val centroids = KMeans.fit(KMeans.trainSample(base, c, n), c, iters,
+      gaTrain)
     val assigned =
-      if (ga) KMeans.assignCarryGraph(base, centroids).select("id", "cid")
+      if (graphAssign && gaTrain)
+        KMeans.assignCarryGraph(base, centroids, efRoute = 192)
+          .select("id", "cid")
       else KMeans.assign(base, centroids)
     IvfIndex(centroids, assigned.cache())
   }

@@ -34,7 +34,19 @@ final case class AdcShard(ids: Array[Long], codes: Array[Short], m: Int,
   * Scale story: codes are m·2 bytes per row (the artifact a 100 TB corpus
   * actually fits in executor memory); shards are the scale-out axis;
   * queries broadcast; k·nq·P candidates fan in (tree-merged past 64
-  * shards). */
+  * shards).
+  *
+  * Regime bound (measured, 10M-row decade): the refine budget `rerank`
+  * is CORPUS-RELATIVE — the code scan's false positives grow with the
+  * scanned population, so a fixed budget's recall ceilings (r8: 0.54 at
+  * rerank=640 on 10M rows) and the bench escalates rerank by doubling
+  * until 0.9 recall or a < 0.005/doubling plateau. At 10M rows the
+  * family reaches 0.90 only at rerank ≈ 2,560 and ~21 q/s — an order
+  * below the SQ8/residual codes at the same recall (65–94 q/s), whose
+  * tighter codes hold 0.93+ with rerank 80. Past ~1M rows prefer
+  * [[ResidentIvfSq8]] or the residual [[ResidentIvfAdc]]; this flat
+  * form's regime is the sub-million decade and the exact degenerate
+  * gate. */
 final class ResidentAdc(spark: SparkSession, rdd: RDD[AdcShard],
                         cb: Pq.Codebook, metric: String,
                         rot: Option[Opq.Rotation] = None) {

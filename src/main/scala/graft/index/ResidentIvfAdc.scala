@@ -29,7 +29,18 @@ final case class IvfAdcShard(
   * independent of corpus size at fixed routing selectivity, which is the
   * economics that make IVF the 100 TB default. At nprobe = C with a
   * lossless codebook every row is scanned exactly → the served batch
-  * hash-matches brute force (the degenerate-point gate). */
+  * hash-matches brute force (the degenerate-point gate).
+  *
+  * Regime bound (measured, 10M-row decade): `rerank` must scale with the
+  * SCANNED population (mass·n) — the PQ codes' false positives grow with
+  * it, so a fixed budget's recall ceilings (r8: raw codes 0.42, residual
+  * 0.57 at rerank ≤ 640 on 10M rows) and the bench escalates rerank by
+  * doubling, probed at the largest swept mass, until 0.9 or plateau. At
+  * 10M rows the raw-coded form needs rerank ≈ 2,560 for 0.911 (30 q/s)
+  * while the residual codes need 1,280 for 0.9144 at 3× the QPS (94 q/s)
+  * and SQ8 holds 0.94 with rerank 80 — at the big decades run residual
+  * or [[ResidentIvfSq8]]; the raw-coded form is the byte-budget
+  * comparison point and the exact degenerate gate. */
 final class ResidentIvfAdc(spark: SparkSession, rdd: RDD[IvfAdcShard],
                            cb: Pq.Codebook,
                            router: CoarseRouter,
