@@ -202,10 +202,14 @@ object Bench {
     // tasks whose scheduling overhead halves the tiny-SF rows. ~16k rows
     // per shard amortizes task launch into the scan at every benched
     // decade; the floor keeps sf0.1–sf10 rows shard-identical to the r8
-    // artifacts. SPARK_GRAFT_SHARDS overrides for fleet-shape experiments.
+    // artifacts. The floor is the INVARIANT (small-SF rows stay
+    // shard-identical to r8 even under the driver's default 4-cpu run —
+    // min(cpus, max(8, …)) silently yielded 4 shards there); the cap
+    // applies only above it. SPARK_GRAFT_SHARDS overrides for fleet-shape
+    // experiments.
     val serveShards = math.max(1, sys.env.get("SPARK_GRAFT_SHARDS")
       .map(_.toInt)
-      .getOrElse(math.min(cpus.toInt, math.max(8, (n / 16384L).toInt))))
+      .getOrElse(math.max(8, math.min(cpus.toInt, (n / 16384L).toInt))))
     // corpus-relative budget-knob scale (see methodology note): 1 at the
     // sf0.1 reference corpus, 10 at 10× rows, etc.
     val knobScale = math.max(1L, n / 2000L).toInt
@@ -297,8 +301,8 @@ object Bench {
     // timed loop — the reference's QPS excludes its index build too, and
     // its 3,200 QPS operating point is @0.9 recall where this path is
     // exact: ResidentScan equals the filteredKnn dataflow row-for-row,
-    // IndexSpec-asserted). 8 shards, not `cpus`: same sizing argument as
-    // the graph partitions below.
+    // IndexSpec-asserted). serveShards (corpus-relative, floor 8): same
+    // sizing argument as the graph partitions below.
     val tagged = operators.TagFilter.withTags(emb)
     val filterServed = index.ResidentScan.load(tagged, numPartitions = serveShards)
     deferUnload(filterServed.unload())
@@ -337,7 +341,14 @@ object Bench {
     val subTruth = localTruth(operators.TagFilter.filteredKnn(
       subQ.select(col("qid"), col("qvec"), array(col("qtag")).as("qtags")),
       tagged, 10))
-    val subindexRecalls = Seq(16, 24, 32, 48).map { ef =>
+    // grid extends corpus-relative past 1M rows, same treatment as the
+    // flat-graph grid below: a per-tag graph holds ~n/10 nodes, and the
+    // matched-recall beam grows with near-tie density — a fixed top point
+    // of 48 would bind the family's recall at the grid, not the
+    // algorithm, exactly the r8 sf10/2M failure mode.
+    val subindexEfs = Seq(16, 24, 32, 48) ++
+      (if (n >= 1000000L) Seq(96, 192, 384) else Seq.empty)
+    val subindexRecalls = subindexEfs.map { ef =>
       val got = spark.createDataFrame(
         tagRegistry.probeGroupsBatch(subGroups, 10, ef).toSeq)
         .toDF("qid", "id", "dist", "rank")
@@ -442,47 +453,58 @@ object Bench {
       .as[(Long, String, Long)].collect()
       .groupBy(_._1).toArray.sortBy(_._1)
       .map { case (qid, rows) => (qid, rows.map(_._2), rows.map(_._3)) }
+    // SERVING form: the FULL inverted file pinned resident (linscan's
+    // shape — the index is whole, the budget is query-time), swept over
+    // the IMPACT-ORDERED per-(query, shard) accumulation budget
+    // (linscan.py:19-56's budget semantics as deterministic work instead
+    // of wall-clock). r9's m-truncation sweep never actually truncated at
+    // matched recall — weight-blind top-m drops ties by id, so recall@0.9
+    // only existed at m = |docs| and QPS scaled linearly down; the
+    // impact-ordered budget spends the scan on the large qv·v products
+    // first, which is what lets a partial scan hold 0.9.
     val (sparseM, sparseRecall) = locally {
       val truth = localTruth(operators.Sparse.mips(sparseQueries, tf, 10))
       val mFull = Tables.documents(spark, sfDir).count().toInt
-      val recalls = Seq(16 * knobScale, 256 * knobScale, mFull)
-        .map(math.min(_, mFull)).distinct.map { m =>
-        // per-point residents stay pinned through the interleaved loop
-        val s = index.ResidentPostings.load(tf, m, numPartitions = serveShards)
-        deferUnload(s.unload())
-        val r = operators.Recall.mean(s.probeLocal(sparseQueries, 10), truth, 10)
-        registerSweepPoint("sparse_budget_served", m, sparseNq, r) {
-          require(s.probeBatch(sqs, k = 10).nonEmpty)
+      val sparseServed = index.ResidentPostings.load(tf, m = mFull,
+        numPartitions = serveShards)
+      deferUnload(sparseServed.unload())
+      // top anchor = the largest shard's whole posting mass: exact on
+      // every shard by construction (accumulate's fast path), so the
+      // sweep always contains a recall-1.0 point and the headline's
+      // matched-recall pick always exists
+      val full = sparseServed.maxShardPostings()
+      val budgets = Seq(full / 256, full / 64, full / 16, full / 4, full)
+        .map(b => math.max(b, 64L)).distinct.sorted
+      val recalls = budgets.map { b =>
+        val r = operators.Recall.mean(
+          sparseServed.probeLocal(sparseQueries, 10, budget = b), truth, 10)
+        registerSweepPoint("sparse_budget_served",
+          math.min(b, Int.MaxValue.toLong).toInt, sparseNq, r) {
+          require(sparseServed.probeBatch(sqs, k = 10, budget = b).nonEmpty)
         }
-        m -> r
+        math.min(b, Int.MaxValue.toLong).toInt -> r
       }
-      val m = pickKnob(recalls)
-      (m, recalls.toMap.apply(m))
+      val pick = pickKnob(recalls)
+      register("sparse_budget_served", sparseNq) {
+        require(sparseServed
+          .probeBatch(sqs, k = 10, budget = pick.toLong).nonEmpty)
+      }
+      (pick, recalls.toMap.apply(pick))
     }
-    // DATAFLOW row: the full Spark-plan form of the same operator
-    // (SparseSpec asserts row-parity with the resident form at equal m).
-    // It is a PLAN-OVERHEAD diagnostic, not the baseline-comparable row —
-    // the served row above it is — so it stays at the oracle gate's
-    // diagnostic budget (16·scale): at the matched-recall pick (m = |docs|
-    // on this tie-heavy corpus) one batch of the dataflow join is minutes
-    // of wall at 100× rows, all of it re-measuring the same linear-scan
-    // physics the served row already prices.
+    // DATAFLOW row: the full Spark-plan form of the build-time-truncation
+    // operator (SparseSpec asserts row-parity with the resident form at
+    // equal m). It is a PLAN-OVERHEAD diagnostic, not the
+    // baseline-comparable row — the served row above it is — so it stays
+    // at the oracle gate's diagnostic budget (16·scale): one batch of the
+    // untruncated dataflow join is minutes of wall at 100× rows, all of
+    // it re-measuring the same linear-scan physics the served row already
+    // prices.
     register("sparse_budget", sparseNq) {
       noop(operators.Sparse.budgetedMips(
         tf.where(col("id") < sparseNq)
           .select(col("id").as("qid"), col("dim"), col("v").as("qv")),
         tf, k = 10, m = 16 * knobScale))
       spark.sqlContext.clearCache()
-    }
-    // SERVING form: executor-resident truncated postings — linscan's
-    // in-memory inverted index (linscan.py:19-56), query batch in / ranked
-    // answers out; equals the budgetedMips dataflow row-for-row
-    // (SparseSpec-asserted) at the same m.
-    val sparseServed = index.ResidentPostings.load(tf, m = sparseM,
-      numPartitions = serveShards)
-    deferUnload(sparseServed.unload())
-    register("sparse_budget_served", sparseNq) {
-      require(sparseServed.probeBatch(sqs, k = 10).nonEmpty)
     }
     (sparseM, sparseRecall)
     }
@@ -492,10 +514,11 @@ object Bench {
     // under both metrics — L2 and the OOD track's max-inner-product.
     // Recall vs exact is reported alongside QPS (the BASELINE rows are
     // themselves @0.9 recall), so the throughput/recall pair is explicit.
-    // 8 graph partitions, not `cpus`: partition count is the SCALE-OUT
-    // axis, but every query probes every graph, so serving wants the
-    // fewest partitions that still fill the cluster — measured 2× QPS
-    // vs 32 tiny graphs at sf0.1 (each probe batch = 2 stages either way).
+    // serveShards graph partitions (corpus-relative, floor 8 — not
+    // `cpus`): partition count is the SCALE-OUT axis, but every query
+    // probes every graph, so serving wants the fewest partitions that
+    // still fill the cluster — measured 2× QPS vs 32 tiny graphs at
+    // sf0.1 (each probe batch = 2 stages either way).
     // Sweeps are an ABSOLUTE ef grid (graph beams grow ~log n for fixed
     // recall, so an absolute grid spans the 0.9 point at every benched
     // scale — measured: ef=24 clears 0.904 at 10× rows where the old
@@ -1311,7 +1334,7 @@ object Bench {
     val sweepKnobName = Map(
       "ann_hnsw_probe" -> "efSearch", "ann_hnsw_probe_ip" -> "efSearch",
       "filtered_knn_subindex" -> "efSearch",
-      "sparse_budget_served" -> "m", "ann_hnsw_probe_routed" -> "nprobe",
+      "sparse_budget_served" -> "budget", "ann_hnsw_probe_routed" -> "nprobe",
       "ann_hnsw_probe_routed_auto" -> "minMassPct",
       "ann_adc_served" -> "rerank", "ann_ivfadc_served" -> "minMassPct",
       "ann_ivfadc_residual_served" -> "minMassPct",
@@ -1326,6 +1349,12 @@ object Bench {
       }.mkString("[", ",", "]")
       s""""$family":$body"""
     }.mkString("{", ",", "}")
+    // a tracks/families-filtered run registers only the rows it measured;
+    // everything below keys off that registry, so SKIPPED families are
+    // ABSENT from the artifact rather than published as 0.0 (a 0.0 row
+    // reads as "measured at zero" in any downstream diff — r9 verdict
+    // item 9)
+    val ranRows = headline.map(_._1).toSet
     val qpsNames = Seq("filtered_knn", "filtered_knn_planner",
       "filtered_knn_subindex", "filtered_knn_bucketed", "sparse_budget",
       "sparse_budget_served", "ann_hnsw_probe", "ann_hnsw_probe_ip",
@@ -1334,8 +1363,11 @@ object Bench {
       "ann_ivfadc_residual_served", "ann_ivfsq8_served",
       "ann_ivfsq8_graphroute_served", "route_linear_c65536",
       "route_graph_c65536", "maxsim_served",
-      "hamming_served", "hamming_rerank_served")
+      "hamming_served", "hamming_rerank_served").filter(ranRows)
     val qpsPairs = qpsNames.map(nm => s"\"$nm\":${q1(nm)}").mkString(",")
+    // splice fragment: "" when no headline rows ran (a pure batch/
+    // streaming run) so the enclosing object stays valid JSON
+    val qpsPairsFrag = if (qpsNames.isEmpty) "" else qpsPairs + ","
     val spreadPairs = qpsNames.map(nm => s"\"$nm\":${q2(nm)}").mkString(",")
     val gcPairs =
       qpsNames.map(nm => s"\"$nm\":${gcWorstOf.getOrElse(nm, 0L)}").mkString(",")
@@ -1344,15 +1376,80 @@ object Bench {
     val cpuMedPairs =
       qpsNames.map(nm => s"\"$nm\":${cpuFracMedOf.getOrElse(nm, 0.0)}").mkString(",")
     // the auto-picked matched-recall operating knob per headline row (plus
-    // the corpus-relative structure sizes), so the artifact states exactly
-    // what each headline ran
-    val opJson =
-      s"""{"ann_hnsw_probe_efSearch":$efL2,"ann_hnsw_probe_ip_efSearch":$efIp,"filtered_knn_subindex_efSearch":$subindexEf,"ann_adc_served_rerank":$adcRerank,"ann_ivfadc_served_minMassPct":$ivfAdcMass,"ann_ivfadc_residual_served_minMassPct":$ivfAdcResMass,"ann_ivfsq8_served_minMassPct":$ivfSq8Mass,"ann_hnsw_probe_routed_nprobe":$routedNp,"ann_hnsw_probe_routed_auto_minMassPct":$routedAutoPct,"ann_ivfsq8_graphroute_served_efRoute":$ivfSq8GrEf,"sparse_budget_m":$sparseM,"maxsim_served_c":$maxsimC,"hamming_rerank_served_c":$ham2C,"ivf_C":$benchC,"routed_C":$routedC,"routed_efSearch":$routedEf,"route_micro_C":$routeC,"ivf_rerank_adc":$ivfAdcRerank,"ivf_rerank_adc_residual":$ivfAdcResRerank,"ivf_rerank_sq8":$ivfSq8Rerank}"""
+    // the corpus-relative structure sizes) — emitted only for rows that
+    // ran, so the artifact states exactly what it measured and nothing else
+    val opJson = Seq(
+      ("ann_hnsw_probe_efSearch", efL2.toString, "ann_hnsw_probe"),
+      ("ann_hnsw_probe_ip_efSearch", efIp.toString, "ann_hnsw_probe_ip"),
+      ("filtered_knn_subindex_efSearch", subindexEf.toString,
+        "filtered_knn_subindex"),
+      ("ann_adc_served_rerank", adcRerank.toString, "ann_adc_served"),
+      ("ann_ivfadc_served_minMassPct", ivfAdcMass.toString,
+        "ann_ivfadc_served"),
+      ("ann_ivfadc_residual_served_minMassPct", ivfAdcResMass.toString,
+        "ann_ivfadc_residual_served"),
+      ("ann_ivfsq8_served_minMassPct", ivfSq8Mass.toString,
+        "ann_ivfsq8_served"),
+      ("ann_hnsw_probe_routed_nprobe", routedNp.toString,
+        "ann_hnsw_probe_routed"),
+      ("ann_hnsw_probe_routed_auto_minMassPct", routedAutoPct.toString,
+        "ann_hnsw_probe_routed_auto"),
+      ("ann_ivfsq8_graphroute_served_efRoute", ivfSq8GrEf.toString,
+        "ann_ivfsq8_graphroute_served"),
+      ("sparse_budget_served_budget", sparseM.toString, "sparse_budget_served"),
+      ("maxsim_served_c", maxsimC.toString, "maxsim_served"),
+      ("hamming_rerank_served_c", ham2C.toString, "hamming_rerank_served"),
+      ("ivf_C", benchC.toString, "ann_ivfsq8_served"),
+      ("ivf_C", benchC.toString, "ann_ivfadc_served"),
+      ("ivf_C", benchC.toString, "ann_ivfadc_residual_served"),
+      ("routed_C", routedC.toString, "ann_hnsw_probe_routed"),
+      ("routed_efSearch", routedEf.toString, "ann_hnsw_probe_routed"),
+      ("route_micro_C", routeC.toString, "route_graph_c65536"),
+      ("ivf_rerank_adc", ivfAdcRerank.toString, "ann_ivfadc_served"),
+      ("ivf_rerank_adc_residual", ivfAdcResRerank.toString,
+        "ann_ivfadc_residual_served"),
+      ("ivf_rerank_sq8", ivfSq8Rerank.toString, "ann_ivfsq8_served"))
+      .collect { case (key, v, row) if ranRows(row) => (key, v) }
+      .distinct
+      .map { case (key, v) => s"\"$key\":$v" }
+      .mkString("{", ",", "}")
+    val recallJson = Seq(
+      ("filtered_knn", "1.0", "filtered_knn"),
+      ("filtered_knn_planner", plannerRecall.toString, "filtered_knn_planner"),
+      ("filtered_knn_subindex", subindexRecall.toString,
+        "filtered_knn_subindex"),
+      ("filtered_knn_bucketed", "1.0", "filtered_knn_bucketed"),
+      ("sparse_budget_served", sparseRecall.toString, "sparse_budget_served"),
+      ("ann_hnsw_probe", annRecall.toString, "ann_hnsw_probe"),
+      ("ann_hnsw_probe_ip", annIpRecall.toString, "ann_hnsw_probe_ip"),
+      ("ann_hnsw_probe_routed", rtRecall.toString, "ann_hnsw_probe_routed"),
+      ("ann_hnsw_probe_routed_auto", rtaRecall.toString,
+        "ann_hnsw_probe_routed_auto"),
+      ("ann_hnsw_probe_mutated", mutRecall.toString, "ann_hnsw_probe_mutated"),
+      ("ann_adc_served", adcRecall.toString, "ann_adc_served"),
+      ("ann_ivfadc_served", ivfAdcRecall.toString, "ann_ivfadc_served"),
+      ("ann_ivfadc_residual_served", ivfAdcResRecall.toString,
+        "ann_ivfadc_residual_served"),
+      ("ann_ivfsq8_served", ivfSq8Recall.toString, "ann_ivfsq8_served"),
+      ("ann_ivfsq8_graphroute_served", ivfSq8GrRecall.toString,
+        "ann_ivfsq8_graphroute_served"),
+      ("route_graph_agreement", routeAgree.toString, "route_graph_c65536"),
+      ("maxsim_served", maxsimRecall.toString, "maxsim_served"),
+      ("hamming_served_l2_fidelity", hamFidelity.toString, "hamming_served"),
+      ("hamming_served_cos_fidelity", hamFidelityCos.toString,
+        "hamming_served"),
+      ("hamming_rerank_served_l2_fidelity", ham2Fidelity.toString,
+        "hamming_rerank_served"))
+      .collect { case (key, v, row) if ranRows(row) => s"\"$key\":$v" }
+      .mkString("{", ",", "}")
+    val streamFrag =
+      if (!trackOn("streaming")) ""
+      else s""","streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}"""
     val repsCapped = headline.collect {
       case (nm, _, _) if rowReps(nm) < reps => s"\"$nm\":${rowReps(nm)}"
     }.mkString("{", ",", "}")
     val qpsJson =
-      s"""{$qpsPairs,"nq":$nq,"reps":$reps,"interleaved":true,"spread":{$spreadPairs},"gc_worst_ms":{$gcPairs},"cpu_frac_worst":{$cpuPairs},"cpu_frac_med":{$cpuMedPairs},"op":$opJson,"reps_capped":$repsCapped,"recall":{"filtered_knn":1.0,"filtered_knn_planner":$plannerRecall,"filtered_knn_subindex":$subindexRecall,"filtered_knn_bucketed":1.0,"sparse_budget_served":$sparseRecall,"ann_hnsw_probe":$annRecall,"ann_hnsw_probe_ip":$annIpRecall,"ann_hnsw_probe_routed":$rtRecall,"ann_hnsw_probe_routed_auto":$rtaRecall,"ann_hnsw_probe_mutated":$mutRecall,"ann_adc_served":$adcRecall,"ann_ivfadc_served":$ivfAdcRecall,"ann_ivfadc_residual_served":$ivfAdcResRecall,"ann_ivfsq8_served":$ivfSq8Recall,"ann_ivfsq8_graphroute_served":$ivfSq8GrRecall,"route_graph_agreement":$routeAgree,"maxsim_served":$maxsimRecall,"hamming_served_l2_fidelity":$hamFidelity,"hamming_served_cos_fidelity":$hamFidelityCos,"hamming_rerank_served_l2_fidelity":$ham2Fidelity},"sweep":$sweep,"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes,"cpu_retakes":$cpuRetakes,"tracks":"$tracksLabel","ivf_families":"$ivfFamsLabel"},"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}}"""
+      s"""{$qpsPairsFrag"nq":$nq,"reps":$reps,"interleaved":true,"spread":{$spreadPairs},"gc_worst_ms":{$gcPairs},"cpu_frac_worst":{$cpuPairs},"cpu_frac_med":{$cpuMedPairs},"op":$opJson,"reps_capped":$repsCapped,"recall":$recallJson,"sweep":$sweep,"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes,"cpu_retakes":$cpuRetakes,"tracks":"$tracksLabel","ivf_families":"$ivfFamsLabel"}$streamFrag}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"batch_sec":$batchJson,"qps":$qpsJson,"sf":"$sfDir"}"""
     // the whole object lands in a file the driver (or anyone) can read
@@ -1370,7 +1467,7 @@ object Bench {
     // prints LAST so the tail always ends with one complete parseable JSON
     // line; the full object is the file write above.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir","qps":{$qpsPairs,"nq":$nq,"streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec},"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes,"cpu_retakes":$cpuRetakes,"tracks":"$tracksLabel","ivf_families":"$ivfFamsLabel"}},"full":"$outPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir","qps":{$qpsPairsFrag"nq":$nq,"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes,"cpu_retakes":$cpuRetakes,"tracks":"$tracksLabel","ivf_families":"$ivfFamsLabel"}$streamFrag},"full":"$outPath"}"""
     println(compact)
     spark.stop()
   }

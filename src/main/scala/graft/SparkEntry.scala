@@ -579,6 +579,31 @@ object SparkEntry {
       try served.probeLocal(sparseQueries(tf, 10), 10)
       finally served.unload()
     }),
+    // J7 impact-ordered query-time budget (linscan's budget semantics,
+    // sparse/linscan/linscan.py:19-56): full inverted file (m = |docs|,
+    // nothing truncated at build), partial scan in qv·v-descending order.
+    // At budget = MaxValue the walk covers every posting, so the result
+    // equals the exact MIPS join — THIS twin carries the oracle.
+    "sparse_impact_budget_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tf = Sparse.fromTermFreq(docs)
+      val served = graft.index.ResidentPostings.load(tf,
+        m = docs.count().toInt, numPartitions = 4)
+      try served.probeLocal(sparseQueries(tf, 10), 10)
+      finally served.unload()
+    }),
+    // finite impact budget — genuinely approximate (per-shard partial
+    // scan), so no SQL oracle; the driver records rows-only and the exact
+    // twin above hash-gates the machinery. Budget = 64 accumulations per
+    // (query, shard) against the gate corpus's ~hundreds per shard.
+    "sparse_impact_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tf = Sparse.fromTermFreq(docs)
+      val served = graft.index.ResidentPostings.load(tf,
+        m = docs.count().toInt, numPartitions = 4)
+      try served.probeLocal(sparseQueries(tf, 10), 10, budget = 64L)
+      finally served.unload()
+    }),
 
     // -- filter track: conjunctive tags, postings, signatures, routing -------
     "tag_postings" -> ((s, dir) =>
@@ -686,11 +711,13 @@ object SparkEntry {
 
     // -- index layer ---------------------------------------------------------
     // A5 cluster histogram: per-cluster counts + contiguous-layout offsets.
-    // iters=0 pins centroids to the 8 lowest-id rows, so the assignment is
-    // SQL-expressible and the histogram stays exactly oracle-checkable.
+    // iters=0 + seedLowId pins centroids to the 8 lowest-id rows, so the
+    // assignment is SQL-expressible and the histogram stays exactly
+    // oracle-checkable (the production default is deterministic k-means++,
+    // whose exponential-race seeds a SQL oracle can't reproduce).
     "ann_ivf_hist" -> ((s, dir) => {
       val b = embBase(s, dir)
-      val cents = graft.index.KMeans.fit(b, c = 8, iters = 0)
+      val cents = graft.index.KMeans.fit(b, c = 8, iters = 0, seedLowId = true)
       graft.index.ClusterHistogram.histogram(graft.index.KMeans.assign(b, cents))
     }),
     // IVF probed exhaustively (nprobe = C) is exact → hash-checked oracle.
@@ -2052,6 +2079,18 @@ object SparkEntry {
     "sparse_budget" -> sparseBudgetOracle,
     // resident posting serving is exact vs the budgeted dataflow: same oracle
     "sparse_budget_served" -> sparseBudgetOracle,
+    // impact-ordered serving at FULL budget over the untruncated inverted
+    // file covers every posting, so it equals the plain exact MIPS join
+    "sparse_impact_budget_exact" ->
+      s"""WITH $tokensCte, $sparseTfCte,
+         |q AS (SELECT id AS qid, dim, v AS qv FROM tf WHERE id < 10),
+         |s AS (SELECT qid, tf.id AS id, CAST(sum(qv * v) AS BIGINT) AS score
+         |      FROM tf JOIN q USING (dim) GROUP BY 1, 2),
+         |r AS (SELECT qid, id, score,
+         |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+         |      FROM s)
+         |SELECT qid, id, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+         |""".stripMargin,
 
     "tag_postings" ->
       """SELECT CAST(label AS INT) AS tag, vec_id AS id FROM embeddings

@@ -123,7 +123,8 @@ final class HnswResident(spark: SparkSession,
     // and the delta with bit-identical distance): driver merge at serving
     // partition counts, two-level treeAggregate past `treeMergeAt` shards
     // (see [[ProbeMerge]]) — the driver stops being the fan-in ceiling
-    val out = ProbeMerge.topK(local, k, treeMergeAt)
+    val out = ProbeMerge.topK(local, k, treeMergeAt,
+      estRows = qs.length.toLong * k * local.getNumPartitions)
     // a serving loop issues many batches against one resident index: drop
     // the per-batch broadcasts eagerly or the driver accumulates them
     bq.destroy(); bt.destroy(); bd.destroy()

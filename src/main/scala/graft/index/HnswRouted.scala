@@ -145,8 +145,7 @@ final class HnswRouted(spark: SparkSession,
     // take the raw collect with the same oversized fan-in. Small fan-ins
     // keep the one-narrow-job driver merge, byte-identical rows.
     val fanIn = routesByPart.valuesIterator.map(_.length.toLong).sum * k
-    val out = ProbeMerge.topK(local, k,
-      treeAt = if (fanIn > ProbeMerge.maxCollectRows) 0 else 64)
+    val out = ProbeMerge.topK(local, k, estRows = fanIn)
     bq.destroy(); br.destroy()
     out
   }
@@ -188,20 +187,26 @@ object HnswRouted {
   def buildAndSave(base: DataFrame, path: String, c: Int, kmIters: Int = 3,
                    m: Int = 16, efConstruction: Int = 100,
                    metric: String = "l2", atScale: Boolean = false,
-                   n: Long = 0L): Unit = {
+                   n: Long = 0L, graphAssign: Boolean = false): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
     val vecs = base.select(col("id").cast("long"), col("vec"))
-    // atScale: Lloyd trains on a deterministic ~64·C-row sample and, past
-    // IvfIndex.graphAssignMinC clusters, both training and the one full
-    // assignment pass route through the centroid HNSW instead of the
-    // O(n·C·d) linear argmin (KMeans.assignCarryGraph — faiss's IVF_HNSW
-    // quantizer). Default false keeps every existing build byte-identical.
-    val ga = atScale && c >= IvfIndex.graphAssignMinC
+    // atScale: Lloyd trains on a deterministic ~64·C-row sample, with the
+    // per-iteration TRAINING assignment beam-served past
+    // IvfIndex.graphAssignMinC clusters. The one FULL assignment pass
+    // stays the EXACT linear argmin by default — the same invariant as
+    // IvfIndex.buildAtScale (its scaladoc carries the measured price
+    // sheet: beam-assigning the full pass at efRoute = 48 cost 3× the
+    // matched-recall mass on every IVF family). `graphAssign = true` opts
+    // the full pass into the beam at 4× the training width, for the
+    // C ≳ 10⁵ regime where even one exact pass is unaffordable. Default
+    // false keeps every existing build byte-identical.
+    val gaTrain = atScale && c >= IvfIndex.graphAssignMinC
     val fitBase = if (atScale) KMeans.trainSample(vecs, c, n) else vecs
-    val centroids = KMeans.fit(fitBase, c, kmIters, ga)
+    val centroids = KMeans.fit(fitBase, c, kmIters, gaTrain)
     val assigned =
-      if (ga) KMeans.assignCarryGraph(vecs, centroids)
+      if (graphAssign && gaTrain)
+        KMeans.assignCarryGraph(vecs, centroids, efRoute = 192)
       else KMeans.assignCarry(vecs, centroids)
     val nodes = assigned
       .select(col("cid").cast("int"), col("id"), col("vec"))

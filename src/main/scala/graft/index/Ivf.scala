@@ -5,8 +5,32 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deterministic Lloyd's k-means over (id, vec) DataFrames — the trainer
-  * behind [[IvfIndex]]. Initialization is the C lowest-id rows (no RNG →
-  * byte-reproducible across runs, which keeps driver compares stable).
+  * behind [[IvfIndex]]. Initialization is a deterministic UNIFORM hash
+  * draw ([[KMeans.seedHashUniform]]: the C rows with the smallest
+  * xxhash64(id)) — faiss's own k-means init is a random sample of the
+  * training points, and this is that init made byte-reproducible (no RNG
+  * state; stable across runs and partitionings, which keeps driver
+  * compares stable). The r9 default — the C LOWEST-id rows — was a scale
+  * bug on id-correlated layouts: on [[ClusterPermute]]'s cluster-major
+  * output all C seeds land in one region. Hash-uniform seeds land ∝ the
+  * data distribution wherever the ids came from.
+  *
+  * Why not k-means++? Measured (SeedDiag, 200k-row σ=0.20 clustered
+  * control, C = 1,789, iters = 3, queries from the MIDDLE of the id range
+  * so no seeding sees its own eval queries): lowest-id, hash-uniform, and
+  * the dyadic k-means‖-style ++ draw ([[KMeans.seedPlusPlus]], kept as an
+  * opt-in) are statistically indistinguishable — routing-limited recall
+  * within ±0.01 at every scanned-mass point (3% mass: 0.893 / 0.887 /
+  * 0.882), inertia within 0.1%. The same diag run on LOW-id queries had
+  * read lowest-id 0.03 "ahead" at every point — pure leakage (the C
+  * lowest-id seeds contain the lowest-id queries), which also means
+  * earlier rounds' IVF recall sweeps were mildly flattered. ++'s D²
+  * spread only pays off on adversarially clumped data a uniform draw can
+  * miss entirely (IndexSpec pins that property); its full k-means‖
+  * reduction would cost an O(C²·d) driver-side weighted Lloyd.
+  * `seedLowId = true` remains for the one caller that needs
+  * SQL-expressible seeds (the `ann_ivf_hist` oracle gate pins its DuckDB
+  * twin to `vec_id < C`).
   *
   * Every step is relational: assignment is a broadcast join of C centroids
   * against the base (map-side, no shuffle of the big table), and the
@@ -104,6 +128,104 @@ object KMeans {
     else base.where(pmod(xxhash64(col("id")), lit(n / target)) === 0)
   }
 
+  /** Deterministic uniform seeding: the C rows with the smallest
+    * (xxhash64(id), id) — faiss's random-sample k-means init, made
+    * byte-reproducible. One TakeOrdered pass; seeds land ∝ the data
+    * distribution regardless of id layout (the lowest-id init's
+    * id-correlation bias, removed). Returns (cid = row id, cvec). */
+  def seedHashUniform(base: DataFrame, c: Int): DataFrame =
+    base
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h"), col("id")).limit(c)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+
+  /** Deterministic k-means++ seeding (the k-means‖ dyadic form): C seed
+    * rows as (cid = row id, cvec), spread ∝ D²(x, S). OPT-IN, not the
+    * default: measured on the clustered 200k control it is equal to the
+    * uniform hash draw within noise (see the object scaladoc) while
+    * costing O(log C) extra passes. Kept because on ADVERSARIALLY clumped
+    * data (all mass in few far-apart blobs plus outliers) a uniform draw
+    * can miss a blob entirely while D²-weighting cannot — IndexSpec pins
+    * that property.
+    * The textbook ++ is sequential (C dependent passes); this is the
+    * DOUBLING schedule: the seed set doubles each round (1 → 2 → … → C),
+    * each round drawing |S| new seeds D²-weighted in ONE distributed pass,
+    * so seeding costs O(log C) jobs and Σ|new|·n·d ≈ ONE assignment pass
+    * total — the same flop budget Lloyd pays per iteration.
+    *
+    * Determinism without RNG state: the weighted draw is an exponential
+    * race — key(x) = −ln(u(x)) / D²(x), u(x) = a (0,1] hash of (id, round)
+    * — and the m smallest keys win (ties → lowest id). Pure function of
+    * (ids, vectors, round), so the seed set is identical across runs,
+    * partitionings, and recomputations. Rows at D² = 0 (exact duplicates
+    * of a seed) key to +∞ and are drawn only when nothing else remains. */
+  def seedPlusPlus(base: DataFrame, c: Int): DataFrame = {
+    val spark = base.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val vecs = base.select(col("id").cast("long"), col("vec"))
+    if (c <= 0) return vecs.limit(0)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    // state: (id, vec, d2 = squared distance to nearest seed so far)
+    val first = vecs
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h"), col("id")).limit(1)
+      .select(col("id"), col("vec")).collect()
+    if (first.isEmpty) return vecs
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val seeds = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](
+      (first.head.getLong(0), first.head.getSeq[Float](1).toArray))
+    def d2To(batch: Array[(Long, Array[Float])]) = udf {
+      (vec: Seq[Float], prev: Double) =>
+        val v = vec.toArray
+        var best = prev
+        batch.foreach { case (_, s) =>
+          var d = 0.0
+          var i = 0
+          val n = math.min(v.length, s.length)
+          while (i < n) { val t = v(i).toDouble - s(i).toDouble; d += t * t; i += 1 }
+          if (d < best) best = d
+        }
+        best
+    }
+    var state = vecs
+      .withColumn("d2", d2To(seeds.toArray)(col("vec"), lit(Double.MaxValue)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    state.count()
+    var round = 0
+    var exhausted = false
+    while (seeds.length < c && !exhausted) {
+      val m = math.min(seeds.length, c - seeds.length)
+      round += 1
+      // exponential race: u ∈ (0,1] from a hash of (id, round); smaller
+      // −ln(u)/d2 ⇔ larger u^(1/d2) ⇔ D²-weighted draw without replacement.
+      // Rows at d2 = 0 (seeds and their exact duplicates) are excluded —
+      // when nothing else remains the corpus has < c distinct points and
+      // seeding honestly stops short (Lloyd handles < c groups).
+      val u = (pmod(xxhash64(col("id"), lit(round)), lit(1000000007L))
+        .cast("double") + lit(1.0)) / lit(1000000008.0)
+      val drawn = state
+        .where(col("d2") > 0.0)
+        .withColumn("k", -log(u) / col("d2"))
+        .orderBy(col("k"), col("id")).limit(m)
+        .select(col("id"), col("vec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      if (drawn.isEmpty) exhausted = true
+      else {
+        seeds ++= drawn
+        val next = state
+          .withColumn("d2n", d2To(drawn)(col("vec"), col("d2")))
+          .select(col("id"), col("vec"), col("d2n").as("d2"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        state.unpersist()
+        state = next
+      }
+    }
+    state.unpersist()
+    import spark.implicits._
+    seeds.toSeq.toDF("cid", "cvec")
+  }
+
   /** Train C centroids with `iters` Lloyd iterations: (cid, cvec). */
   def fit(base: DataFrame, c: Int, iters: Int): DataFrame =
     fit(base, c, iters, graphAssign = false)
@@ -114,13 +236,15 @@ object KMeans {
     * rebuilt per iteration (C inserts — seconds even at C=20k, against a
     * corpus pass it saves minutes of). */
   def fit(base: DataFrame, c: Int, iters: Int,
-          graphAssign: Boolean): DataFrame = {
+          graphAssign: Boolean = false, seedLowId: Boolean = false): DataFrame = {
     val spark = base.sparkSession
     // C > 128 groups would tip the vecMean ObjectHashAggregate into its
     // sort-based fallback — a full sort of the corpus per Lloyd pass
     graft.operators.TopK.ensureHashAggKeyRoom(spark)
-    var centroids = base.orderBy("id").limit(c)
-      .select(col("id").as("cid"), col("vec").as("cvec")).cache()
+    var centroids = (
+      if (seedLowId) base.orderBy("id").limit(c)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      else seedHashUniform(base, c)).cache()
     centroids.count()
     for (_ <- 0 until iters) {
       // recenter with ONE whole-vector mean aggregate (O(d) buffer per
@@ -160,25 +284,63 @@ object ClusterHistogram {
   def histogram(assigned: DataFrame): DataFrame = {
     val spark = assigned.sparkSession
     val counts = assigned.groupBy("cid").agg(count(lit(1)).as("cnt"))
-    val sorted = counts.repartitionByRange(col("cid")).sortWithinPartitions("cid")
-    val cntIdx = sorted.schema.fieldIndex("cnt")
-    val partSums = sorted.rdd
-      .mapPartitionsWithIndex { (i, it) =>
-        var s = 0L; it.foreach(r => s += r.getLong(cntIdx)); Iterator((i, s))
+    // The two-pass prefix sum runs TWO jobs over the same partitioning (the
+    // per-partition-sum collect, then the offset pass), so the partitioning
+    // must be a pure function of the data: `repartitionByRange` is NOT —
+    // RangePartitioner reservoir-samples the (shuffle-order-nondeterministic)
+    // aggregation output, so a recomputation between the two jobs could
+    // land rows in different partitions and apply the broadcast offset
+    // bases to the wrong partitions. Partition by explicit VALUE ranges
+    // instead (uniform cid-range split): deterministic under any
+    // recomputation, and one sampling pass cheaper. The C-row histogram is
+    // also persisted so the aggregation over the full corpus runs once;
+    // the RDD-level persist is dropped by the ContextCleaner when the
+    // returned frame dies, and an eviction-forced recompute is safe
+    // because the partitioner is value-deterministic.
+    val pairs = counts
+      .select(col("cid").cast("long"), col("cnt").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val bounds = pairs.keys
+      .aggregate((Long.MaxValue, Long.MinValue))(
+        (b, k) => (math.min(b._1, k), math.max(b._2, k)),
+        (a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)))
+    val out: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+      if (bounds._1 > bounds._2) spark.sparkContext.emptyRDD
+      else {
+        val (lo, hi) = bounds
+        val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
+        val width = math.max(1L, (hi - lo) / p + 1)
+        val parted = pairs
+          .partitionBy(new org.apache.spark.Partitioner {
+            override def numPartitions: Int = p
+            override def getPartition(key: Any): Int =
+              ((key.asInstanceOf[Long] - lo) / width).toInt
+          })
+          .mapPartitions(it => it.toArray.sortBy(_._1).iterator,
+            preservesPartitioning = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val partSums = parted
+          .mapPartitionsWithIndex { (i, it) =>
+            var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+          }
+          .collect().sortBy(_._1).map(_._2)
+        val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+        parted.mapPartitionsWithIndex { (i, it) =>
+          var running = offsets.value(i)
+          it.map { case (cid, cnt) =>
+            val r = org.apache.spark.sql.Row(cid, cnt, running)
+            running += cnt
+            r
+          }
+        }
       }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
-    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var running = offsets.value(i)
-      it.map { r =>
-        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ running)
-        running += r.getLong(cntIdx)
-        out
-      }
-    }
-    spark.createDataFrame(rows,
-        sorted.schema.add("offset", org.apache.spark.sql.types.LongType))
-      .select("cid", "cnt", "offset")
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("offset",
+        org.apache.spark.sql.types.LongType))))
   }
 }
 

@@ -24,14 +24,16 @@ import scala.collection.mutable
   * (qid, rank) — the contract every probeBatch documents. */
 private[index] object ProbeMerge {
 
-  /** Collect-regime row budget for callers that can ESTIMATE their fan-in
-    * up front (routed probes know the routed (query, cluster) pair count
-    * before launching the job): at ~80 serialized bytes per
+  /** Collect-regime row budget: at ~80 serialized bytes per
     * (Long, Long, Double) tuple, 4M rows stay well under
     * spark.driver.maxResultSize's 1 GB default. The partition-count
     * `treeAt` gate alone is not volume-safe — a large-C index whose node
     * parquet happens to read in few splits would take the raw collect with
-    * an nq·nprobe·k fan-in and abort. */
+    * an nq·nprobe·k fan-in and abort — so every merge entry point also
+    * takes `estRows`, the caller's fan-in bound (every resident probe can
+    * bound it before launching: ≤ nq·k per shard under the per-shard
+    * top-k contract, or the exact routed-pair count when routing is in
+    * hand), and the collect regime is taken only when BOTH gates pass. */
   val maxCollectRows: Long = 4000000L
 
   /** Bounded (dist asc, id asc) top-k over `filled` parallel (id, dist)
@@ -114,22 +116,31 @@ private[index] object ProbeMerge {
     * precision past 2^53). Implemented by order reversal: merge on
     * negated scores, emit the originals. */
   def topKByScore(candidates: RDD[(Long, Long, Long)], k: Int,
-                  treeAt: Int = 64): Array[(Long, Long, Long, Long)] = {
+                  treeAt: Int = 64,
+                  estRows: Long = -1L): Array[(Long, Long, Long, Long)] = {
     // Long.MinValue can't negate; scores here are non-negative sums, but
     // guard the domain explicitly rather than silently corrupting ranks
     val asDist = candidates.map { case (qid, id, s) =>
       require(s != Long.MinValue, "score domain")
       (qid, id, -s)
     }
-    topKLong(asDist, k, treeAt).map { case (qid, id, negS, r) =>
+    topKLong(asDist, k, treeAt, estRows).map { case (qid, id, negS, r) =>
       (qid, id, -negS, r)
     }
   }
 
+  /** True when the one-narrow-job driver collect is safe: few enough
+    * partitions AND (when the caller bounded it) few enough rows. estRows
+    * < 0 = caller could not bound the fan-in; the partition gate alone
+    * then applies, as before. */
+  private def collectRegime(parts: Int, treeAt: Int, estRows: Long): Boolean =
+    parts < treeAt && (estRows < 0L || estRows <= maxCollectRows)
+
   /** Exact-Long variant of [[topK]]: same two regimes, (dist asc, id asc)
     * over Long distances. */
   private def topKLong(candidates: RDD[(Long, Long, Long)], k: Int,
-                       treeAt: Int): Array[(Long, Long, Long, Long)] = {
+                       treeAt: Int,
+                       estRows: Long = -1L): Array[(Long, Long, Long, Long)] = {
     def mergeTwoL(a: Array[(Long, Long)], b: Array[(Long, Long)],
                   k: Int): Array[(Long, Long)] = {
       // no empty-side early return — see mergeTwo: dedup must always run
@@ -157,7 +168,7 @@ private[index] object ProbeMerge {
       }
       out.result()
     }
-    if (candidates.getNumPartitions < treeAt) {
+    if (collectRegime(candidates.getNumPartitions, treeAt, estRows)) {
       val local = candidates.collect()
       val m = mutable.LongMap.empty[Array[(Long, Long)]]
       local.groupBy(_._1).foreach { case (qid, cand) =>
@@ -185,11 +196,12 @@ private[index] object ProbeMerge {
   }
 
   /** Merge `(qid, id, dist)` candidate rows to ranked per-query top-k.
-    * Driver merge below `treeAt` resident partitions, two-level
-    * treeAggregate at or above it. */
+    * Driver merge below `treeAt` resident partitions AND below the
+    * `estRows` volume bound; two-level treeAggregate otherwise. */
   def topK(candidates: RDD[(Long, Long, Double)], k: Int,
-           treeAt: Int = 64): Array[(Long, Long, Double, Long)] = {
-    if (candidates.getNumPartitions < treeAt) {
+           treeAt: Int = 64,
+           estRows: Long = -1L): Array[(Long, Long, Double, Long)] = {
+    if (collectRegime(candidates.getNumPartitions, treeAt, estRows)) {
       val local = candidates.collect()
       val m = mutable.LongMap.empty[Array[(Long, Double)]]
       local.groupBy(_._1).foreach { case (qid, cand) =>

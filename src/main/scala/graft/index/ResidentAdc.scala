@@ -126,7 +126,8 @@ final class ResidentAdc(spark: SparkSession, rdd: RDD[AdcShard],
           .map { case (id, dd) => (qid, id, dd) }
       }
     }
-    val out = ProbeMerge.topK(local, k, treeMergeAt)
+    val out = ProbeMerge.topK(local, k, treeMergeAt,
+      estRows = qs.length.toLong * k * local.getNumPartitions)
     bq.destroy() // serving loop: don't accumulate per-batch broadcasts
     out
   }

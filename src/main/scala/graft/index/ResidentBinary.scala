@@ -69,7 +69,8 @@ final class ResidentBinary(spark: SparkSession, rdd: RDD[BinaryShard]) {
         (0 until filled).iterator.map(i => (qid, bi(i), bd(i)))
       }
     }
-    val out = ProbeMerge.topK(local, k, treeMergeAt)
+    val out = ProbeMerge.topK(local, k, treeMergeAt,
+      estRows = qs.length.toLong * k * local.getNumPartitions)
     bq.destroy()
     out
   }
@@ -163,7 +164,8 @@ final class ResidentBinary(spark: SparkSession, rdd: RDD[BinaryShard]) {
         (0 until kept).iterator.map(i => (qid, bi(i), bd(i)))
       }
     }
-    val out = ProbeMerge.topK(local, k, treeMergeAt)
+    val out = ProbeMerge.topK(local, k, treeMergeAt,
+      estRows = qs.length.toLong * k * local.getNumPartitions)
     bq.destroy()
     out
   }

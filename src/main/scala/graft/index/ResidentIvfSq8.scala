@@ -127,7 +127,8 @@ final class ResidentIvfSq8(spark: SparkSession, rdd: RDD[IvfSq8Shard],
             rt.byMassGraph(qv, mm, ef, mp), kk, rr)
         }
       }
-      val out = ProbeMerge.topK(local, k, treeMergeAt)
+      val out = ProbeMerge.topK(local, k, treeMergeAt,
+        estRows = qs.length.toLong * k * local.getNumPartitions)
       bq.destroy() // serving loop: don't accumulate per-batch broadcasts
       out
     }
@@ -145,7 +146,8 @@ final class ResidentIvfSq8(spark: SparkSession, rdd: RDD[IvfSq8Shard],
         ResidentIvfSq8.scanShard(shard, qid, qv, qc, cids, kk, rr)
       }
     }
-    val out = ProbeMerge.topK(local, k, treeMergeAt)
+    val out = ProbeMerge.topK(local, k, treeMergeAt,
+      estRows = routed.length.toLong * k * local.getNumPartitions)
     bq.destroy() // serving loop: don't accumulate per-batch broadcasts
     out
   }

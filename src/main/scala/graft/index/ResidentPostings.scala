@@ -6,55 +6,65 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** One executor-resident inverted-index shard: dim → (ids, vals) posting
-  * arrays over the shard's documents. Postings are already budget-truncated
-  * (top-m per dim GLOBALLY, before sharding), so a shard holds each of its
-  * docs' surviving postings in full — per-shard scores are complete, never
-  * partial, and the driver merge is a plain top-k over per-shard top-ks. */
+  * arrays over the shard's documents, each list IMPACT-SORTED — (v desc,
+  * id asc), the order linscan stores postings in so a budget cut keeps the
+  * highest-contribution entries (/root/reference/sparse/linscan/
+  * linscan.py:19-56). Postings may additionally be budget-truncated at
+  * build (top-m per dim GLOBALLY, before sharding), so a shard holds each
+  * of its docs' surviving postings in full — per-shard scores are
+  * complete, never partial, and the driver merge is a plain top-k over
+  * per-shard top-ks. */
 final case class PostingShard(index: Map[String, (Array[Long], Array[Long])])
 
 /** Executor-resident budgeted sparse MIPS serving — the linscan serving
   * shape (/root/reference/sparse/linscan/linscan.py:19-56: an in-memory
-  * inverted index answering query batches), re-expressed as pinned posting
-  * shards: build once ([[ResidentPostings.load]] truncates postings to the
-  * budget and pins them id-sharded), then each query batch is one broadcast
-  * + one narrow job + a driver-side bounded merge. Results equal
-  * [[graft.operators.Sparse.budgetedMips]] row-for-row at the same `m`
-  * (same integer scores, same (score desc, id asc) ranking) — asserted in
-  * SparseSpec — but a probe batch never touches parquet and never shuffles.
+  * inverted index answering query batches under a per-query budget),
+  * re-expressed as pinned posting shards: build once
+  * ([[ResidentPostings.load]] pins the impact-sorted postings id-sharded),
+  * then each query batch is one broadcast + one narrow job + a driver-side
+  * bounded merge.
+  *
+  * TWO budget knobs, matching the reference's two regimes:
+  *  - `m` (build-time): top-m postings per dim globally — the
+  *    [[graft.operators.Sparse.truncatePostings]] data bound. At m = |docs|
+  *    nothing truncates and the index is the full linscan inverted file.
+  *  - `budget` (query-time): maximum posting accumulations per (query,
+  *    shard), spent in IMPACT ORDER — postings are consumed globally
+  *    ordered by qv·v descending (a k-way heap merge over the query's
+  *    dims, each dim's list already v-descending), which is exactly what
+  *    lets a partial scan keep recall: the entries that decide the top-k
+  *    are overwhelmingly the large-product ones, so recall@0.9 arrives at
+  *    a fraction of the full scan instead of only at m = |docs| (the r9
+  *    finding: weight-blind truncation never cut scan volume at matched
+  *    recall on a tie-heavy corpus). budget = Long.MaxValue is EXACT:
+  *    results equal [[graft.operators.Sparse.budgetedMips]] row-for-row at
+  *    the same m (same integer scores, same (score desc, id asc) ranking)
+  *    — asserted in SparseSpec.
   *
   * Scale story: shards are the scale-out axis (docs hash across executors;
-  * per-dim postings are bounded by the budget so no shard inherits a hot
-  * dim's full fan-out); queries broadcast (small by workload definition);
-  * k·nq·P candidate rows return. Same serving economics as
-  * [[ResidentScan]] / resident graph probes. */
+  * per-dim postings bounded by m AND by the impact-ordered budget so no
+  * shard inherits a hot dim's full fan-out); queries broadcast (small by
+  * workload definition); k·nq·P candidate rows return. The budget is
+  * per-SHARD, so total work per query is budget·P and each shard's slice
+  * is bounded regardless of fleet size — the per-query wall-clock linscan
+  * bounds with its time budget, bounded here as deterministic work. */
 final class ResidentPostings(spark: SparkSession, rdd: RDD[PostingShard]) {
 
   /** Serving-form batch probe: `qs` rows are (qid, dims, weights) — the
     * long-form query vector zipped into parallel arrays. Returns
     * (qid, id, score, rank) sorted by (qid, rank); only docs sharing at
     * least one surviving posting dim with the query appear (join
-    * semantics, like the dataflow path). */
+    * semantics, like the dataflow path). `budget` caps posting
+    * accumulations per (query, shard), spent highest-impact first. */
   def probeBatch(qs: Array[(Long, Array[String], Array[Long])],
                  k: Int,
+                 budget: Long = Long.MaxValue,
                  treeMergeAt: Int = 64): Array[(Long, Long, Long, Long)] = {
     val bq = spark.sparkContext.broadcast(qs)
+    val bud = budget
     val local = rdd.flatMap { shard =>
       bq.value.iterator.flatMap { case (qid, qdims, qvs) =>
-        val acc = scala.collection.mutable.LongMap.empty[Long] // id → score
-        var i = 0
-        while (i < qdims.length) {
-          shard.index.get(qdims(i)) match {
-            case Some((ids, vals)) =>
-              val qv = qvs(i)
-              var j = 0
-              while (j < ids.length) {
-                acc(ids(j)) = acc.getOrElse(ids(j), 0L) + qv * vals(j)
-                j += 1
-              }
-            case None =>
-          }
-          i += 1
-        }
+        val acc = ResidentPostings.accumulate(shard, qdims, qvs, bud)
         // bounded best-first insertion buffer on (score desc, id asc):
         // k is small, insertion sort beats a heap on constant factors
         val bs = new Array[Long](k)
@@ -77,15 +87,18 @@ final class ResidentPostings(spark: SparkSession, rdd: RDD[PostingShard]) {
     }
     // (score desc, id asc) merge in exact Long arithmetic: driver merge at
     // serving shard counts, two-level tree past `treeMergeAt` (ProbeMerge)
-    val out = ProbeMerge.topKByScore(local, k, treeMergeAt)
+    val out = ProbeMerge.topKByScore(local, k, treeMergeAt,
+      estRows = qs.length.toLong * k * local.getNumPartitions)
     bq.destroy() // serving loop: don't accumulate per-batch broadcasts
     out
   }
 
   /** [[probeBatch]] with DataFrame plumbing on both ends; `queries` is the
-    * long-form (qid, dim, qv) the dataflow path takes. Results equal
-    * `Sparse.budgetedMips(queries, base, k, m)` row-for-row. */
-  def probeLocal(queries: DataFrame, k: Int): DataFrame = {
+    * long-form (qid, dim, qv) the dataflow path takes. At the default full
+    * budget, results equal `Sparse.budgetedMips(queries, base, k, m)`
+    * row-for-row. */
+  def probeLocal(queries: DataFrame, k: Int,
+                 budget: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val qs = queries
       .select(col("qid").cast("long"), col("dim").cast("string"),
@@ -95,18 +108,120 @@ final class ResidentPostings(spark: SparkSession, rdd: RDD[PostingShard]) {
       .map { case (qid, rows) =>
         (qid, rows.map(_._2), rows.map(_._3))
       }
-    spark.createDataFrame(probeBatch(qs, k).toSeq)
+    spark.createDataFrame(probeBatch(qs, k, budget).toSeq)
       .toDF("qid", "id", "score", "rank")
   }
+
+  /** Total postings held across shards — the budget grid's full-scan
+    * anchor (budget ≥ postings/shard is exact for every query). */
+  def totalPostings(): Long =
+    rdd.map(_.index.valuesIterator.map(_._1.length.toLong).sum)
+      .reduce(_ + _)
+
+  /** Largest per-shard posting count: any budget ≥ this is EXACT on every
+    * shard (the accumulate fast path), making it the honest top anchor of
+    * a budget sweep — recall exactly 1.0 by construction, not by luck. */
+  def maxShardPostings(): Long =
+    rdd.map(_.index.valuesIterator.map(_._1.length.toLong).sum)
+      .reduce(math.max)
+
+  def numShards: Int = rdd.getNumPartitions
 
   def unload(): Unit = rdd.unpersist()
 }
 
 object ResidentPostings {
+
+  /** Per-(query, shard) score accumulation. Full budget takes the plain
+    * per-dim walk (O(touched)); a finite budget takes the impact-ordered
+    * k-way merge — a binary heap over the query's matched dims keyed on
+    * the NEXT qv·v product of each dim's (v-descending) list, popping
+    * globally largest-product postings until the budget is spent. Both
+    * paths accumulate identical totals when the budget covers every
+    * posting (heap order is a permutation of the same sum — integer adds
+    * commute exactly), so budget = MaxValue is bit-equal to the exact
+    * dataflow join. Ties in qv·v break (dim-index asc, position asc) —
+    * deterministic for a fixed shard layout. */
+  private[graft] def accumulate(
+      shard: PostingShard, qdims: Array[String], qvs: Array[Long],
+      budget: Long): scala.collection.mutable.LongMap[Long] = {
+    val acc = scala.collection.mutable.LongMap.empty[Long]
+    // resolve present dims once
+    val lists = new Array[(Array[Long], Array[Long])](qdims.length)
+    var present = 0
+    var i = 0
+    while (i < qdims.length) {
+      shard.index.get(qdims(i)) match {
+        case Some(l) => lists(i) = l; present += 1
+        case None => lists(i) = null
+      }
+      i += 1
+    }
+    if (present == 0) return acc
+    var total = 0L
+    i = 0
+    while (i < qdims.length) {
+      if (lists(i) != null) total += lists(i)._1.length
+      i += 1
+    }
+    if (budget >= total) {
+      // exact: plain walk, no heap overhead
+      i = 0
+      while (i < qdims.length) {
+        if (lists(i) != null) {
+          val (ids, vals) = lists(i)
+          val qv = qvs(i)
+          var j = 0
+          while (j < ids.length) {
+            acc(ids(j)) = acc.getOrElse(ids(j), 0L) + qv * vals(j)
+            j += 1
+          }
+        }
+        i += 1
+      }
+      acc
+    } else {
+      // impact-ordered partial scan: heap entries are (product, dimIdx,
+      // pos) — product desc, then dim asc, pos asc (pos ordering is
+      // implied: within a dim products are non-increasing and positions
+      // advance sequentially)
+      val ord = new Ordering[(Long, Int, Int)] {
+        def compare(a: (Long, Int, Int), b: (Long, Int, Int)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1) // product desc
+          if (c != 0) c
+          else {
+            val c2 = Integer.compare(a._2, b._2) // dim asc
+            if (c2 != 0) c2 else Integer.compare(a._3, b._3)
+          }
+        }
+      }
+      val heap = new scala.collection.mutable.PriorityQueue[(Long, Int, Int)]()(ord.reverse)
+      i = 0
+      while (i < qdims.length) {
+        if (lists(i) != null && lists(i)._1.length > 0)
+          heap.enqueue((qvs(i) * lists(i)._2(0), i, 0))
+        i += 1
+      }
+      var spent = 0L
+      while (spent < budget && heap.nonEmpty) {
+        val (prod, di, pos) = heap.dequeue()
+        val (ids, vals) = lists(di)
+        acc(ids(pos)) = acc.getOrElse(ids(pos), 0L) + prod
+        spent += 1
+        if (pos + 1 < ids.length)
+          heap.enqueue((qvs(di) * vals(pos + 1), di, pos + 1))
+      }
+      acc
+    }
+  }
+
   /** Pin a budget-truncated inverted index over `base` = (id, dim, v)
     * long-form sparse vectors: top-`m` postings per dim (the
-    * [[graft.operators.Sparse.truncatePostings]] bound), hash-sharded by
-    * doc id into `numPartitions` resident shards. Build once, probe many. */
+    * [[graft.operators.Sparse.truncatePostings]] bound; m ≥ |docs| keeps
+    * everything — the full linscan inverted file), hash-sharded by doc id
+    * into `numPartitions` resident shards, every per-dim list sorted
+    * IMPACT-descending (v desc, id asc) so the query-time budget spends
+    * highest-contribution first. Build once, probe many. */
   def load(base: DataFrame, m: Int, numPartitions: Int): ResidentPostings = {
     val spark = base.sparkSession
     import spark.implicits._
@@ -117,16 +232,18 @@ object ResidentPostings {
       .as[(Long, String, Long)].rdd
       .mapPartitions { it =>
         val acc = scala.collection.mutable.HashMap
-          .empty[String, (scala.collection.mutable.ArrayBuffer[Long],
-                          scala.collection.mutable.ArrayBuffer[Long])]
+          .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
         it.foreach { case (id, dim, v) =>
-          val (ids, vals) = acc.getOrElseUpdate(dim,
-            (scala.collection.mutable.ArrayBuffer.empty[Long],
-             scala.collection.mutable.ArrayBuffer.empty[Long]))
-          ids += id; vals += v
+          acc.getOrElseUpdate(dim,
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]) += ((id, v))
         }
-        Iterator.single(PostingShard(acc.iterator.map { case (d, (ids, vals)) =>
-          d -> (ids.toArray, vals.toArray)
+        Iterator.single(PostingShard(acc.iterator.map { case (d, rows) =>
+          // impact order within the shard — shuffle arrival order is
+          // nondeterministic, so the sort is what makes budgeted results
+          // reproducible across runs of the same layout
+          val sorted = rows.sortBy { case (id, v) => (-v, id) }
+          d -> (sorted.iterator.map(_._1).toArray,
+            sorted.iterator.map(_._2).toArray)
         }.toMap))
       }
       .persist(StorageLevel.MEMORY_AND_DISK)

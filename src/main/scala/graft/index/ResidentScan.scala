@@ -91,7 +91,8 @@ final class ResidentScan(spark: SparkSession, rdd: RDD[ScanShard],
     }
     // driver merge at serving partition counts, two-level tree past
     // `treeMergeAt` shards (ProbeMerge) — identical rows either way
-    val out = ProbeMerge.topK(local, k, treeMergeAt)
+    val out = ProbeMerge.topK(local, k, treeMergeAt,
+      estRows = qs.length.toLong * k * local.getNumPartitions)
     bq.destroy() // serving loop: don't accumulate per-batch broadcasts
     out
   }
@@ -152,7 +153,8 @@ final class ResidentScan(spark: SparkSession, rdd: RDD[ScanShard],
         (0 until filled).iterator.map(i => (qid, bi(i), bd(i)))
       }
     }
-    val out = ProbeMerge.topK(local, k, treeMergeAt)
+    val out = ProbeMerge.topK(local, k, treeMergeAt,
+      estRows = qs.length.toLong * k * local.getNumPartitions)
     bq.destroy(); br.destroy()
     out
   }

@@ -55,7 +55,9 @@ final class ResidentTagRegistry private[index] (
             .map { case (id, d) => (qid, id, d) }
         }
     }
-    val out = ProbeMerge.topK(local, k, treeMergeAt)
+    val out = ProbeMerge.topK(local, k, treeMergeAt,
+      estRows = groups.valuesIterator.map(_.length.toLong).sum * k *
+        local.getNumPartitions)
     bq.destroy() // serving loop: don't accumulate per-batch broadcasts
     out
   }

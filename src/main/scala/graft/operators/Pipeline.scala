@@ -96,13 +96,22 @@ object Pipeline {
                                          order: Seq[Column]): (DataFrame, Long) = {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
-    val partCounts = sorted.rdd
+    // both passes (the count collect, then the offset job) must read the
+    // SAME partitioning — RangePartitioner reservoir-samples a shuffle
+    // output whose row order is not deterministic across recomputations,
+    // so an unpersisted second pass could land rows in different
+    // partitions than the offsets were computed for. MEMORY_AND_DISK
+    // spills rather than evicts, so a recompute only happens on executor
+    // loss; the ContextCleaner drops the persist when the frame dies.
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partCounts = sortedRdd
       .mapPartitionsWithIndex { (i, it) =>
         var c = 0L; it.foreach(_ => c += 1); Iterator((i, c))
       }
       .collect().sortBy(_._1).map(_._2)
     val offsets = spark.sparkContext.broadcast(partCounts.scanLeft(0L)(_ + _))
-    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    val rows = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var running = offsets.value(i)
       it.map { r =>
         running += 1

@@ -124,6 +124,54 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     byCid.foreach { case (cid, cnt, _) => assert(cnt === expect(cid)) }
   }
 
+  test("k-means++ seeding is deterministic and escapes id-correlated layout") {
+    // 4 tight, well-separated clusters laid out cluster-major in id order —
+    // exactly the ClusterPermute output shape where lowest-id seeding puts
+    // ALL seeds inside cluster 0. k-means++ must spread across clusters,
+    // and two runs must return byte-identical seed sets (hash-seeded, no
+    // RNG state).
+    val pts = (0 until 200).map { i =>
+      val cl = i / 50
+      val vec = Array.tabulate(8)(j =>
+        (if (j == cl * 2) 10f else 0f) + (i % 50) * 0.001f)
+      (i.toLong, vec)
+    }
+    val df = pts.toDF("id", "vec")
+    val s1 = KMeans.seedPlusPlus(df, 4)
+      .select("cid").as[Long].collect().sorted.toSeq
+    val s2 = KMeans.seedPlusPlus(df, 4)
+      .select("cid").as[Long].collect().sorted.toSeq
+    assert(s1 === s2, "seeding must be deterministic across runs")
+    val clustersHit = s1.map(_ / 50).distinct.length
+    assert(clustersHit === 4,
+      s"++ seeds must land one per separated cluster, hit $clustersHit of 4 ($s1)")
+    // the hash-uniform DEFAULT: deterministic, and spread across the
+    // id-correlated layout (∝ data, so ≥2 of 4 equal clusters must be
+    // hit — the lowest-id pathology of all-4-in-cluster-0 cannot recur)
+    val h1 = KMeans.seedHashUniform(df, 4)
+      .select("cid").as[Long].collect().sorted.toSeq
+    val h2 = KMeans.seedHashUniform(df, 4)
+      .select("cid").as[Long].collect().sorted.toSeq
+    assert(h1 === h2, "hash-uniform seeding must be deterministic")
+    assert(h1.map(_ / 50).distinct.length >= 2, s"hash seeds clumped: $h1")
+    // lowest-id seeding demonstrably does NOT spread (the bias removed)
+    val low = KMeans.fit(df, 4, iters = 0, seedLowId = true)
+      .select("cid").as[Long].collect()
+    assert(low.map(_ / 50).distinct.length === 1)
+  }
+
+  test("k-means++ seeding stops short honestly when distinct rows < C") {
+    val df = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0f, 0f)),
+      (3L, Array(5f, 5f)), (4L, Array(5f, 5f))).toDF("id", "vec")
+    val seeds = KMeans.seedPlusPlus(df, 4)
+      .select("cid", "cvec").as[(Long, Array[Float])].collect()
+    // only 2 distinct points exist: exactly the 2 distinct positions seed
+    assert(seeds.length === 2)
+    assert(seeds.map(_._2.toSeq).toSet ===
+      Set(Seq(0f, 0f), Seq(5f, 5f)))
+  }
+
   test("cluster permutation is a bijection with clusters contiguous") {
     val perm = ClusterPermute.permutation(base, c = 4, iters = 2)
       .select("id", "cid", "pos").as[(Long, Long, Long)].collect().sortBy(_._3)
@@ -527,11 +575,15 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
       .select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
     val t = truth.select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
     assert(full === t)
-    // cluster pruning + quantization + modest rerank keeps recall useful
+    // cluster pruning + quantization + modest rerank keeps recall useful.
+    // Floor recalibrated 0.8 → 0.75 with the r10 seeding change: under
+    // lowest-id seeding 8 of the 10 suite queries WERE the c = 8 seeds
+    // (vec_id < 8 ⊂ qid < 10), so the old 0.8+ was query-leak flattery;
+    // the unbiased hash-seeded partition reads 0.78 on this 500-row corpus
     val pruned = IvfSq8.knn(queries, base, 10, c = 8, iters = 2,
       nprobe = 4, rerank = 40)
     val r = Recall.mean(pruned, truth, 10)
-    assert(r >= 0.8, s"ivf,sq8 recall $r at nprobe=4, rerank=40")
+    assert(r >= 0.75, s"ivf,sq8 recall $r at nprobe=4, rerank=40")
   }
 
   test("resident IVF×SQ8: exact at the degenerate point, equals the " +
@@ -559,7 +611,8 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
       // integer survivor set and break the row-for-row match)
       val recall = Recall.mean(
         served.probeLocal(queries, 10, nprobe = 4, rerank = 40), truth, 10)
-      assert(recall >= 0.8, s"resident ivf,sq8 recall $recall")
+      // 0.8 → 0.75: same query-leak recalibration as the dataflow twin
+      assert(recall >= 0.75, s"resident ivf,sq8 recall $recall")
     } finally served.unload()
   }
 

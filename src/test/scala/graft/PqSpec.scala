@@ -204,7 +204,11 @@ class PqSpec extends AnyFunSuite with SparkSuite {
         servedRaw.probeLocal(queries, 10, served.numClusters, rerank = 20),
         truth, 10)
       assert(rRes >= rRaw, s"residual $rRes < raw $rRaw at equal budget")
-      assert(rRes >= 0.9, s"residual served recall $rRes")
+      // 0.9 → 0.8: recalibrated with the r10 seeding change — under
+      // lowest-id seeding the c = 8 seeds contained 8 of the 10 suite
+      // queries, whose residuals were then unusually small; the unbiased
+      // hash-seeded build reads 0.85 on this 500-row corpus
+      assert(rRes >= 0.8, s"residual served recall $rRes")
     } finally { served.unload(); servedRaw.unload() }
   }
 

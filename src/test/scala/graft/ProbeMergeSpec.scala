@@ -26,6 +26,31 @@ class ProbeMergeSpec extends AnyFunSuite with SparkSuite {
     assert(rows(tree) === rows(driver), "regimes must agree")
   }
 
+  test("estRows volume gate forces the tree path below treeAt partitions " +
+       "with row-identical output (r9 verdict item 7)") {
+    val sc = spark.sparkContext
+    // 3 partitions — far below treeAt = 64, so the partition gate alone
+    // would collect. A caller-estimated fan-in past maxCollectRows must
+    // take the treeAggregate regime anyway, and rows must not change.
+    val cand = sc.parallelize(
+      Seq((0L, 7L, 1.0), (0L, 3L, 2.0), (1L, 5L, 0.5), (0L, 7L, 1.0)),
+      numSlices = 3)
+    val collect = ProbeMerge.topK(cand, k = 10)
+    val gated = ProbeMerge.topK(cand, k = 10,
+      estRows = ProbeMerge.maxCollectRows + 1)
+    assert(rows(gated) === rows(collect), "volume-gated regime must agree")
+    // bound at exactly the budget stays on the collect path (<= semantics)
+    val atBudget = ProbeMerge.topK(cand, k = 10,
+      estRows = ProbeMerge.maxCollectRows)
+    assert(rows(atBudget) === rows(collect))
+    // and the Long-score merge honors the same gate
+    val candL = sc.parallelize(
+      Seq((0L, 7L, 5L), (0L, 3L, 4L), (1L, 9L, 2L)), numSlices = 3)
+    assert(ProbeMerge.topKByScore(candL, k = 10,
+        estRows = ProbeMerge.maxCollectRows + 1).toSeq ===
+      ProbeMerge.topKByScore(candL, k = 10).toSeq)
+  }
+
   test("score-ranked Long merge dedups identically on both paths") {
     val sc = spark.sparkContext
     val cand = sc.parallelize(

@@ -72,6 +72,61 @@ class SparseSpec extends AnyFunSuite with SparkSuite {
     } finally served.unload()
   }
 
+  test("impact-ordered serving at full budget equals exact mips row-for-row") {
+    // the linscan shape: FULL inverted file (m = |docs|), budget at the
+    // query side; budget >= every shard's posting mass is exact
+    val k = 10
+    val mFull = Tables.documents(spark, sfDir).count().toInt
+    val served = graft.index.ResidentPostings.load(tf, mFull, numPartitions = 4)
+    try {
+      val got = served.probeLocal(queries(20), k, budget = Long.MaxValue)
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4))
+      val want = Sparse.mips(queries(20), tf, k)
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4))
+      assert(got.length === want.length)
+      got.zip(want).foreach { case (g, w) => assert(g === w) }
+      // maxShardPostings is the exactness threshold by construction
+      val full = served.maxShardPostings()
+      val atMax = served.probeLocal(queries(20), k, budget = full)
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4))
+      assert(atMax.toSeq === got.toSeq)
+    } finally served.unload()
+  }
+
+  test("impact-ordered budget walk spends highest qv*v products first") {
+    // hand-built shard: dim a -> postings (id 1, v 9), (id 2, v 1);
+    // dim b -> (id 3, v 5). query weights: a=1, b=2 => products are
+    // a/id1 = 9, b/id3 = 10, a/id2 = 1. budget 2 must take {b/id3, a/id1}
+    // and skip a/id2 — NOT the per-dim walk order (a first).
+    val shard = graft.index.PostingShard(Map(
+      "a" -> (Array(1L, 2L), Array(9L, 1L)),
+      "b" -> (Array(3L), Array(5L))))
+    val acc = graft.index.ResidentPostings.accumulate(
+      shard, Array("a", "b"), Array(1L, 2L), budget = 2L)
+    assert(acc.toMap === Map(1L -> 9L, 3L -> 10L))
+    // budget 1 takes only the single largest product (b/id3 = 10)
+    val acc1 = graft.index.ResidentPostings.accumulate(
+      shard, Array("a", "b"), Array(1L, 2L), budget = 1L)
+    assert(acc1.toMap === Map(3L -> 10L))
+    // full budget equals the plain walk's sums
+    val full = graft.index.ResidentPostings.accumulate(
+      shard, Array("a", "b"), Array(1L, 2L), budget = Long.MaxValue)
+    assert(full.toMap === Map(1L -> 9L, 2L -> 1L, 3L -> 10L))
+  }
+
+  test("budgeted impact serving is deterministic across repeated probes") {
+    val mFull = Tables.documents(spark, sfDir).count().toInt
+    val served = graft.index.ResidentPostings.load(tf, mFull, numPartitions = 4)
+    try {
+      val a = served.probeLocal(queries(10), 10, budget = 32L)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val b = served.probeLocal(queries(10), 10, budget = 32L)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(a === b)
+      assert(a.nonEmpty)
+    } finally served.unload()
+  }
+
   test("resident postings: shard count does not change results") {
     val (k, m) = (5, 8)
     val one = graft.index.ResidentPostings.load(tf, m, numPartitions = 1)

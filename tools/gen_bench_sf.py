@@ -7,7 +7,7 @@ This is NOT a correctness-gate input — the driver's /root/testdata parquet
 stays the only oracle source. It exists so serving-path scale claims can be
 exercised at 10x rows before anyone claims 100x.
 
-Usage: gen_bench_sf.py OUTDIR SCALE [clusters] [embonly]
+Usage: gen_bench_sf.py OUTDIR SCALE [clusters] [embonly] [sigma]
   SCALE multiplies sf0.1's row counts. The optional third arg draws the
   embeddings from that many gaussian clusters instead of one isotropic
   shell: real embedding corpora (deep1b, text2image, msturing) cluster,
@@ -15,6 +15,18 @@ Usage: gen_bench_sf.py OUTDIR SCALE [clusters] [embonly]
   fraction SHRINK as the corpus grows — the uniform shell is the
   worst case for routing (every query's neighbors spread over all
   clusters, so the needed fraction is scale-invariant).
+
+  sigma (default 0.25, the r8/r9 control recipe) is the per-component
+  within-cluster noise scale. tools/sigma_study.py measured the
+  ideal-router scan-mass at 0.9 recall across sigma: at 0.25 the noise
+  vector norm is sigma*sqrt(64) = 2.0 against unit centers — noise-
+  dominated, mass ~15-22% at EVERY decade (the r9 10M artifacts' loose-
+  corpus tax) — while at sigma <= 0.16 every query's 10-NN collapses
+  into its own cluster (nprobe = 1, degenerate the other way). The r10
+  tighter control uses sigma = 0.20 (noise norm 1.6 vs inter-center
+  ~sqrt(2)): mass 6.6% @20k -> 4.4% @200k with mean nprobe 9 -> 20 —
+  real multi-cluster routing whose fraction keeps falling per decade,
+  the yfcc-like regime the 3,200-QPS baseline row lives in.
 """
 import sys
 
@@ -26,7 +38,7 @@ REF = "/root/testdata/sf0.1"
 
 
 def main(outdir: str, scale: int, clusters: int = 0,
-         emb_only: bool = False) -> None:
+         emb_only: bool = False, sigma: float = 0.25) -> None:
     rng = np.random.default_rng(42)
 
     ref_emb = pq.read_table(f"{REF}/embeddings.parquet")
@@ -42,7 +54,7 @@ def main(outdir: str, scale: int, clusters: int = 0,
         centers = rng.standard_normal((clusters, dim), dtype=np.float32)
         centers /= np.linalg.norm(centers, axis=1, keepdims=True)
         asg = rng.integers(0, clusters, n_emb)
-        vecs = centers[asg] + 0.25 * vecs
+        vecs = centers[asg] + sigma * vecs
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     n_labels = int(ref_emb.column("label").to_pandas().max()) + 1
     # build the list column from the flat float buffer + row offsets —
@@ -100,6 +112,7 @@ if __name__ == "__main__":
     out, scale = sys.argv[1], int(sys.argv[2])
     nclusters = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     embonly = len(sys.argv) > 4 and sys.argv[4] == "embonly"
+    sig = float(sys.argv[5]) if len(sys.argv) > 5 else 0.25
     import os
     os.makedirs(out, exist_ok=True)
-    main(out, scale, nclusters, embonly)
+    main(out, scale, nclusters, embonly, sig)
