@@ -262,7 +262,26 @@ object KMeans {
       centroids.unpersist()
       centroids = next
     }
-    centroids
+    // Dense renumber 0..C-1 by cid rank: seed cids are ROW IDS, and
+    // several downstream layouts key or partition on `cid` cast to int
+    // (resident cluster maps, parquet partition values, the centroid
+    // graph router) — a row-id cid overflows that cast past 2³¹ rows.
+    // Rank order preserves the seedLowId gate's identity mapping (the
+    // C lowest ids ARE 0..C-1 on contiguous-id tables, which is what its
+    // SQL oracle pins). C rows through the driver — the same size as the
+    // centroid broadcast every assignment pass already ships.
+    val renumbered = {
+      val rows = centroids
+        .select(col("cid").cast("long"), col("cvec")).collect()
+        .sortBy(_.getLong(0))
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
+        .toSeq
+      import spark.implicits._
+      rows.toDF("cid", "cvec")
+    }
+    centroids.unpersist()
+    renumbered
   }
 }
 

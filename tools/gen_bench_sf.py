@@ -93,10 +93,25 @@ def main(outdir: str, scale: int, clusters: int = 0,
     tok_counts = ref_doc["text"].str.split().str.len()
     lo, hi = int(tok_counts.min()), int(tok_counts.max())
     n_doc = len(ref_doc) * scale
-    texts = [
-        " ".join(rng.choice(vocab, rng.integers(lo, hi + 1)))
-        for _ in range(n_doc)
-    ]
+    # ZIPF word draw (r10): real text is Zipfian; the old uniform draw
+    # over a small vocab produced tf ~ 1 almost everywhere, so sparse MIPS
+    # scores were tie-heavy sums of 1s — no posting carried more impact
+    # than another, which is exactly the corpus on which neither
+    # weight-ranked truncation nor impact-ordered budgets can cut scan
+    # volume at matched recall (the r9 sparse trajectory finding). s = 1.1
+    # with a hash-shuffled rank→word map; head words reach tf in the tens,
+    # the tail stays tf = 1 — SPLADE-like impact spread. Vectorized: the
+    # per-doc python loop was the generator's wall at 1M+ docs.
+    vocab_arr = np.array(vocab)
+    nv = len(vocab_arr)
+    zipf_p = 1.0 / np.arange(1, nv + 1) ** 1.1
+    zipf_p /= zipf_p.sum()
+    word_of_rank = rng.permutation(nv)
+    lens = rng.integers(lo, hi + 1, n_doc)
+    flat = rng.choice(nv, size=int(lens.sum()), p=zipf_p)
+    words = vocab_arr[word_of_rank[flat]]
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    texts = [" ".join(words[offs[i]:offs[i + 1]]) for i in range(n_doc)]
     doc = pa.table({
         "doc_id": pa.array(np.arange(n_doc, dtype=np.int64)),
         "text": pa.array(texts),
