@@ -294,8 +294,9 @@ object Bench {
       spark.sqlContext.clearCache(); t
     }
 
-    val (subindexEf, subindexRecall, plannerRecall) =
-      if (!trackOn("filter")) (0, 0.0, 0.0) else {
+    val (subindexEf, subindexRecall, plannerRecall,
+         subSlices, plannerScanN, plannerGraphN) =
+      if (!trackOn("filter")) (0, 0.0, 0.0, 1, 0, 0) else {
     // filter track: exact conjunctive 2-tag filtered kNN, k=10, served from
     // EXECUTOR-RESIDENT signature-scan shards (build+pin excluded from the
     // timed loop — the reference's QPS excludes its index build too, and
@@ -326,6 +327,14 @@ object Bench {
       numPartitions = 2)
     val tagRegistry = index.TagSubindexes.loadResident(spark, registryPath)
     deferUnload(tagRegistry.unload())
+    // probe-slice count: a probe job's task fan is bounded by the resident
+    // (key, part) graph count, and the hot-tag vocabulary here (10 labels
+    // × 2 parts) is far below the core count — the r10 10M headline ran at
+    // cpu_frac 0.30 on exactly this bound. Stripe each batch into enough
+    // concurrent jobs to oversubscribe the machine ~2× (work unchanged —
+    // every qid is still probed once, against only its own key's graphs).
+    val subSlices = math.max(1,
+      (2 * cpus.toInt + tagRegistry.numElements - 1) / tagRegistry.numElements)
     val subQ = emb.where(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("label").cast("int").as("qtag"))
@@ -350,21 +359,22 @@ object Bench {
       (if (n >= 1000000L) Seq(96, 192, 384) else Seq.empty)
     val subindexRecalls = subindexEfs.map { ef =>
       val got = spark.createDataFrame(
-        tagRegistry.probeGroupsBatch(subGroups, 10, ef).toSeq)
+        tagRegistry.probeGroupsBatch(subGroups, 10, ef,
+          slices = subSlices).toSeq)
         .toDF("qid", "id", "dist", "rank")
       ef -> operators.Recall.mean(got, subTruth, 10)
     }
     subindexRecalls.foreach { case (ef, r) =>
       registerSweepPoint("filtered_knn_subindex", ef, nq, r) {
-        require(tagRegistry
-          .probeGroupsBatch(subGroups, k = 10, efSearch = ef).nonEmpty)
+        require(tagRegistry.probeGroupsBatch(subGroups, k = 10,
+          efSearch = ef, slices = subSlices).nonEmpty)
       }
     }
     val subindexEf = pickKnob(subindexRecalls)
     val subindexRecall = subindexRecalls.toMap.apply(subindexEf)
     register("filtered_knn_subindex", nq) {
-      require(tagRegistry
-        .probeGroupsBatch(subGroups, k = 10, efSearch = subindexEf).nonEmpty)
+      require(tagRegistry.probeGroupsBatch(subGroups, k = 10,
+        efSearch = subindexEf, slices = subSlices).nonEmpty)
     }
 
     // filter track, PLANNER serving form (the reference's flagship,
@@ -399,16 +409,34 @@ object Bench {
         qtags.headOption.map(t => (t.toString, (qid, qv)))
       }
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    // the two branches run CONCURRENTLY (one future each): serialized
+    // per-batch jobs idle the machine through each branch's tail — at 10M
+    // the r10 planner read 365 q/s with spread 3.12 against a pure-subindex
+    // row at 856, when a mixed batch should approach the branch blend. The
+    // scan branch saturates on its own (cpu_frac 0.87 at 10M), so the graph
+    // branch keeps its stripes and they interleave in the task scheduler.
+    def plannerBatch(): (Array[(Long, Long, Double, Long)],
+                         Array[(Long, Long, Double, Long)]) = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val fa = scala.concurrent.Future(
+          filterServed.probeBatch(plannerScanQs, k = 10))(ec)
+        val fb = scala.concurrent.Future(
+          tagRegistry.probeGroupsBatch(plannerGroups, k = 10,
+            efSearch = subindexEf, slices = subSlices))(ec)
+        import scala.concurrent.duration.Duration
+        (scala.concurrent.Await.result(fa, Duration.Inf),
+          scala.concurrent.Await.result(fb, Duration.Inf))
+      } finally pool.shutdown()
+    }
     register("filtered_knn_planner", nq) {
-      val a = filterServed.probeBatch(plannerScanQs, k = 10)
-      val b = tagRegistry.probeGroupsBatch(plannerGroups, k = 10,
-        efSearch = subindexEf)
+      val (a, b) = plannerBatch()
       require(a.nonEmpty && b.nonEmpty)
     }
     val plannerRecall = {
-      val got = spark.createDataFrame(
-        (filterServed.probeBatch(plannerScanQs, 10) ++
-          tagRegistry.probeGroupsBatch(plannerGroups, 10, subindexEf)).toSeq)
+      val (a, b) = plannerBatch()
+      val got = spark.createDataFrame((a ++ b).toSeq)
         .toDF("qid", "id", "dist", "rank")
       val truth = operators.TagFilter.filteredKnn(plannerQ, tagged, 10)
       operators.Recall.mean(got, truth, 10)
@@ -428,7 +456,8 @@ object Bench {
         bucketQ, k = 10))
       spark.sqlContext.clearCache()
     }
-    (subindexEf, subindexRecall, plannerRecall)
+    (subindexEf, subindexRecall, plannerRecall,
+      subSlices, plannerScanQs.length, plannerGraphQs.length)
     }
 
     // sparse track: budgeted MIPS over term-frequency vectors. The budget
@@ -465,24 +494,38 @@ object Bench {
     val (sparseM, sparseRecall) = locally {
       val truth = localTruth(operators.Sparse.mips(sparseQueries, tf, 10))
       val mFull = Tables.documents(spark, sfDir).count().toInt
+      // shard count floors at the core count, NOT the corpus-relative
+      // serveShards: postings scan work is per-shard-local and queries
+      // broadcast to every shard anyway, so more shards = more parallelism
+      // at equal total postings — the r10 200k-doc row ran cpu_frac 0.35
+      // on serveShards = 12 of a 32-core box for no volume reason
       val sparseServed = index.ResidentPostings.load(tf, m = mFull,
-        numPartitions = serveShards)
+        numPartitions = math.max(serveShards, cpus.toInt))
       deferUnload(sparseServed.unload())
       // top anchor = the largest shard's whole posting mass: exact on
       // every shard by construction (accumulate's fast path), so the
       // sweep always contains a recall-1.0 point and the headline's
-      // matched-recall pick always exists
+      // matched-recall pick always exists. The grid is dense between
+      // full/4 and full — that is where the matched-recall point lives on
+      // this tie-heavy corpus, and a 4× gap there forced the r10 pick to
+      // degenerate to the full anchor.
       val full = sparseServed.maxShardPostings()
-      val budgets = Seq(full / 256, full / 64, full / 16, full / 4, full)
+      // the sweep knob (and the headline's op record) is an Int; a shard
+      // holding > 2^31 postings must fail loudly here, not collapse
+      // distinct budgets into one knob key
+      require(full <= Int.MaxValue.toLong,
+        s"per-shard posting count $full exceeds the Int sweep-knob domain; " +
+          "raise numPartitions so shards stay below 2^31 postings")
+      val budgets = Seq(full / 256, full / 64, full / 16, full / 8,
+        full / 4, full * 3 / 8, full / 2, full * 3 / 4, full)
         .map(b => math.max(b, 64L)).distinct.sorted
       val recalls = budgets.map { b =>
         val r = operators.Recall.mean(
           sparseServed.probeLocal(sparseQueries, 10, budget = b), truth, 10)
-        registerSweepPoint("sparse_budget_served",
-          math.min(b, Int.MaxValue.toLong).toInt, sparseNq, r) {
+        registerSweepPoint("sparse_budget_served", b.toInt, sparseNq, r) {
           require(sparseServed.probeBatch(sqs, k = 10, budget = b).nonEmpty)
         }
-        math.min(b, Int.MaxValue.toLong).toInt -> r
+        b.toInt -> r
       }
       val pick = pickKnob(recalls)
       register("sparse_budget_served", sparseNq) {
@@ -653,7 +696,16 @@ object Bench {
     // k-means serves ivfadc/residual/sq8 — and a family filter that uses
     // neither pays for neither
     lazy val pqCb = index.Pq.train(base, m = 8, ksub = 32, iters = 3)
-    val (adcRerank, adcRecall) = if (!famOn("adc")) (0, 0.0) else {
+    // the flat-ADC family is bounded at the 2M decade: its refine budget is
+    // corpus-relative (false positives of fixed-precision codes grow with
+    // the scanned population — the escalation grid below), and at 10M the
+    // escalated point read 27 q/s @ 0.921 with rerank 2,560 while
+    // IVFADC-residual held 114.8 @ 0.9022 — the routed composition
+    // dominates flat ADC at every decade ≥ 2M, so the un-routed full-corpus
+    // code scan stops being a headline row there and its bench wall goes to
+    // the scale runs instead (r10 verdict item 6).
+    val (adcRerank, adcRecall) =
+      if (!famOn("adc") || n > 2000000L) (0, 0.0) else {
     val adcServed = index.ResidentAdc.load(base, pqCb, numPartitions = serveShards)
     deferUnload(adcServed.unload())
     // refine-budget sweep: rerank is the ADC knob (faiss's k_factor·k).
@@ -1383,6 +1435,12 @@ object Bench {
       ("ann_hnsw_probe_ip_efSearch", efIp.toString, "ann_hnsw_probe_ip"),
       ("filtered_knn_subindex_efSearch", subindexEf.toString,
         "filtered_knn_subindex"),
+      ("filtered_knn_subindex_slices", subSlices.toString,
+        "filtered_knn_subindex"),
+      ("filtered_knn_planner_scan_queries", plannerScanN.toString,
+        "filtered_knn_planner"),
+      ("filtered_knn_planner_graph_queries", plannerGraphN.toString,
+        "filtered_knn_planner"),
       ("ann_adc_served_rerank", adcRerank.toString, "ann_adc_served"),
       ("ann_ivfadc_served_minMassPct", ivfAdcMass.toString,
         "ann_ivfadc_served"),

@@ -323,6 +323,7 @@ object ClusterHistogram {
       .aggregate((Long.MaxValue, Long.MinValue))(
         (b, k) => (math.min(b._1, k), math.max(b._2, k)),
         (a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)))
+    var toUnpersist: org.apache.spark.rdd.RDD[(Long, Long)] = null
     val out: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
       if (bounds._1 > bounds._2) spark.sparkContext.emptyRDD
       else {
@@ -338,6 +339,7 @@ object ClusterHistogram {
           .mapPartitions(it => it.toArray.sortBy(_._1).iterator,
             preservesPartitioning = true)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        toUnpersist = parted
         val partSums = parted
           .mapPartitionsWithIndex { (i, it) =>
             var s = 0L; it.foreach(s += _._2); Iterator((i, s))
@@ -353,13 +355,23 @@ object ClusterHistogram {
           }
         }
       }
-    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+    val df = spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cid",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("cnt",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("offset",
         org.apache.spark.sql.types.LongType))))
+    // materialize the C-row histogram while the partitioned intermediate is
+    // live, then drop the intermediate explicitly (same leak shape as
+    // Pipeline.rankGlobal: the ContextCleaner only reclaims it when the
+    // caller's frame dies, which a long-lived driver may never let happen)
+    if (toUnpersist != null) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      toUnpersist.unpersist(blocking = false)
+    }
+    df
   }
 }
 

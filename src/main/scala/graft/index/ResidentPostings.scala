@@ -60,6 +60,14 @@ final class ResidentPostings(spark: SparkSession, rdd: RDD[PostingShard]) {
                  k: Int,
                  budget: Long = Long.MaxValue,
                  treeMergeAt: Int = 64): Array[(Long, Long, Long, Long)] = {
+    // impact order assumes non-negative products: with a negative query
+    // weight, products along a v-descending posting list INCREASE, so a
+    // budgeted prefix walk would spend the budget anti-impact-ordered
+    // (exactness at full budget would be unaffected — guard anyway rather
+    // than silently degrade the budgeted regime)
+    require(qs.forall(_._3.forall(_ >= 0L)),
+      "ResidentPostings serves non-negative weights (tf domain); negative " +
+        "query weights would invert the impact order of a budgeted scan")
     val bq = spark.sparkContext.broadcast(qs)
     val bud = budget
     val local = rdd.flatMap { shard =>
@@ -133,17 +141,34 @@ final class ResidentPostings(spark: SparkSession, rdd: RDD[PostingShard]) {
 object ResidentPostings {
 
   /** Per-(query, shard) score accumulation. Full budget takes the plain
-    * per-dim walk (O(touched)); a finite budget takes the impact-ordered
-    * k-way merge — a binary heap over the query's matched dims keyed on
-    * the NEXT qv·v product of each dim's (v-descending) list, popping
-    * globally largest-product postings until the budget is spent. Both
-    * paths accumulate identical totals when the budget covers every
-    * posting (heap order is a permutation of the same sum — integer adds
-    * commute exactly), so budget = MaxValue is bit-equal to the exact
-    * dataflow join. Tie order in qv·v: the popped dim drains its run
-    * first (heap pops break product ties by dim index, then the run
-    * drain walks that dim while it still dominates the next-best head) —
-    * deterministic for a fixed shard layout. */
+    * per-dim walk (O(touched)); a finite budget takes the same plain walks
+    * cut at PER-DIM PREFIX positions derived from a product threshold —
+    * the r10 heap-merge kernel spent more per accumulation than the budget
+    * saved (a PriorityQueue op + boxed tuple per posting run vs the walk's
+    * two array reads and a LongMap add), so its sub-full sweep points were
+    * both slower AND lower-recall than the full-scan anchor. The threshold
+    * form does the identical impact-ordered selection with ZERO per-posting
+    * overhead:
+    *
+    *  1. binary-search the largest product threshold θ whose posting count
+    *     count(θ) = Σ_dims |{v : qv·v ≥ θ}| still reaches the budget —
+    *     count() is one binary search per dim on its v-descending list,
+    *     so the whole search is O(64 · dims · log L), amortized over the
+    *     thousands of accumulations it admits;
+    *  2. walk each dim's prefix with qv·v ≥ θ+1 in full (all strictly
+    *     above the tie tier, Σ < budget by θ's maximality);
+    *  3. spend the remaining budget on the θ-tier (qv·v == θ... θ+1-1)
+    *     entries in (dim asc, pos asc) order — deterministic for a fixed
+    *     shard layout.
+    *
+    * Selection is exactly the top-`budget` postings by qv·v (ties broken
+    * by dim then position), i.e. the same impact order linscan's budget
+    * spends in (linscan.py:19-56). When the budget covers every posting
+    * both paths accumulate identical totals (integer adds commute), so
+    * budget = MaxValue stays bit-equal to the exact dataflow join.
+    * Domain: qv and v are non-negative (tf counts) — [[ResidentPostings
+    * .probeBatch]] guards qv ≥ 0; with a negative weight a v-descending
+    * walk would be ANTI-impact-ordered. */
   private[graft] def accumulate(
       shard: PostingShard, qdims: Array[String], qvs: Array[Long],
       budget: Long): scala.collection.mutable.LongMap[Long] = {
@@ -167,7 +192,7 @@ object ResidentPostings {
       i += 1
     }
     if (budget >= total) {
-      // exact: plain walk, no heap overhead
+      // exact: plain walk over everything
       i = 0
       while (i < qdims.length) {
         if (lists(i) != null) {
@@ -183,51 +208,83 @@ object ResidentPostings {
       }
       acc
     } else {
-      // impact-ordered partial scan: heap entries are (product, dimIdx,
-      // pos) — product desc, then dim asc, pos asc (pos ordering is
-      // implied: within a dim products are non-increasing and positions
-      // advance sequentially)
-      val ord = new Ordering[(Long, Int, Int)] {
-        def compare(a: (Long, Int, Int), b: (Long, Int, Int)): Int = {
-          val c = java.lang.Long.compare(b._1, a._1) // product desc
-          if (c != 0) c
-          else {
-            val c2 = Integer.compare(a._2, b._2) // dim asc
-            if (c2 != 0) c2 else Integer.compare(a._3, b._3)
-          }
+      // entries in dim i with product qv·v ≥ θ form the prefix
+      // [0, cut(i, θ)) of its v-descending list: cut = first position with
+      // v < ceil(θ/qv) (qv ≥ 1 here — a qv = 0 dim's products are all 0,
+      // below any θ ≥ 1)
+      def cut(di: Int, theta: Long): Int = {
+        val qv = qvs(di)
+        if (qv <= 0L) return 0
+        val vmin = (theta + qv - 1) / qv // ceil(θ/qv)
+        val vals = lists(di)._2
+        var lo = 0
+        var hi = vals.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (vals(mid) >= vmin) lo = mid + 1 else hi = mid
         }
+        lo
       }
-      val heap = new scala.collection.mutable.PriorityQueue[(Long, Int, Int)]()(ord.reverse)
+      def countAtLeast(theta: Long): Long = {
+        var c = 0L
+        var d = 0
+        while (d < qdims.length) {
+          if (lists(d) != null) c += cut(d, theta)
+          d += 1
+        }
+        c
+      }
+      // largest θ with count(θ) ≥ budget; θ ≥ 1 (θ = 0 would admit
+      // everything, contradicting budget < total). Search space: products
+      // are bounded by max(qv·v[0]).
+      var maxProd = 1L
       i = 0
       while (i < qdims.length) {
-        if (lists(i) != null && lists(i)._1.length > 0)
-          heap.enqueue((qvs(i) * lists(i)._2(0), i, 0))
+        if (lists(i) != null && lists(i)._2.length > 0) {
+          val p = qvs(i) * lists(i)._2(0)
+          if (p > maxProd) maxProd = p
+        }
         i += 1
       }
-      var spent = 0L
-      while (spent < budget && heap.nonEmpty) {
-        val (_, di, pos0) = heap.dequeue()
-        val (ids, vals) = lists(di)
-        val qv = qvs(di)
-        // RUN DRAIN: after popping the globally-largest product, keep
-        // walking this dim's (v-descending) list while its products still
-        // dominate the next-best dim's head — one heap op amortizes over
-        // the whole run instead of one op per posting (tf ties make runs
-        // long; without this a near-full budget pays ~10× the plain
-        // walk's cost per accumulation). Equal products across dims drain
-        // the popped dim first — that IS this operator's documented tie
-        // order, and it is deterministic (heap pops break product ties by
-        // dim index).
-        val nextBest = if (heap.isEmpty) Long.MinValue else heap.head._1
-        var pos = pos0
-        while (pos < ids.length && spent < budget &&
-               qv * vals(pos) >= nextBest) {
-          acc(ids(pos)) = acc.getOrElse(ids(pos), 0L) + qv * vals(pos)
-          spent += 1
-          pos += 1
+      var lo = 1L
+      var hi = maxProd
+      while (lo < hi) { // invariant: count(lo) ≥ budget > count(hi + 1)
+        val mid = lo + (hi - lo + 1) / 2
+        if (countAtLeast(mid) >= budget) lo = mid else hi = mid - 1
+      }
+      val theta = lo
+      // full prefixes strictly above the tie tier, then the θ-tier in
+      // (dim asc, pos asc) order until the budget is spent
+      var remaining = budget
+      i = 0
+      while (i < qdims.length) {
+        if (lists(i) != null) {
+          val (ids, vals) = lists(i)
+          val qv = qvs(i)
+          val full = cut(i, theta + 1)
+          var j = 0
+          while (j < full) {
+            acc(ids(j)) = acc.getOrElse(ids(j), 0L) + qv * vals(j)
+            j += 1
+          }
+          remaining -= full
         }
-        if (pos < ids.length)
-          heap.enqueue((qv * vals(pos), di, pos))
+        i += 1
+      }
+      i = 0
+      while (i < qdims.length && remaining > 0L) {
+        if (lists(i) != null) {
+          val (ids, vals) = lists(i)
+          val qv = qvs(i)
+          var j = cut(i, theta + 1)
+          val tierEnd = cut(i, theta)
+          while (j < tierEnd && remaining > 0L) {
+            acc(ids(j)) = acc.getOrElse(ids(j), 0L) + qv * vals(j)
+            remaining -= 1
+            j += 1
+          }
+        }
+        i += 1
       }
       acc
     }

@@ -19,6 +19,13 @@ final class ResidentTagRegistry private[index] (
     rdd: org.apache.spark.rdd.RDD[(String, HnswIndex)],
     val keys: Set[String]) {
 
+  /** Resident (key, part) graph count = the per-job task fan of a batch
+    * that hits every key ([[TagSubindexes.loadResident]] pins one graph
+    * per RDD partition). Callers size [[probeGroupsBatch]]'s `slices` off
+    * this: slices ≈ ceil(2·cores / numElements) keeps the machine full
+    * when the batch's key set is narrower than the core count. */
+  def numElements: Int = rdd.getNumPartitions
+
   /** Probe query groups keyed by registry key, all in one narrow job;
     * groups whose key has no subindex yield no rows (callers fall back to
     * the posting path). Returns (qid, id, dist, rank) — row-identical to
@@ -43,23 +50,65 @@ final class ResidentTagRegistry private[index] (
     * (qid, id, dist, rank) rows out through the [[ProbeMerge]] fan-in — no
     * DataFrame plumbing or exchange per batch, the unit a QPS loop times.
     * Each qid routes to exactly one key, so its candidates come only from
-    * that key's graph partitions; rows equal [[probeGroups]]'s. */
+    * that key's graph partitions; rows equal [[probeGroups]]'s.
+    *
+    * `slices` > 1 runs the batch as that many CONCURRENT narrow jobs, each
+    * over a round-robin stripe of every key's query group. A probe job's
+    * task fan is bounded by the resident (key, part) graph count — a batch
+    * over a handful of hot tags leaves most of the machine idle no matter
+    * how many queries it carries (the r10 10M headline ran at cpu_frac
+    * 0.30 on exactly this bound) — and the graphs are PINNED, so the fan
+    * cannot be widened inside one job. Concurrent stripe jobs share the
+    * executor's task slots (the reference serves with a thread pool over
+    * queries for the same reason, filter/faiss/faiss.py:420-426): total
+    * probe work is unchanged — each qid is still searched once, against
+    * only its own key's graphs — parallelism becomes elements × slices.
+    * Rows are identical to the unsliced call: stripes partition qids, and
+    * the per-qid result never depends on which other qids share its job. */
   def probeGroupsBatch(groups: Map[String, Array[(Long, Array[Float])]],
                        k: Int, efSearch: Int,
-                       treeMergeAt: Int = 64): Array[(Long, Long, Double, Long)] = {
-    val bq = spark.sparkContext.broadcast(groups)
-    val local = rdd.flatMap { case (key, idx) =>
-      bq.value.getOrElse(key, Array.empty[(Long, Array[Float])])
-        .iterator.flatMap { case (qid, qv) =>
-          idx.search(qv, k, efSearch).iterator
-            .map { case (id, d) => (qid, id, d) }
-        }
+                       treeMergeAt: Int = 64,
+                       slices: Int = 1): Array[(Long, Long, Double, Long)] = {
+    def one(g: Map[String, Array[(Long, Array[Float])]]): Array[(Long, Long, Double, Long)] = {
+      val bq = spark.sparkContext.broadcast(g)
+      val local = rdd.flatMap { case (key, idx) =>
+        bq.value.getOrElse(key, Array.empty[(Long, Array[Float])])
+          .iterator.flatMap { case (qid, qv) =>
+            idx.search(qv, k, efSearch).iterator
+              .map { case (id, d) => (qid, id, d) }
+          }
+      }
+      val out = ProbeMerge.topK(local, k, treeMergeAt,
+        estRows = g.valuesIterator.map(_.length.toLong).sum * k *
+          local.getNumPartitions)
+      bq.destroy() // serving loop: don't accumulate per-batch broadcasts
+      out
     }
-    val out = ProbeMerge.topK(local, k, treeMergeAt,
-      estRows = groups.valuesIterator.map(_.length.toLong).sum * k *
-        local.getNumPartitions)
-    bq.destroy() // serving loop: don't accumulate per-batch broadcasts
-    out
+    if (slices <= 1) one(groups)
+    else {
+      val stripes = (0 until slices).map { s =>
+        groups.iterator.map { case (key, qs) =>
+          key -> qs.iterator.zipWithIndex
+            .collect { case (q, i) if i % slices == s => q }.toArray
+        }.filter(_._2.nonEmpty).toMap
+      }.filter(_.nonEmpty)
+      // dedicated pool: Spark job submission blocks per stripe, and the
+      // global ExecutionContext is shared with caller code — a serving
+      // loop must not deadlock on someone else's starved pool
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(stripes.length)
+      try {
+        val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val fs = stripes.map(st => scala.concurrent.Future(one(st))(ec))
+        val parts = fs.map(f =>
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+        // stripes partition qids — concatenate and restore (qid, rank) order
+        val all = Array.concat(parts: _*)
+        scala.util.Sorting.stableSort(all,
+          (a: (Long, Long, Double, Long), b: (Long, Long, Double, Long)) =>
+            a._1 < b._1 || (a._1 == b._1 && a._4 < b._4))
+        all
+      } finally pool.shutdown()
+    }
   }
 
   def unload(): Unit = rdd.unpersist()
@@ -231,8 +280,22 @@ object TagSubindexes {
         col("entryPoint"), col("maxLevel"), col("metric"))
       .as[(String, Int, Int, Long, Array[Float], Int, Array[Array[Int]],
         Int, Int, String)]
+    // one RDD partition PER (key, part) graph, by exact index — the default
+    // hash partitioner can co-locate several graphs in one partition, and a
+    // probe task walks its partition's graphs serially, so collisions
+    // silently cap a batch's task fan below the element count. The (key,
+    // part) universe is tiny (hot-tag vocabulary × parts) and known from
+    // the layout, so an exact map costs one metadata-scale distinct().
+    val kps = rows.select(col("key"), col("part")).distinct()
+      .as[(String, Int)].collect().sorted
+    val kpIdx = kps.zipWithIndex.toMap
+    val exact = new org.apache.spark.Partitioner {
+      def numPartitions: Int = math.max(1, kps.length)
+      def getPartition(key: Any): Int = kpIdx(key.asInstanceOf[(String, Int)])
+    }
     val rdd = rows.rdd
-      .groupBy(r => (r._1, r._2))
+      .groupBy((r: (String, Int, Int, Long, Array[Float], Int,
+        Array[Array[Int]], Int, Int, String)) => (r._1, r._2), exact)
       .map { case ((key, _), it) =>
         val arr = it.toArray.sortBy(_._3)
         val idx = HnswIndex.fromState(

@@ -118,9 +118,19 @@ object Pipeline {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ running)
       }
     }
-    (spark.createDataFrame(rows,
-      sorted.schema.add("grank", org.apache.spark.sql.types.LongType)),
-      partCounts.sum)
+    val out = spark.createDataFrame(rows,
+      sorted.schema.add("grank", org.apache.spark.sql.types.LongType))
+    // materialize the ranked output while the input persist is live, then
+    // drop the intermediate explicitly: relying on the ContextCleaner left
+    // the sorted blocks resident for as long as the caller held the
+    // returned frame, so a long-lived driver calling rankGlobal repeatedly
+    // accumulated MEMORY_AND_DISK blocks. The output's own cache is the
+    // caller's to retain; the eager count also guarantees the offsets were
+    // applied to the exact persisted partitioning they were computed from.
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sortedRdd.unpersist(blocking = false)
+    (out, partCounts.sum)
   }
 
   /** Exact N-tile bucketing over a global order — quality-percentile
