@@ -331,10 +331,18 @@ object Bench {
     // (key, part) graph count, and the hot-tag vocabulary here (10 labels
     // × 2 parts) is far below the core count — the r10 10M headline ran at
     // cpu_frac 0.30 on exactly this bound. Stripe each batch into enough
-    // concurrent jobs to oversubscribe the machine ~2× (work unchanged —
-    // every qid is still probed once, against only its own key's graphs).
+    // concurrent jobs to oversubscribe the machine (work unchanged — every
+    // qid is still probed once, against only its own key's graphs). Big
+    // corpora target 4× the cores: at 10M a batch's ~500 queries split
+    // over only the label keys' elements, and the 2×-target run still read
+    // cpu_frac 0.6 at ef 384 (batches long enough to swallow the extra
+    // per-stripe job submission); small corpora keep 2× — their batches
+    // are milliseconds and stripe overhead would dominate (the r8
+    // tiny-task lesson).
+    val sliceTarget = if (n >= 1000000L) 4 else 2
     val subSlices = math.max(1,
-      (2 * cpus.toInt + tagRegistry.numElements - 1) / tagRegistry.numElements)
+      (sliceTarget * cpus.toInt + tagRegistry.numElements - 1) /
+        tagRegistry.numElements)
     val subQ = emb.where(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("label").cast("int").as("qtag"))
@@ -492,7 +500,6 @@ object Bench {
     // impact-ordered budget spends the scan on the large qv·v products
     // first, which is what lets a partial scan hold 0.9.
     val (sparseM, sparseRecall) = locally {
-      val truth = localTruth(operators.Sparse.mips(sparseQueries, tf, 10))
       val mFull = Tables.documents(spark, sfDir).count().toInt
       // shard count floors at the core count, NOT the corpus-relative
       // serveShards: postings scan work is per-shard-local and queries
@@ -502,6 +509,14 @@ object Bench {
       val sparseServed = index.ResidentPostings.load(tf, m = mFull,
         numPartitions = math.max(serveShards, cpus.toInt))
       deferUnload(sparseServed.unload())
+      // truth = the resident probe at full budget: bit-equal to the exact
+      // dataflow join `Sparse.mips` (SparseSpec row-parity + the
+      // CORRECTNESS oracle on sparse_impact_budget_exact) at none of its
+      // cost — the dataflow form explodes queries × matched postings
+      // through a shuffle, which at 5M Zipf docs spilled >60 GB and killed
+      // the r11 first run; the resident walk is posting-bounded per shard
+      // and shuffles nothing
+      val truth = localTruth(sparseServed.probeLocal(sparseQueries, 10))
       // top anchor = the largest shard's whole posting mass: exact on
       // every shard by construction (accumulate's fast path), so the
       // sweep always contains a recall-1.0 point and the headline's
@@ -542,13 +557,19 @@ object Bench {
     // untruncated dataflow join is minutes of wall at 100× rows, all of
     // it re-measuring the same linear-scan physics the served row already
     // prices.
-    register("sparse_budget", sparseNq) {
-      noop(operators.Sparse.budgetedMips(
-        tf.where(col("id") < sparseNq)
-          .select(col("id").as("qid"), col("dim"), col("v").as("qv")),
-        tf, k = 10, m = 16 * knobScale))
-      spark.sqlContext.clearCache()
-    }
+    // bounded at 1M docs: each timed batch of the dataflow form is a
+    // queries × truncated-postings shuffle (≈ dims·m rows per query —
+    // tens of GB per batch at 5M Zipf docs with the corpus-relative m),
+    // re-measuring plan overhead the small SFs already price; the served
+    // row above is the baseline-comparable one at every decade
+    if (Tables.documents(spark, sfDir).count() <= 1000000L)
+      register("sparse_budget", sparseNq) {
+        noop(operators.Sparse.budgetedMips(
+          tf.where(col("id") < sparseNq)
+            .select(col("id").as("qid"), col("dim"), col("v").as("qv")),
+          tf, k = 10, m = 16 * knobScale))
+        spark.sqlContext.clearCache()
+      }
     (sparseM, sparseRecall)
     }
 
