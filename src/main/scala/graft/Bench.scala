@@ -1380,8 +1380,9 @@ object Bench {
     // time, not QPS): replay the reference's own delete_runbook scaled
     // into this SF's id space and grade every search checkpoint against
     // the exact live-set kNN.
-    val (streamRecall, streamSec) = if (!trackOn("streaming")) (0.0, 0.0)
-    else {
+    val (streamRecall, streamSec, streamCps) =
+      if (!trackOn("streaming")) (0.0, 0.0, "[]")
+      else {
       try {
         val yaml = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(
@@ -1399,9 +1400,20 @@ object Bench {
         val t0 = System.nanoTime()
         val graded = streaming.RunbookReplay.graded(src, sq, rb, k = 10,
           efSearch = 128)
-        val r = graded.agg(avg(col("recall_bp"))).head().getDouble(0) / 10000.0
-        (r, (System.nanoTime() - t0) / 1e9)
-      } catch { case _: Throwable => (0.0, 0.0) }
+        // per-checkpoint recalls in the artifact, not just the mean — the
+        // baseline grades a runbook by its checkpoint series
+        // (streaming/run.py:55-56), so a scale artifact must show where in
+        // the runbook recall dips, not only that the average held
+        val cps = graded.select(col("checkpoint").cast("long"),
+            col("recall_bp").cast("long"))
+          .as[(Long, Long)].collect().sortBy(_._1)
+        val cpJson = cps.map { case (cp, bp) =>
+          s"""{"checkpoint":$cp,"recall":${bp / 10000.0}}"""
+        }.mkString("[", ",", "]")
+        val r =
+          if (cps.isEmpty) 0.0 else cps.map(_._2).sum.toDouble / cps.length / 10000.0
+        (r, (System.nanoTime() - t0) / 1e9, cpJson)
+      } catch { case _: Throwable => (0.0, 0.0, "[]") }
       finally spark.sqlContext.clearCache()
     }
 
@@ -1533,7 +1545,7 @@ object Bench {
       .mkString("{", ",", "}")
     val streamFrag =
       if (!trackOn("streaming")) ""
-      else s""","streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec}"""
+      else s""","streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec,"checkpoints":$streamCps}"""
     val repsCapped = headline.collect {
       case (nm, _, _) if rowReps(nm) < reps => s"\"$nm\":${rowReps(nm)}"
     }.mkString("{", ",", "}")
