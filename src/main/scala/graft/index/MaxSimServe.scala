@@ -39,24 +39,20 @@ object MaxSimServe {
     * vector ids `doc_id·bmax + pos`; query ids are `qid·qmax + pos`).
     * Returns (qid, doc_id, dist = −score, rank) sorted by (qid, rank).
     *
-    * `maxDriverHits` bounds the driver regime's collect — the POST-merge
-    * row count |qs|·c, which is what the driver actually receives:
-    * `resident.probeBatch` threads its own nq·c·P pre-merge bound into
-    * [[ProbeMerge]], which switches to a two-level treeAggregate past 4M
-    * candidate rows, so the pre-merge fan never lands on the driver
-    * regardless of the regime chosen here. (The r6 sf1 collapse — 5.1M
-    * boxed hit tuples per batch, multi-second GC pauses, spread 23 —
-    * predated that gate, and this method's old |qs|·c·P guard was written
-    * against it; keeping the stale pre-merge guard forced the sf1
-    * corpus-relative c point into the distributed reduce's per-batch
-    * shuffles for no driver-safety reason, pricing the served row at
-    * barely 1.8× the exact join it is supposed to shortcut.) */
+    * `maxDriverHits` bounds the driver regime's collect: the pre-merge
+    * candidate stream is |qs|·c·P rows, and past a few million boxed
+    * tuples per batch the driver's allocation rate dominates the batch
+    * time (the r6 sf1 collapse: 5.1M hits/batch → multi-second GC pauses,
+    * spread 23). The default keeps the sf0.1 operating point
+    * (500·128·8 ≈ 0.5M) on the fast path with 4× headroom and pushes the
+    * 10×-corpus point (500·1,280·8 ≈ 5.1M, where the corpus-relative c
+    * knob has scaled 10×) to the distributed regime. */
   def probeBatch(resident: HnswResident, qs: Array[(Long, Array[Float])],
                  qmax: Int, bmax: Int, k: Int, c: Int, efSearch: Int,
                  treeAt: Int = 64,
                  maxDriverHits: Long = 2L * 1000 * 1000): Array[(Long, Long, Double, Long)] = {
     val parts = math.max(resident.numPartitions, 1)
-    val driverHits = qs.length.toLong * c
+    val driverHits = qs.length.toLong * c * parts
     if (parts < treeAt && driverHits <= maxDriverHits)
       graft.operators.MultiVec.maxSimFromHits(
         resident.probeBatch(qs, c, efSearch), qmax, bmax, k)
