@@ -91,6 +91,13 @@ object Bench {
       // 128-key sort-based fallback (see TopK.ensureHashAggKeyRoom)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
+      // FAIR scheduling so CONCURRENT serving jobs (the planner's two
+      // branches, subindex stripe jobs) share task slots by pool instead
+      // of queueing FIFO — the r11 planner's scan branch tail rode
+      // graph-stripe contention (spread 1.86 vs the <1.5 target) because
+      // its one wide job waited behind whichever stripes were in flight.
+      // Sequential jobs (everything else in this file) are unaffected.
+      .config("spark.scheduler.mode", "FAIR")
       // fixture passes over the scaled corpora are scan-bound: 64 MB
       // splits give local[32] full parallelism on a ~2.6 GB parquet
       // (default 128 MB → ~20 tasks pins a third of the box idle)
@@ -384,6 +391,22 @@ object Bench {
       require(tagRegistry.probeGroupsBatch(subGroups, k = 10,
         efSearch = subindexEf, slices = subSlices).nonEmpty)
     }
+    // slices SATURATION sweep (large decades only): identical probe work at
+    // the matched-recall beam — every qid still searched once against its
+    // own key's graphs, rows identical — with only the stripe count varying,
+    // so the curve locates where concurrency stops paying and per-stripe
+    // job-submit overhead takes over (the r11 headline idled ~27% of the
+    // box at the heuristic's slices = 4; recall is slice-invariant by
+    // construction). Small corpora skip it: their batches are milliseconds
+    // and the sweep would time stripe overhead, not the operator.
+    if (n >= 1000000L)
+      Seq(2, 4, 8, 16).foreach { s =>
+        registerSweepPoint("filtered_knn_subindex_slices", s, nq,
+          subindexRecall) {
+          require(tagRegistry.probeGroupsBatch(subGroups, k = 10,
+            efSearch = subindexEf, slices = s).nonEmpty)
+        }
+      }
 
     // filter track, PLANNER serving form (the reference's flagship,
     // faiss.py:361-426): a mixed batch routes per query on tag-frequency
@@ -428,11 +451,23 @@ object Bench {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
       try {
         val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        val fa = scala.concurrent.Future(
-          filterServed.probeBatch(plannerScanQs, k = 10))(ec)
-        val fb = scala.concurrent.Future(
+        // each branch runs in its own FAIR pool (scheduler mode set at the
+        // session): the scan branch's single wide job no longer queues
+        // behind the graph branch's stripe jobs — the r11 spread-1.86
+        // tail. Pool locality is per thread; probeGroupsBatch's internal
+        // stripe threads are created after the property is set, so they
+        // inherit the graph pool.
+        val fa = scala.concurrent.Future {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+            "graft_planner_scan")
+          filterServed.probeBatch(plannerScanQs, k = 10)
+        }(ec)
+        val fb = scala.concurrent.Future {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+            "graft_planner_graph")
           tagRegistry.probeGroupsBatch(plannerGroups, k = 10,
-            efSearch = subindexEf, slices = subSlices))(ec)
+            efSearch = subindexEf, slices = subSlices)
+        }(ec)
         import scala.concurrent.duration.Duration
         (scala.concurrent.Await.result(fa, Duration.Inf),
           scala.concurrent.Await.result(fb, Duration.Inf))
@@ -1429,6 +1464,7 @@ object Bench {
     val sweepKnobName = Map(
       "ann_hnsw_probe" -> "efSearch", "ann_hnsw_probe_ip" -> "efSearch",
       "filtered_knn_subindex" -> "efSearch",
+      "filtered_knn_subindex_slices" -> "slices",
       "sparse_budget_served" -> "budget", "ann_hnsw_probe_routed" -> "nprobe",
       "ann_hnsw_probe_routed_auto" -> "minMassPct",
       "ann_adc_served" -> "rerank", "ann_ivfadc_served" -> "minMassPct",

@@ -92,6 +92,9 @@ final class ResidentTagRegistry private[index] (
             .collect { case (q, i) if i % slices == s => q }.toArray
         }.filter(_._2.nonEmpty).toMap
       }.filter(_.nonEmpty)
+      // an empty (or fully-empty-after-striping) batch has no stripes — a
+      // zero-thread pool would throw where the unsliced path returns empty
+      if (stripes.isEmpty) return Array.empty
       // dedicated pool: Spark job submission blocks per stripe, and the
       // global ExecutionContext is shared with caller code — a serving
       // loop must not deadlock on someone else's starved pool
@@ -291,7 +294,15 @@ object TagSubindexes {
     val kpIdx = kps.zipWithIndex.toMap
     val exact = new org.apache.spark.Partitioner {
       def numPartitions: Int = math.max(1, kps.length)
-      def getPartition(key: Any): Int = kpIdx(key.asInstanceOf[(String, Int)])
+      // the map comes from a separate read of `rows` than the groupBy
+      // below; nothing pins the two reads to one snapshot, so a (key,
+      // part) present only in the second read must degrade to a
+      // deterministic co-located partition instead of failing the job
+      def getPartition(key: Any): Int = {
+        val kp = key.asInstanceOf[(String, Int)]
+        kpIdx.getOrElse(kp,
+          math.floorMod(kp._1.hashCode * 31 + kp._2, math.max(1, kps.length)))
+      }
     }
     val rdd = rows.rdd
       .groupBy((r: (String, Int, Int, Long, Array[Float], Int,

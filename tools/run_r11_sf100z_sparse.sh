@@ -1,5 +1,5 @@
 #!/bin/bash
-# r11 items 2+3+4 — impact-budget sparse at the 2M-doc Zipf corpus
+# r11 items 2+3+4 — impact-budget sparse at the 5M-doc Zipf corpus
 # (/tmp/graft_sf100z), on the prefix-cut budget kernel (per-dim threshold
 # cuts + plain walks, zero per-posting heap traffic), the core-count shard
 # floor, and the densified full/8..3full/4 budget grid. The row that tests
