@@ -1169,6 +1169,70 @@ object Bench {
     (routedNp, rtRecall, routedAutoPct, rtaRecall)
     }
 
+    // COARSE-routed resident graphs — the OOD serving form (r12 item 1):
+    // a few dozen k-means cells over the corpus, one LARGE HNSW per cell,
+    // each query routed to its `nprobe` nearest cells' graphs. The
+    // fine-grained routed family above (C ≈ n/500, the IVF granularity)
+    // pays ~C/16 micro-probes per query at matched recall and its routing
+    // rank dominates at 10M (r10: 65 q/s, cpu_frac 0.28); the flat family
+    // (HnswKnn) pays P beams per query — every partition, every query.
+    // DiskANN's 10M baseline row runs ONE graph and one beam per query
+    // (ood/diskann/config.yaml:22-27); this form approaches that shape
+    // from the sharded side: nprobe beams over n/C-node graphs, per-query
+    // work independent of shard count. Two knobs, swept separately:
+    // nprobe (the routing width — how many cells' graphs a query pays) at
+    // an anchor beam, then efSearch at the matched nprobe.
+    val (coarseCOut, coarseNp, coarseEf, coarseRecallV) =
+      if (!trackOn("coarse")) (0, 0, 0, 0.0) else {
+    val coarseC = sys.env.get("SPARK_GRAFT_COARSE_C").map(_.toInt)
+      .getOrElse(math.max(8, math.min(64, (n / 150000L).toInt)))
+    val coarsePath = java.nio.file.Files
+      .createTempDirectory("graft-bench-coarse").resolve("idx").toString
+    index.HnswRouted.buildAndSave(base, coarsePath, c = coarseC, kmIters = 3,
+      atScale = true, n = n)
+    val coarse = index.HnswRouted.loadResident(spark, coarsePath)
+    deferUnload(coarse.unload())
+    // anchor beam: the flat family's matched-recall decade point — per-cell
+    // graphs hold ~n/C nodes, same absolute-grid physics as the flat grid
+    val coarseEfBase = if (n >= 1000000L) 256 else 64
+    val coarseNps = Seq(1, 2, 3, 4, 6, 8).filter(_ <= coarseC)
+    val npRecalls = coarseNps.map { np =>
+      np -> operators.Recall.mean(
+        coarse.probeLocal(queries, 10, coarseEfBase, nprobe = np), truthL2, 10)
+    }
+    npRecalls.foreach { case (np, r) =>
+      registerSweepPoint("ann_hnsw_probe_coarse", np, nq, r) {
+        require(coarse.probeBatch(qsFloat, k = 10, efSearch = coarseEfBase,
+          nprobe = np).nonEmpty)
+      }
+    }
+    val coarseNp = pickKnob(npRecalls)
+    // beam re-sweep at the picked routing width: once routing stops being
+    // the recall ceiling the matched beam may sit below the anchor — the
+    // efSearch curve is where the QPS headroom lives
+    val coarseEfGrid = (Seq(48, 96, 128, 192, coarseEfBase) ++
+      (if (n >= 1000000L) Seq(384, 512) else Seq.empty)).distinct.sorted
+    val efRecalls = coarseEfGrid.map { ef =>
+      ef -> (if (ef == coarseEfBase) npRecalls.toMap.apply(coarseNp)
+             else operators.Recall.mean(
+               coarse.probeLocal(queries, 10, ef, nprobe = coarseNp),
+               truthL2, 10))
+    }
+    efRecalls.foreach { case (ef, r) =>
+      registerSweepPoint("ann_hnsw_probe_coarse_ef", ef, nq, r) {
+        require(coarse.probeBatch(qsFloat, k = 10, efSearch = ef,
+          nprobe = coarseNp).nonEmpty)
+      }
+    }
+    val coarseEf = pickKnob(efRecalls)
+    val coarseRecallV = efRecalls.toMap.apply(coarseEf)
+    register("ann_hnsw_probe_coarse", nq) {
+      require(coarse.probeBatch(qsFloat, k = 10, efSearch = coarseEf,
+        nprobe = coarseNp).nonEmpty)
+    }
+    (coarseC, coarseNp, coarseEf, coarseRecallV)
+    }
+
     // serving UNDER MUTATION — the steady state of the streaming track
     // between consolidations: a resident generation probed with a live
     // tombstone set (deletes since build, honored in-traversal) AND a
@@ -1415,8 +1479,8 @@ object Bench {
     // time, not QPS): replay the reference's own delete_runbook scaled
     // into this SF's id space and grade every search checkpoint against
     // the exact live-set kNN.
-    val (streamRecall, streamSec, streamCps) =
-      if (!trackOn("streaming")) (0.0, 0.0, "[]")
+    val (streamRecall, streamSec, streamGradeSec, streamCps, streamErr) =
+      if (!trackOn("streaming")) (0.0, 0.0, 0.0, "[]", "")
       else {
       try {
         val yaml = new String(java.nio.file.Files.readAllBytes(
@@ -1432,9 +1496,24 @@ object Bench {
         val src = base
         val sq = emb.where(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val t0 = System.nanoTime()
-        val graded = streaming.RunbookReplay.graded(src, sq, rb, k = 10,
-          efSearch = 128)
+        // scale-aware serving policy: the tombstone-count consolidation
+        // trigger and the delta cap are OUR policy knobs (maxPts occupancy
+        // keeps the reference's semantics either way) — pinning them at
+        // the tiny-SF defaults made EVERY delete consolidate and EVERY
+        // insert overflow the delta at 2M+ rows, so the replay rebuilt
+        // the whole live graph ~once per search (the r11 wall). Tombstones
+        // are honored in-traversal and the delta serves exact, so recall
+        // is unchanged; what scales is the driver-side mark set (n/8 ids)
+        // and the delta broadcast (≤ n/8 rows), both bounded fractions of
+        // a corpus the queries already broadcast against. Build shards =
+        // serveShards (rebuild parallelism is the wall's dominant term).
+        val streamEf = sys.env.get("SPARK_GRAFT_STREAM_EF").map(_.toInt)
+          .getOrElse(if (n >= 1000000L) 256 else 128)
+        val (graded, serveSec, gradeSec) = streaming.RunbookReplay.gradedTimed(
+          src, sq, rb, k = 10, efSearch = streamEf,
+          consolidateAt = math.max(1000L, n / 8),
+          deltaCap = math.max(512L, n / 8),
+          numPartitions = serveShards)
         // per-checkpoint recalls in the artifact, not just the mean — the
         // baseline grades a runbook by its checkpoint series
         // (streaming/run.py:55-56), so a scale artifact must show where in
@@ -1447,8 +1526,15 @@ object Bench {
         }.mkString("[", ",", "]")
         val r =
           if (cps.isEmpty) 0.0 else cps.map(_._2).sum.toDouble / cps.length / 10000.0
-        (r, (System.nanoTime() - t0) / 1e9, cpJson)
-      } catch { case _: Throwable => (0.0, 0.0, "[]") }
+        (r, serveSec, gradeSec, cpJson, "")
+      } catch { case e: Throwable =>
+        // a broken replay must not publish mean_recall 0.0 as if measured
+        // (r11 defect): the artifact carries the error, the zeros read as
+        // "failed", and the rest of the run's rows still land
+        val msg = (s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}")
+          .replace("\\", "\\\\").replace("\"", "'").replace("\n", " ").take(300)
+        (0.0, 0.0, 0.0, "[]", msg)
+      }
       finally spark.sqlContext.clearCache()
     }
 
@@ -1467,6 +1553,8 @@ object Bench {
       "filtered_knn_subindex_slices" -> "slices",
       "sparse_budget_served" -> "budget", "ann_hnsw_probe_routed" -> "nprobe",
       "ann_hnsw_probe_routed_auto" -> "minMassPct",
+      "ann_hnsw_probe_coarse" -> "nprobe",
+      "ann_hnsw_probe_coarse_ef" -> "efSearch",
       "ann_adc_served" -> "rerank", "ann_ivfadc_served" -> "minMassPct",
       "ann_ivfadc_residual_served" -> "minMassPct",
       "ann_ivfsq8_served" -> "minMassPct",
@@ -1490,6 +1578,7 @@ object Bench {
       "filtered_knn_subindex", "filtered_knn_bucketed", "sparse_budget",
       "sparse_budget_served", "ann_hnsw_probe", "ann_hnsw_probe_ip",
       "ann_hnsw_probe_routed", "ann_hnsw_probe_routed_auto",
+      "ann_hnsw_probe_coarse",
       "ann_hnsw_probe_mutated", "ann_adc_served", "ann_ivfadc_served",
       "ann_ivfadc_residual_served", "ann_ivfsq8_served",
       "ann_ivfsq8_graphroute_served", "route_linear_c65536",
@@ -1529,6 +1618,11 @@ object Bench {
         "ann_ivfsq8_served"),
       ("ann_hnsw_probe_routed_nprobe", routedNp.toString,
         "ann_hnsw_probe_routed"),
+      ("ann_hnsw_probe_coarse_nprobe", coarseNp.toString,
+        "ann_hnsw_probe_coarse"),
+      ("ann_hnsw_probe_coarse_efSearch", coarseEf.toString,
+        "ann_hnsw_probe_coarse"),
+      ("coarse_C", coarseCOut.toString, "ann_hnsw_probe_coarse"),
       ("ann_hnsw_probe_routed_auto_minMassPct", routedAutoPct.toString,
         "ann_hnsw_probe_routed_auto"),
       ("ann_ivfsq8_graphroute_served_efRoute", ivfSq8GrEf.toString,
@@ -1562,6 +1656,8 @@ object Bench {
       ("ann_hnsw_probe_routed", rtRecall.toString, "ann_hnsw_probe_routed"),
       ("ann_hnsw_probe_routed_auto", rtaRecall.toString,
         "ann_hnsw_probe_routed_auto"),
+      ("ann_hnsw_probe_coarse", coarseRecallV.toString,
+        "ann_hnsw_probe_coarse"),
       ("ann_hnsw_probe_mutated", mutRecall.toString, "ann_hnsw_probe_mutated"),
       ("ann_adc_served", adcRecall.toString, "ann_adc_served"),
       ("ann_ivfadc_served", ivfAdcRecall.toString, "ann_ivfadc_served"),
@@ -1581,7 +1677,10 @@ object Bench {
       .mkString("{", ",", "}")
     val streamFrag =
       if (!trackOn("streaming")) ""
-      else s""","streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec,"checkpoints":$streamCps}"""
+      else {
+        val errFrag = if (streamErr.isEmpty) "" else s""","err":"$streamErr""""
+        s""","streaming_replay":{"mean_recall":$streamRecall,"sec":$streamSec,"grading_sec":$streamGradeSec,"checkpoints":$streamCps$errFrag}"""
+      }
     val repsCapped = headline.collect {
       case (nm, _, _) if rowReps(nm) < reps => s"\"$nm\":${rowReps(nm)}"
     }.mkString("{", ",", "}")

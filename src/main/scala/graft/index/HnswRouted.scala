@@ -234,8 +234,24 @@ object HnswRouted {
     import spark.implicits._
     val metric =
       spark.read.parquet(path).select("metric").head().getString(0)
+    // one RDD partition PER cluster graph, by exact index: the default
+    // hash partitioner co-locates colliding cluster ids in one partition
+    // (≈1/e of partitions empty at C ≈ partition count), and a probe task
+    // walks its partition's graphs serially — collisions silently cap the
+    // batch's task fan and skew routed-probe load (the same defect fixed
+    // in TagSubindexes.loadResident). The cluster-id universe is known
+    // from the layout, so an exact map costs one metadata-scale distinct.
+    val partIds = spark.read.parquet(path).select(col("part").cast("int"))
+      .distinct().as[Int].collect().sorted
+    val pIdx = partIds.zipWithIndex.toMap
+    val exact = new org.apache.spark.Partitioner {
+      def numPartitions: Int = math.max(1, partIds.length)
+      def getPartition(key: Any): Int =
+        pIdx.getOrElse(key.asInstanceOf[Int],
+          math.floorMod(key.asInstanceOf[Int], math.max(1, partIds.length)))
+    }
     val rdd = spark.read.parquet(path).as[HnswNodeRow].rdd
-      .groupBy(_.part)
+      .groupBy((r: HnswNodeRow) => r.part, exact)
       .map { case (part, rows) =>
         val arr = rows.toArray.sortBy(_.seq)
         val idx = HnswIndex.fromState(

@@ -149,20 +149,42 @@ object RunbookReplay {
   /** Returns one row per search checkpoint: (checkpoint, recall_bp). */
   def graded(source: DataFrame, queries: DataFrame, rb: Runbook,
              k: Int = 10, efSearch: Int = 128,
-             consolidateAt: Long = 1000L, deltaCap: Long = 512L): DataFrame = {
+             consolidateAt: Long = 1000L, deltaCap: Long = 512L): DataFrame =
+    gradedTimed(source, queries, rb, k, efSearch, consolidateAt, deltaCap)._1
+
+  /** [[graded]] with the SERVING wall separated from the grading wall:
+    * returns (checkpoint recalls, serveSec, gradeSec). The baseline's
+    * streaming wall is serving-only — its ground truth is precomputed
+    * (delete_runbook.yaml's gt_url) — so a comparable artifact must time
+    * the graph executor alone and pay the exact-truth execution outside
+    * the window (the r11 artifact timed both inside one window, doubling
+    * the reported wall). `numPartitions` sizes the graph builds and the
+    * exact executor's resident scan — the rebuild cadence makes build
+    * parallelism the serving wall's dominant term at scale. */
+  def gradedTimed(source: DataFrame, queries: DataFrame, rb: Runbook,
+                  k: Int = 10, efSearch: Int = 128,
+                  consolidateAt: Long = 1000L, deltaCap: Long = 512L,
+                  numPartitions: Int = 8): (DataFrame, Double, Double) = {
     val spark = source.sparkSession
     import spark.implicits._
     val gp = java.nio.file.Files.createTempDirectory("graft-replay")
       .resolve("idx").toString
     val graphExec = new RunbookExecutor(source, queries, k, consolidateAt,
-      rb.maxPts, Some(gp), efSearch, deltaCap)
+      rb.maxPts, Some(gp), efSearch, deltaCap,
+      numPartitions = numPartitions)
     val exactExec = new RunbookExecutor(source, queries, k, consolidateAt,
-      rb.maxPts)
+      rb.maxPts, numPartitions = numPartitions)
+    val t0 = System.nanoTime()
     val got = graphExec.run(rb.steps)
+    val serveSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
     val truth = exactExec.run(rb.steps)
-    got.keys.toSeq.sorted.map { cp =>
+    val df = got.keys.toSeq.sorted.map { cp =>
       (cp, math.round(graft.operators.Recall.mean(got(cp), truth(cp), k) * 10000))
     }.toDF("checkpoint", "recall_bp")
+    val rows = df.localCheckpoint() // grade eagerly inside the grading wall
+    val gradeSec = (System.nanoTime() - t1) / 1e9
+    (rows, serveSec, gradeSec)
   }
 }
 
@@ -269,7 +291,12 @@ final class RunbookExecutor(
     graphPath: Option[String] = None, // serve searches from a persisted HNSW
     efSearch: Int = 128,
     deltaCap: Long = 512L, // graph mode: max rows served delta-resident
-    residentExact: Boolean = true) { // exact mode: serve from pinned shards
+    residentExact: Boolean = true, // exact mode: serve from pinned shards
+    // shard count for graph rebuilds and the exact mode's resident scan:
+    // rebuilds dominate a scaled replay's wall, and each partition's HNSW
+    // builds independently, so this is the serving wall's parallelism axis
+    // (the default keeps every existing caller's results byte-identical)
+    numPartitions: Int = 8) {
 
   /** Number of graph artifact (re)builds — deletes alone must never bump
     * this (tombstone-aware probes serve post-delete without rebuild), and
@@ -544,7 +571,8 @@ final class RunbookExecutor(
               graphBuilds += 1
               resident.foreach(_.unload()) // superseded generation
               resident = Some(graft.index.HnswKnn.buildResidentAndSave(
-                liveVecs, s"$gp/build=$graphBuilds"))
+                liveVecs, s"$gp/build=$graphBuilds",
+                numPartitions = numPartitions))
               // record the generation's node set as the live ranges at
               // build time, and compact the history to them — the opLog
               // is exactly its net live set here, so later liveRanges
@@ -567,7 +595,7 @@ final class RunbookExecutor(
               scan = Some(graft.index.ResidentScan.load(
                 source.select(col("id"), col("vec"))
                   .withColumn("tags", array().cast("array<int>")),
-                numPartitions = 8))
+                numPartitions = numPartitions))
             val ranges = Runbook.liveRanges(opLog.toSeq)
             compactOpLog(ranges) // history ≡ its net live set from here on
             checkpoints += i -> spark.createDataFrame(
