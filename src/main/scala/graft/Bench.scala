@@ -220,6 +220,29 @@ object Bench {
     // corpus-relative budget-knob scale (see methodology note): 1 at the
     // sf0.1 reference corpus, 10 at 10× rows, etc.
     val knobScale = math.max(1L, n / 2000L).toInt
+    // query striping for the resident serving batches (r12, guide §2.6 —
+    // the generalization of the r11 subindex `slices` win to EVERY
+    // resident family): a probe batch is ONE narrow job whose task fan is
+    // the resident partition count, and the corpus-relative serveShards
+    // floor of 8 leaves 3/4 of a 32-core box idle at the small decades
+    // (cpu_frac_med ~0.1–0.3 on those rows in r10/r11). ProbeSlices.auto
+    // sizes stripes so slices × partitions ≈ 2 × cores — scale-adaptive:
+    // at the 10M decade serveShards = cores and this degrades to 2 (tail
+    // overlap only), and under the driver's low-core scaling runs it is 1.
+    // Rows are IDENTICAL to the unsliced batch (stripes partition qids;
+    // asserted in IndexSpec/SparseSpec) — the reference's own serving
+    // harness stripes queries over a thread pool for the same reason
+    // (filter/faiss/faiss.py:420-426). SPARK_GRAFT_PROBE_SLICES overrides
+    // for fleet-shape experiments.
+    val slicesOverride = sys.env.get("SPARK_GRAFT_PROBE_SLICES").map(_.toInt)
+    def slicesFor(parts: Int, nQ: Int): Int =
+      slicesOverride.getOrElse(index.ProbeSlices.auto(parts, cpus.toInt, nQ))
+    // float-query families all return (qid, id, dist, rank)
+    def stripedF(qs: Array[(Long, Array[Float])], parts: Int)(
+        one: Array[(Long, Array[Float])] => Array[(Long, Long, Double, Long)])
+        : Array[(Long, Long, Double, Long)] =
+      index.ProbeSlices.striped(qs, slicesFor(parts, qs.length))(one)(
+        r => (r._1, r._4))
     // collect accumulated old-gen debt at pass boundaries: fixture builds
     // and recall grading leave garbage whose eventual full collection
     // otherwise lands as one multi-second pause on a random row's batch
@@ -320,7 +343,9 @@ object Bench {
         col("sig").cast("long"))
       .as[(Long, Array[Float], Array[Int], Long)].collect()
     register("filtered_knn", nq) {
-      require(filterServed.probeBatch(filterQs, k = 10).nonEmpty)
+      require(index.ProbeSlices.striped(filterQs,
+        slicesFor(serveShards, filterQs.length))(
+        st => filterServed.probeBatch(st, k = 10))(r => (r._1, r._4)).nonEmpty)
     }
 
     // filter track, per-tag SUBINDEX registry (X8, the reference's hot-tag
@@ -552,6 +577,28 @@ object Bench {
       // the r11 first run; the resident walk is posting-bounded per shard
       // and shuffles nothing
       val truth = localTruth(sparseServed.probeLocal(sparseQueries, 10))
+      // ADVICE r11: the recall truth is the system's own full-budget
+      // resident probe (bit-equal to the Sparse.mips dataflow by SparseSpec
+      // + the oracle gate, at none of its shuffle cost) — anchor it here
+      // against the INDEPENDENT dataflow join on a 2-query sample so a
+      // scale- or shard-layout-dependent bug in the exact walk cannot
+      // self-grade as recall 1.0. Sampled, so the check never re-creates
+      // the >60 GB shuffle that motivated the swap.
+      locally {
+        val sampleQ = sparseQueries.where(col("qid") < 2)
+        val want = operators.Sparse.mips(sampleQ, tf, 10)
+          .select(col("qid").cast("long"), col("id").cast("long"),
+            col("rank").cast("long"))
+          .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+        val got = truth.where(col("qid") < 2)
+          .select(col("qid").cast("long"), col("id").cast("long"),
+            col("rank").cast("long"))
+          .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+        require(got == want,
+          s"resident sparse truth diverges from Sparse.mips on the sample: " +
+            s"got ${got.take(5)}... want ${want.take(5)}...")
+        spark.sqlContext.clearCache()
+      }
       // top anchor = the largest shard's whole posting mass: exact on
       // every shard by construction (accumulate's fast path), so the
       // sweep always contains a recall-1.0 point and the headline's
@@ -573,14 +620,19 @@ object Bench {
         val r = operators.Recall.mean(
           sparseServed.probeLocal(sparseQueries, 10, budget = b), truth, 10)
         registerSweepPoint("sparse_budget_served", b.toInt, sparseNq, r) {
-          require(sparseServed.probeBatch(sqs, k = 10, budget = b).nonEmpty)
+          require(index.ProbeSlices.striped(sqs,
+            slicesFor(sparseServed.numShards, sqs.length))(
+            st => sparseServed.probeBatch(st, k = 10, budget = b))(
+            r => (r._1, r._4)).nonEmpty)
         }
         b.toInt -> r
       }
       val pick = pickKnob(recalls)
       register("sparse_budget_served", sparseNq) {
-        require(sparseServed
-          .probeBatch(sqs, k = 10, budget = pick.toLong).nonEmpty)
+        require(index.ProbeSlices.striped(sqs,
+          slicesFor(sparseServed.numShards, sqs.length))(
+          st => sparseServed.probeBatch(st, k = 10, budget = pick.toLong))(
+          r => (r._1, r._4)).nonEmpty)
       }
       (pick, recalls.toMap.apply(pick))
     }
@@ -640,12 +692,14 @@ object Bench {
       }
       recalls.foreach { case (ef, r) =>
         registerSweepPoint(family, ef, nq, r) {
-          require(resident.probeBatch(qsFloat, k = 10, efSearch = ef).nonEmpty)
+          require(stripedF(qsFloat, serveShards)(
+            st => resident.probeBatch(st, k = 10, efSearch = ef)).nonEmpty)
         }
       }
       val ef = pickKnob(recalls)
       register(family, nq) {
-        require(resident.probeBatch(qsFloat, k = 10, efSearch = ef).nonEmpty)
+        require(stripedF(qsFloat, serveShards)(
+          st => resident.probeBatch(st, k = 10, efSearch = ef)).nonEmpty)
       }
       (ef, recalls.toMap.apply(ef))
     }
@@ -684,6 +738,17 @@ object Bench {
       .select(col("qid"), col("pos"), col("vec").as("qvec"))
     val maxsimQs = qbags.select((col("qid") * 2 + col("pos")).cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect()
+    // group-keyed striping (guide §2.6, same shape as the other families):
+    // a MaxSim batch's composite query vectors (qid·qmax + pos) must stay
+    // together — the per-query score sums over all positions — so stripes
+    // split on the DOC-query id, not the array index; rows identical
+    // (per-query results are independent, asserted in KnnSpec)
+    def maxsimStriped(c: Int): Array[(Long, Long, Double, Long)] =
+      index.ProbeSlices.stripedBy(maxsimQs,
+        slicesFor(serveShards, maxsimQs.length))(_._1 / 2)(
+        st => index.MaxSimServe.probeBatch(
+          ipResident, st, qmax = 2, bmax = 4, k = 10, c = c,
+          efSearch = 32 * knobScale))(r => (r._1, r._4))
     // hit-count sweep: c (graph hits per query vector) is the shortcut's
     // recall knob — more hits = fewer missing (qvec, doc) pairs. The
     // answer set a query's hits must cover grows with the corpus
@@ -707,9 +772,7 @@ object Bench {
           spark.createDataFrame(srv.toSeq).toDF("qid", "id", "dist", "rank"),
           truth, 10)
         registerSweepPoint("maxsim_served", c, nqB, rc) {
-          require(index.MaxSimServe.probeBatch(
-            ipResident, maxsimQs, qmax = 2, bmax = 4, k = 10, c = c,
-            efSearch = 32 * knobScale).nonEmpty)
+          require(maxsimStriped(c).nonEmpty)
         }
         c -> rc
       }
@@ -717,9 +780,7 @@ object Bench {
       (c, recalls.toMap.apply(c))
     }
     register("maxsim_served", nqB) {
-      require(index.MaxSimServe.probeBatch(
-        ipResident, maxsimQs, qmax = 2, bmax = 4, k = 10, c = maxsimC,
-        efSearch = 32 * knobScale).nonEmpty)
+      require(maxsimStriped(maxsimC).nonEmpty)
     }
     // the exact token-join anchor, TIMED alongside the served row: every
     // (qtoken, doctoken) pair scored — the verify-stage dataflow whose QPS
@@ -805,13 +866,14 @@ object Bench {
     }
     adcRecalls.foreach { case (r, rc) =>
       registerSweepPoint("ann_adc_served", r, nq, rc) {
-        require(adcServed.probeBatch(qsFloat, k = 10, rerank = r).nonEmpty)
+        require(stripedF(qsFloat, serveShards)(
+          st => adcServed.probeBatch(st, k = 10, rerank = r)).nonEmpty)
       }
     }
     val adcRerank = pickKnob(adcRecalls)
     register("ann_adc_served", nq) {
-      require(adcServed
-        .probeBatch(qsFloat, k = 10, rerank = adcRerank).nonEmpty)
+      require(stripedF(qsFloat, serveShards)(
+        st => adcServed.probeBatch(st, k = 10, rerank = adcRerank)).nonEmpty)
     }
     (adcRerank, adcRecalls.toMap.apply(adcRerank))
     }
@@ -891,8 +953,8 @@ object Bench {
     deferUnload(ivfAdcServed.unload())
     ivfMassFamily("ann_ivfadc_served", 160,
       (mm, r) => ivfAdcServed.probeLocalMass(queries, 10, mm, r),
-      (mm, r) => require(
-        ivfAdcServed.probeBatchMass(qsFloat, 10, mm, r).nonEmpty))
+      (mm, r) => require(stripedF(qsFloat, serveShards)(
+        st => ivfAdcServed.probeBatchMass(st, 10, mm, r)).nonEmpty))
     }
     // residual variant of the same composition — faiss's TRUE IVFPQ (codes
     // quantize x − centroid; probes assemble per-(query, cluster) LUTs
@@ -909,8 +971,8 @@ object Bench {
     deferUnload(ivfAdcResServed.unload())
     ivfMassFamily("ann_ivfadc_residual_served", 160,
         (mm, r) => ivfAdcResServed.probeLocalMass(queries, 10, mm, r),
-        (mm, r) => require(
-          ivfAdcResServed.probeBatchMass(qsFloat, 10, mm, r).nonEmpty))
+        (mm, r) => require(stripedF(qsFloat, serveShards)(
+          st => ivfAdcResServed.probeBatchMass(st, 10, mm, r)).nonEmpty))
     }
     // the reference baseline's LITERAL composition (`IVF16384,SQ8`,
     // filter/faiss/config.yaml:50-53) served resident: IVF routing ×
@@ -928,8 +990,8 @@ object Bench {
     val (ivfSq8Mass, ivfSq8Recall, ivfSq8Rerank) =
       ivfMassFamily("ann_ivfsq8_served", 80,
       (mm, r) => ivfSq8Served.probeLocalMass(queries, 10, mm, r),
-      (mm, r) => require(
-        ivfSq8Served.probeBatchMass(qsFloat, 10, mm, r).nonEmpty))
+      (mm, r) => require(stripedF(qsFloat, serveShards)(
+        st => ivfSq8Served.probeBatchMass(st, 10, mm, r)).nonEmpty))
     // GRAPH-routed coarse quantizer on the same served form (HNSW over the
     // centroids — faiss's IVF_HNSW shape): replaces the O(C·d) linear rank
     // with an O(efRoute·log C) beam. At benched C (autoC: 179–1,789) the
@@ -955,14 +1017,16 @@ object Bench {
       }
       recalls.foreach { case (ef, r) =>
         registerSweepPoint("ann_ivfsq8_graphroute_served", ef, nq, r) {
-          require(ivfSq8Served.probeBatchMass(qsFloat, 10,
-            ivfSq8Mass / 100.0, ivfSq8Rerank, efRoute = ef).nonEmpty)
+          require(stripedF(qsFloat, serveShards)(
+            st => ivfSq8Served.probeBatchMass(st, 10,
+              ivfSq8Mass / 100.0, ivfSq8Rerank, efRoute = ef)).nonEmpty)
         }
       }
       val ef = pickKnob(recalls)
       register("ann_ivfsq8_graphroute_served", nq) {
-        require(ivfSq8Served.probeBatchMass(qsFloat, 10,
-          ivfSq8Mass / 100.0, ivfSq8Rerank, efRoute = ef).nonEmpty)
+        require(stripedF(qsFloat, serveShards)(
+          st => ivfSq8Served.probeBatchMass(st, 10,
+            ivfSq8Mass / 100.0, ivfSq8Rerank, efRoute = ef)).nonEmpty)
       }
       (ef, recalls.toMap.apply(ef))
     }
@@ -1023,7 +1087,9 @@ object Bench {
         vecSignPack(col("qvec")).as("qcode")).as[(Long, Array[Long])].collect()
     }
     register("hamming_served", nq) {
-      require(binServed.probeBatch(hamQs, k = 10).nonEmpty)
+      require(index.ProbeSlices.striped(hamQs,
+        slicesFor(serveShards, hamQs.length))(
+        st => binServed.probeBatch(st, k = 10))(r => (r._1, r._4)).nonEmpty)
     }
     val hamFidelity = operators.Recall.mean(
       binServed.probeLocal(queries, 10), truthL2, 10)
@@ -1053,7 +1119,10 @@ object Bench {
         val rc = operators.Recall.mean(
           binServed.probeLocalRerank(queries, 10, c = c), truthL2, 10)
         registerSweepPoint("hamming_rerank_served", c, nq, rc) {
-          require(binServed.probeBatchRerank(ham2Qs, k = 10, c = c).nonEmpty)
+          require(index.ProbeSlices.striped(ham2Qs,
+            slicesFor(serveShards, ham2Qs.length))(
+            st => binServed.probeBatchRerank(st, k = 10, c = c))(
+            r => (r._1, r._4)).nonEmpty)
         }
         c -> rc
       }
@@ -1061,8 +1130,10 @@ object Bench {
       (c, recalls.toMap.apply(c))
     }
     register("hamming_rerank_served", nq) {
-      require(binServed
-        .probeBatchRerank(ham2Qs, k = 10, c = ham2C).nonEmpty)
+      require(index.ProbeSlices.striped(ham2Qs,
+        slicesFor(serveShards, ham2Qs.length))(
+        st => binServed.probeBatchRerank(st, k = 10, c = ham2C))(
+        r => (r._1, r._4)).nonEmpty)
     }
     locally {
       val ipMetric = operators.Metric.Ip
@@ -1073,8 +1144,10 @@ object Bench {
           binServed.probeLocalRerank(queries, 10, c = c, metric = ipMetric),
           truthIp, 10)
         registerSweepPoint("hamming_rerank_served_ip", c, nq, rc) {
-          require(binServed
-            .probeBatchRerank(ham2Qs, k = 10, c = c, metric = ipMetric).nonEmpty)
+          require(index.ProbeSlices.striped(ham2Qs,
+            slicesFor(serveShards, ham2Qs.length))(
+            st => binServed.probeBatchRerank(st, k = 10, c = c,
+              metric = ipMetric))(r => (r._1, r._4)).nonEmpty)
         }
       }
     }
@@ -1131,15 +1204,17 @@ object Bench {
     }
     routedNpRecalls.foreach { case (np, r) =>
       registerSweepPoint("ann_hnsw_probe_routed", np, nq, r) {
-        require(routed.probeBatch(qsFloat, k = 10, efSearch = routedEf,
-          nprobe = np).nonEmpty)
+        require(stripedF(qsFloat, routedC)(
+          st => routed.probeBatch(st, k = 10, efSearch = routedEf,
+            nprobe = np)).nonEmpty)
       }
     }
     val routedNp = pickKnob(routedNpRecalls)
     val rtRecall = routedNpRecalls.toMap.apply(routedNp)
     register("ann_hnsw_probe_routed", nq) {
-      require(routed.probeBatch(qsFloat, k = 10, efSearch = routedEf,
-        nprobe = routedNp).nonEmpty)
+      require(stripedF(qsFloat, routedC)(
+        st => routed.probeBatch(st, k = 10, efSearch = routedEf,
+          nprobe = routedNp)).nonEmpty)
     }
     // mass-adaptive routing on the same index: the knob is a corpus
     // fraction, so per-query probe counts adapt to cluster skew instead
@@ -1156,15 +1231,17 @@ object Bench {
     }
     routedAutoRecalls.foreach { case (pct, r) =>
       registerSweepPoint("ann_hnsw_probe_routed_auto", pct, nq, r) {
-        require(routed.probeBatchAuto(qsFloat, k = 10, efSearch = routedEf,
-          minMass = pct / 100.0).nonEmpty)
+        require(stripedF(qsFloat, routedC)(
+          st => routed.probeBatchAuto(st, k = 10, efSearch = routedEf,
+            minMass = pct / 100.0)).nonEmpty)
       }
     }
     val routedAutoPct = pickKnob(routedAutoRecalls)
     val rtaRecall = routedAutoRecalls.toMap.apply(routedAutoPct)
     register("ann_hnsw_probe_routed_auto", nq) {
-      require(routed.probeBatchAuto(qsFloat, k = 10, efSearch = routedEf,
-        minMass = routedAutoPct / 100.0).nonEmpty)
+      require(stripedF(qsFloat, routedC)(
+        st => routed.probeBatchAuto(st, k = 10, efSearch = routedEf,
+          minMass = routedAutoPct / 100.0)).nonEmpty)
     }
     (routedNp, rtRecall, routedAutoPct, rtaRecall)
     }
@@ -1202,8 +1279,9 @@ object Bench {
     }
     npRecalls.foreach { case (np, r) =>
       registerSweepPoint("ann_hnsw_probe_coarse", np, nq, r) {
-        require(coarse.probeBatch(qsFloat, k = 10, efSearch = coarseEfBase,
-          nprobe = np).nonEmpty)
+        require(stripedF(qsFloat, coarseC)(
+          st => coarse.probeBatch(st, k = 10, efSearch = coarseEfBase,
+            nprobe = np)).nonEmpty)
       }
     }
     val coarseNp = pickKnob(npRecalls)
@@ -1220,15 +1298,17 @@ object Bench {
     }
     efRecalls.foreach { case (ef, r) =>
       registerSweepPoint("ann_hnsw_probe_coarse_ef", ef, nq, r) {
-        require(coarse.probeBatch(qsFloat, k = 10, efSearch = ef,
-          nprobe = coarseNp).nonEmpty)
+        require(stripedF(qsFloat, coarseC)(
+          st => coarse.probeBatch(st, k = 10, efSearch = ef,
+            nprobe = coarseNp)).nonEmpty)
       }
     }
     val coarseEf = pickKnob(efRecalls)
     val coarseRecallV = efRecalls.toMap.apply(coarseEf)
     register("ann_hnsw_probe_coarse", nq) {
-      require(coarse.probeBatch(qsFloat, k = 10, efSearch = coarseEf,
-        nprobe = coarseNp).nonEmpty)
+      require(stripedF(qsFloat, coarseC)(
+        st => coarse.probeBatch(st, k = 10, efSearch = coarseEf,
+          nprobe = coarseNp)).nonEmpty)
     }
     (coarseC, coarseNp, coarseEf, coarseRecallV)
     }
@@ -1249,8 +1329,9 @@ object Bench {
       .as[(Long, Array[Float])].collect()
     val mutDead = (mutCut until mutTombHi).toSet
     register("ann_hnsw_probe_mutated", nq) {
-      require(mutResident.probeBatch(qsFloat, k = 10,
-        efSearch = efL2, mutDead, mutDelta).nonEmpty)
+      require(stripedF(qsFloat, serveShards)(
+        st => mutResident.probeBatch(st, k = 10,
+          efSearch = efL2, mutDead, mutDelta)).nonEmpty)
     }
     locally {
       val live = base.where(col("id") < mutCut || col("id") >= mutTombHi)
@@ -1685,7 +1766,7 @@ object Bench {
       case (nm, _, _) if rowReps(nm) < reps => s"\"$nm\":${rowReps(nm)}"
     }.mkString("{", ",", "}")
     val qpsJson =
-      s"""{$qpsPairsFrag"nq":$nq,"reps":$reps,"interleaved":true,"spread":{$spreadPairs},"gc_worst_ms":{$gcPairs},"cpu_frac_worst":{$cpuPairs},"cpu_frac_med":{$cpuMedPairs},"op":$opJson,"reps_capped":$repsCapped,"recall":$recallJson,"sweep":$sweep,"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes,"cpu_retakes":$cpuRetakes,"tracks":"$tracksLabel","ivf_families":"$ivfFamsLabel"}$streamFrag}"""
+      s"""{$qpsPairsFrag"nq":$nq,"reps":$reps,"interleaved":true,"spread":{$spreadPairs},"gc_worst_ms":{$gcPairs},"cpu_frac_worst":{$cpuPairs},"cpu_frac_med":{$cpuMedPairs},"op":$opJson,"reps_capped":$repsCapped,"recall":$recallJson,"sweep":$sweep,"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes,"cpu_retakes":$cpuRetakes,"probe_slices":${slicesFor(serveShards, nq)},"tracks":"$tracksLabel","ivf_families":"$ivfFamsLabel"}$streamFrag}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"batch_sec":$batchJson,"qps":$qpsJson,"sf":"$sfDir"}"""
     // the whole object lands in a file the driver (or anyone) can read
@@ -1703,7 +1784,7 @@ object Bench {
     // prints LAST so the tail always ends with one complete parseable JSON
     // line; the full object is the file write above.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir","qps":{$qpsPairsFrag"nq":$nq,"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes,"cpu_retakes":$cpuRetakes,"tracks":"$tracksLabel","ivf_families":"$ivfFamsLabel"}$streamFrag},"full":"$outPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir","qps":{$qpsPairsFrag"nq":$nq,"env":{"steal_pct":$stealPct,"gc_retakes":$gcRetakes,"cpu_retakes":$cpuRetakes,"probe_slices":${slicesFor(serveShards, nq)},"tracks":"$tracksLabel","ivf_families":"$ivfFamsLabel"}$streamFrag},"full":"$outPath"}"""
     println(compact)
     spark.stop()
   }

@@ -365,10 +365,15 @@ object ClusterHistogram {
     // materialize the C-row histogram while the partitioned intermediate is
     // live, then drop the intermediate explicitly (same leak shape as
     // Pipeline.rankGlobal: the ContextCleaner only reclaims it when the
-    // caller's frame dies, which a long-lived driver may never let happen)
+    // caller's frame dies, which a long-lived driver may never let happen).
+    // The output pins at the RDD level — a DataFrame.persist here registers
+    // in the SQL CacheManager and is held until an explicit unpersist, so a
+    // caller that discards the frame would leak the cache entry; the RDD
+    // persist is ContextCleaner-reclaimed, and an eviction-forced recompute
+    // is safe because the partitioner is value-deterministic.
     if (toUnpersist != null) {
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
       toUnpersist.unpersist(blocking = false)
     }
     df

@@ -60,14 +60,21 @@ final class ResidentPostings(spark: SparkSession, rdd: RDD[PostingShard]) {
                  k: Int,
                  budget: Long = Long.MaxValue,
                  treeMergeAt: Int = 64): Array[(Long, Long, Long, Long)] = {
-    // impact order assumes non-negative products: with a negative query
+    // impact order assumes POSITIVE products: with a negative query
     // weight, products along a v-descending posting list INCREASE, so a
-    // budgeted prefix walk would spend the budget anti-impact-ordered
-    // (exactness at full budget would be unaffected — guard anyway rather
-    // than silently degrade the budgeted regime)
-    require(qs.forall(_._3.forall(_ >= 0L)),
-      "ResidentPostings serves non-negative weights (tf domain); negative " +
-        "query weights would invert the impact order of a budgeted scan")
+    // budgeted prefix walk would spend the budget anti-impact-ordered; and
+    // a ZERO weight's postings are score-0 — the budgeted prefix cut drops
+    // them (cut() returns 0 for qv·v = 0) while the exact full-budget walk
+    // admits them, so near-full budgets could return a different candidate
+    // set than budget = MaxValue when positive-score matches are scarce.
+    // Rejecting qv <= 0 at entry makes budgeted and exact candidate
+    // domains agree by construction (tf weights are >= 1, so no real
+    // caller is constrained).
+    require(qs.forall(_._3.forall(_ > 0L)),
+      "ResidentPostings serves strictly positive weights (tf domain): " +
+        "negative query weights would invert the impact order of a " +
+        "budgeted scan, and zero weights would make the budgeted and " +
+        "exact candidate sets disagree (score-0 postings are cut)")
     val bq = spark.sparkContext.broadcast(qs)
     val bud = budget
     val local = rdd.flatMap { shard =>

@@ -389,11 +389,19 @@ object Dedup {
     // not the data — dominates the loop's cost. Checkpointing truncates the
     // plan to the materialized partitions. (At cluster scale pair state
     // with reliable checkpointing; the dataflow is identical.)
-    val edges = pairs
+    //
+    // Checkpoint the PAIRS, not the symmetric closure: a union of two
+    // projections over the un-materialized `pairs` plan evaluates the
+    // whole upstream candidate pipeline (LSH banding + exact verification)
+    // TWICE — Spark does not dedupe common subtrees across union branches.
+    // Materializing the half-sized pair set once and deriving both edge
+    // directions from the checkpoint halves the dominant cost of this
+    // operator (guide §2.4: remove duplicated subtree evaluation).
+    val p0 = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val edges = p0
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint(true)
-    if (edges.isEmpty) return docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .unionByName(p0.select(col("b_id").as("src"), col("a_id").as("dst")))
+    if (p0.isEmpty) return docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
     // iterate ONLY over edge-incident vertices (≤ 2·|pairs|): a doc in no
     // near-dup pair is its own singleton cluster forever, so the corpus
     // never enters the loop — at 100 TB the iterated frame is the near-dup
@@ -406,7 +414,10 @@ object Dedup {
     // round; larger subgraphs take the distributed min-label loop. Both
     // produce cluster_id = min doc_id of the component.
     val spark = docs.sparkSession
-    val nEdges = edges.count()
+    // the cap semantics stay on the DIRECTED edge count (2·|pairs|), but
+    // only the half-sized pair set ever crosses to the driver: union-find
+    // is symmetric, so the reverse direction of each pair was a no-op
+    val nEdges = 2L * p0.count()
     val labels =
       if (nEdges <= localEdgeCap) {
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -417,7 +428,7 @@ object Dedup {
           while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        edges.select("src", "dst").collect().foreach { row =>
+        p0.select("a_id", "b_id").collect().foreach { row =>
           val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
           if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
         }

@@ -118,18 +118,24 @@ object Pipeline {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ running)
       }
     }
-    val out = spark.createDataFrame(rows,
-      sorted.schema.add("grank", org.apache.spark.sql.types.LongType))
     // materialize the ranked output while the input persist is live, then
     // drop the intermediate explicitly: relying on the ContextCleaner left
     // the sorted blocks resident for as long as the caller held the
     // returned frame, so a long-lived driver calling rankGlobal repeatedly
-    // accumulated MEMORY_AND_DISK blocks. The output's own cache is the
-    // caller's to retain; the eager count also guarantees the offsets were
+    // accumulated MEMORY_AND_DISK blocks. The output pins at the RDD level
+    // (NOT DataFrame.persist, which registers in the SQL CacheManager and
+    // is held until an explicit unpersist/clearCache — callers that drop
+    // the returned frame would leak a full-corpus cache permanently): the
+    // ContextCleaner reclaims the RDD blocks when the frame dies, and
+    // MEMORY_AND_DISK spills rather than evicts, so the ranked rows are
+    // never recomputed through the (nondeterministic) range shuffle while
+    // the frame is live. The eager count also guarantees the offsets were
     // applied to the exact persisted partitioning they were computed from.
-    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.count()
     sortedRdd.unpersist(blocking = false)
+    val out = spark.createDataFrame(rows,
+      sorted.schema.add("grank", org.apache.spark.sql.types.LongType))
     (out, partCounts.sum)
   }
 

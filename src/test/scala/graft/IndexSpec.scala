@@ -993,4 +993,63 @@ class IndexSpec extends AnyFunSuite with SparkSuite {
     val even = idx.search(Array(25.0f, 3.0f), 5, ef = 50, id => id % 2 == 0)
     assert(even.forall(_._1 % 2 == 0))
   }
+
+  test("ProbeSlices.striped probeBatch equals the unsliced batch row-for-row") {
+    // stripes partition qids and each qid's result is independent of its
+    // job-mates, so striping is pure scheduling — the serving-loop shape
+    // the bench times (r12). Asserted across the resident families the
+    // bench stripes: flat HNSW, the filtered signature scan, and the
+    // routed graphs (fixed-nprobe and mass-adaptive).
+    val qs = emb.where($"vec_id" < 40)
+      .select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val flat = HnswKnn.buildResident(base, numPartitions = 4)
+    try {
+      for (s <- Seq(2, 3, 7, 64))
+        assert(ProbeSlices.striped(qs, s)(
+          st => flat.probeBatch(st, 10, 64))(r => (r._1, r._4)).toSeq ===
+          flat.probeBatch(qs, 10, 64).toSeq, s"flat slices=$s")
+    } finally flat.unload()
+    val tagged = TagFilter.withTags(emb)
+    val scanQs = TagFilter
+      .withSignature(TagFilter.tagQueries(emb, 20), "qtags")
+      .select($"qid".cast("long"), $"qvec", $"qtags", $"sig".cast("long"))
+      .as[(Long, Array[Float], Array[Int], Long)].collect()
+    val scan = ResidentScan.load(tagged, numPartitions = 4)
+    try {
+      assert(ProbeSlices.striped(scanQs, 4)(
+        st => scan.probeBatch(st, 10))(r => (r._1, r._4)).toSeq ===
+        scan.probeBatch(scanQs, 10).toSeq)
+    } finally scan.unload()
+    val rp = java.nio.file.Files.createTempDirectory("graft-slices-rt")
+      .resolve("idx").toString
+    HnswRouted.buildAndSave(base, rp, c = 6, kmIters = 2)
+    val routed = HnswRouted.loadResident(spark, rp)
+    try {
+      assert(ProbeSlices.striped(qs, 5)(
+        st => routed.probeBatch(st, 10, 64, nprobe = 2))(
+        r => (r._1, r._4)).toSeq ===
+        routed.probeBatch(qs, 10, 64, nprobe = 2).toSeq)
+      assert(ProbeSlices.striped(qs, 5)(
+        st => routed.probeBatchAuto(st, 10, 64, minMass = 0.25))(
+        r => (r._1, r._4)).toSeq ===
+        routed.probeBatchAuto(qs, 10, 64, minMass = 0.25).toSeq)
+    } finally routed.unload()
+    // degenerate inputs: slices <= 1 and empty batches are the plain path
+    assert(ProbeSlices.striped(Array.empty[(Long, Array[Float])], 4)(
+      st => { assert(st.isEmpty); Array.empty[(Long, Long, Double, Long)] })(
+      r => (r._1, r._4)).isEmpty)
+  }
+
+  test("ProbeSlices.auto adapts stripes to partitions, cores and batch size") {
+    // few shards on a wide box: stripes fill it (8 shards, 32 cores -> 8)
+    assert(ProbeSlices.auto(8, 32, 500) === 8)
+    // shards already cover the cores: tail overlap only
+    assert(ProbeSlices.auto(32, 32, 500) === 2)
+    // the driver's low-core scaling run: no striping where nothing to fill
+    assert(ProbeSlices.auto(8, 4, 500) === 1)
+    // tiny batches never split below minPerSlice queries per stripe
+    assert(ProbeSlices.auto(8, 32, 20) === 1)
+    assert(ProbeSlices.auto(8, 32, 64) === 4)
+  }
 }

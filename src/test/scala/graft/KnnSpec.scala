@@ -223,6 +223,15 @@ class KnnSpec extends AnyFunSuite with SparkSuite {
       val reused = rs(MultiVec.maxSimAnn(qbags, bags, 10, c = n,
         efSearch = 1 << 20, prebuilt = Some(resident), bagDims = Some((2, 4))))
       assert(reused === exact)
+      // group-keyed striping (the bench's serving shape): stripes split on
+      // the DOC-query id so a query's composite vectors stay together —
+      // the merged rows equal the unsliced batch exactly
+      val striped = graft.index.ProbeSlices.stripedBy(qs, 3)(_._1 / 2)(
+        st => graft.index.MaxSimServe.probeBatch(
+          resident, st, qmax = 2, bmax = 4, k = 10, c = 64, efSearch = 32))(
+        r => (r._1, r._4))
+      assert(striped.toSeq === driver.toSeq,
+        "group-striped maxsim must equal the unsliced batch row-for-row")
     } finally resident.unload()
   }
 

@@ -248,6 +248,22 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(sizes.size === 10)
   }
 
+  test("rankGlobal leaves no entry in the SQL CacheManager") {
+    // the ranked output pins at the RDD level (ContextCleaner-reclaimed);
+    // a DataFrame.persist here would be held until an explicit unpersist,
+    // leaking a full-corpus cache to library callers that drop the frame
+    // (ADVICE r11). The CacheManager must stay empty through a full
+    // rank + consume cycle.
+    spark.sqlContext.clearCache()
+    val scored = graft.operators.Text.tokenStats(docs)
+      .select($"doc_id".cast("long"), $"n_tokens".cast("long"))
+    val ranked = Pipeline.rankGlobal(scored,
+      Seq($"n_tokens".desc, $"doc_id".asc))
+    assert(ranked.count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "rankGlobal must not register a CacheManager entry")
+  }
+
   test("stratifiedTake: exact per-stratum counts, deterministic, rerun-stable") {
     val take = Pipeline.stratifiedTake(docs, "lang", "doc_id", 7)
     val perLang = take.groupBy("lang").count()

@@ -206,4 +206,37 @@ class SparseSpec extends AnyFunSuite with SparkSuite {
       assert(got.isEmpty)
     } finally served.unload()
   }
+
+  test("resident postings reject non-positive query weights loudly") {
+    // zero-weight postings are score-0: the budgeted prefix cut drops them
+    // while an exact full-budget walk would admit them, so the domains must
+    // agree by construction — qv <= 0 fails at entry instead of silently
+    // diverging between budgets (ADVICE r11)
+    val served = graft.index.ResidentPostings.load(tf, 4, numPartitions = 2)
+    try {
+      intercept[IllegalArgumentException] {
+        served.probeBatch(Array((1L, Array("a"), Array(0L))), 5)
+      }
+      intercept[IllegalArgumentException] {
+        served.probeBatch(Array((1L, Array("a"), Array(-2L))), 5)
+      }
+    } finally served.unload()
+  }
+
+  test("striped postings probe equals the unsliced batch at any budget") {
+    val mFull = Tables.documents(spark, sfDir).count().toInt
+    val served = graft.index.ResidentPostings.load(tf, mFull, numPartitions = 4)
+    try {
+      val qs = tf.where($"id" < 20)
+        .select($"id".cast("long"), $"dim".cast("string"), $"v".cast("long"))
+        .as[(Long, String, Long)].collect()
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map { case (qid, rows) => (qid, rows.map(_._2), rows.map(_._3)) }
+      for (b <- Seq(32L, Long.MaxValue))
+        assert(graft.index.ProbeSlices.striped(qs, 4)(
+          st => served.probeBatch(st, 10, budget = b))(
+          r => (r._1, r._4)).toSeq ===
+          served.probeBatch(qs, 10, budget = b).toSeq, s"budget=$b")
+    } finally served.unload()
+  }
 }

@@ -8,7 +8,7 @@
 # yfcc-10M (filter/faiss/faiss.py:361-426, README.md:43); r11 stood at
 # 2,323 q/s @ 0.907 with slices fixed at 4 and cpu_frac_med 0.725.
 set -euo pipefail
-CLS="${GRAFT_CLASSES:-/tmp/graft_classes_r12a}"
+CLS="${GRAFT_CLASSES:-/tmp/graft_classes_r12}"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
