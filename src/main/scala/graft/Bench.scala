@@ -342,10 +342,16 @@ object Bench {
       .select(col("qid").cast("long"), col("qvec"), col("qtags"),
         col("sig").cast("long"))
       .as[(Long, Array[Float], Array[Int], Long)].collect()
+    // NOT striped (measured regression, r12): the exact signature scan is
+    // bandwidth-bound — every probe touches the whole shard's packed
+    // signatures — so concurrent stripe jobs contend for the same memory
+    // stream instead of filling idle cores: striped 9,734 q/s vs 13,735
+    // unsliced in the same host band at sf0.1. At the 10M decade the scan
+    // saturates the box on its own (cpu_frac 0.87, r11), so striping buys
+    // nothing there either. The graph/code families below stripe: their
+    // probes are compute-bound walks over small working sets.
     register("filtered_knn", nq) {
-      require(index.ProbeSlices.striped(filterQs,
-        slicesFor(serveShards, filterQs.length))(
-        st => filterServed.probeBatch(st, k = 10))(r => (r._1, r._4)).nonEmpty)
+      require(filterServed.probeBatch(filterQs, k = 10).nonEmpty)
     }
 
     // filter track, per-tag SUBINDEX registry (X8, the reference's hot-tag
